@@ -1,0 +1,173 @@
+"""Batch Renko operator: ticks DataFrame -> wide brick DataFrame -> mode
+projections.
+
+Spark-first layout (SURVEY.md §1.4 / §2 O-5): the brick-ification
+recurrence is non-associative (every brick depends on the running
+`last_close` over the whole prefix), so it cannot be a join/window
+composition. It runs as a grouped-map Pandas UDF — parallel across
+symbols, sequential within a symbol, exactly the reference's
+parallelism model (the reference is single-threaded per instrument).
+Everything around the kernel (projection, export, slicing) is plain
+DataFrame API so Catalyst prunes/pushes as usual.
+
+Reference semantics reproduced: `Renko.__init__` validation
+(renkodf.py:42-49), `_create_renko` (renkodf.py:71-252), first-brick
+label drop (renkodf.py:69), `renko_df` projection (renkodf.py:291-387),
+`to_rws` export (renkodf.py:389-420).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from renkodf_spark.kernel import WIDE_VALUE_COLUMNS, new_output, new_state, scan_ticks
+from renkodf_spark.schema import (
+    MODE_SOURCES,
+    MODES,
+    UTILS_COLUMNS,
+    WIDE_COLUMN_NAMES,
+    WIDE_SCHEMA,
+)
+
+_SEQ_COL = "__tick_seq"
+
+
+def renko_pandas(
+    pdf: pd.DataFrame,
+    brick_size: float,
+    *,
+    time_col: str = "event_time",
+    price_col: str = "close",
+    drop_first: bool = True,
+) -> pd.DataFrame:
+    """Run the Renko kernel over one already-sorted pandas tick frame.
+
+    Returns the wide brick table (without `symbol`/`brick_seq`; the
+    Spark wrapper adds those). Used inside `applyInPandas` and directly
+    by unit tests.
+    """
+    times = pdf[time_col].to_numpy()
+    prices = pdf[price_col].to_numpy().tolist()  # python floats: fastest loop
+    out = new_output()
+    if len(prices) > 0:
+        state = new_state(prices[0], brick_size)
+        scan_ticks(times, prices, 1, brick_size, state, out)
+
+    event_time = np.asarray(out["event_time"], dtype=times.dtype if len(times) else "datetime64[us]")
+    wide = {"event_time": event_time}
+    for name in WIDE_VALUE_COLUMNS:
+        dtype = np.int64 if name in ("volume", "direction", "is_reversal", "tick_index_open", "tick_index_close") else np.float64
+        wide[name] = np.asarray(out[name], dtype=dtype)
+    res = pd.DataFrame(wide)
+
+    if drop_first and len(res):
+        # reference drops by index label (renkodf.py:69): every brick
+        # sharing the first brick's close timestamp goes away
+        res = res[res["event_time"] != res["event_time"].iloc[0]].reset_index(drop=True)
+    return res
+
+
+def renko(
+    ticks: DataFrame,
+    brick_size: float,
+    *,
+    symbol_col: str = "symbol",
+    time_col: str = "event_time",
+    price_col: str = "close",
+    drop_first: bool = True,
+) -> DataFrame:
+    """Compress a tick DataFrame into the wide Renko brick table.
+
+    Scale model: one shuffle on `symbol`, then each symbol's ticks are
+    compressed sequentially inside a single Arrow-batched Python worker
+    call. At 100 TB the parallel axis is symbols (x days via the
+    warm-start splitter); there is no other shuffle in the plan.
+
+    Column pruning happens before the shuffle: only
+    (symbol, time, price) travel.
+    """
+    if brick_size is None or brick_size <= 0:
+        raise ValueError("brick_size cannot be 'None' or '<= 0'")
+    if price_col not in ticks.columns:
+        raise ValueError(f"Column '{price_col}' doesn't exist!")
+
+    if symbol_col not in ticks.columns:
+        ticks = ticks.withColumn(symbol_col, F.lit("0"))
+    if time_col not in ticks.columns:
+        raise ValueError(f"Column '{time_col}' doesn't exist!")
+
+    # Deterministic intra-timestamp order: capture input order before the
+    # shuffle so equal-timestamp ticks replay in file order.
+    slim = ticks.select(
+        F.col(symbol_col).cast("string").alias("symbol"),
+        F.col(time_col).alias("__time"),
+        F.col(price_col).cast("double").alias("__price"),
+        F.monotonically_increasing_id().alias(_SEQ_COL),
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__time", _SEQ_COL], kind="mergesort")
+        res = renko_pandas(
+            pdf.rename(columns={"__time": "event_time", "__price": "close"}),
+            brick_size,
+            drop_first=drop_first,
+        )
+        res.insert(0, "brick_seq", np.arange(len(res), dtype=np.int64))
+        res.insert(0, "symbol", pdf["symbol"].iloc[0] if len(pdf) else "")
+        return res[list(WIDE_COLUMN_NAMES)]
+
+    return slim.groupBy("symbol").applyInPandas(run, WIDE_SCHEMA)
+
+
+def renko_df(
+    wide: DataFrame,
+    mode: str = "wicks",
+    utils_columns: bool = True,
+    *,
+    keys: tuple = ("symbol", "brick_seq", "event_time"),
+    utils: tuple = UTILS_COLUMNS,
+) -> DataFrame:
+    """Project the wide brick table into one of the 7 OHLC modes
+    (reference renko_df, renkodf.py:291-387). Pure `select`; Catalyst
+    column-prunes the unused variants all the way into the kernel
+    boundary."""
+    if mode not in MODES:
+        raise ValueError(f"Only {list(MODES)} options are valid.")
+    open_src, high_src, low_src = MODE_SOURCES[mode]
+    cols = [F.col(k) for k in keys if k in wide.columns]
+    cols += [
+        F.col(open_src).alias("open"),
+        F.col(high_src).alias("high"),
+        F.col(low_src).alias("low"),
+        F.col("close"),
+        F.col("volume"),
+    ]
+    if utils_columns:
+        cols += [F.col(u) for u in utils if u in wide.columns]
+    return wide.select(*cols)
+
+
+def to_rws(wide: DataFrame, brick_size: float, use_iloc: int | None = None) -> DataFrame:
+    """State-export table (reference to_rws, renkodf.py:389-420): wide
+    table minus tick indexes, plus a `brick_size` literal and an int64
+    microsecond `timestamp`. Feed it back via
+    `renkodf_spark.live.RenkoLive(external_df=...)` or as the initial
+    state of the streaming operator."""
+    cols = [c for c in wide.columns if not c.startswith("tick_index_")]
+    out = wide.select(
+        *[F.col(c) for c in cols],
+        F.lit(float(brick_size)).alias("brick_size"),
+        F.unix_micros(F.col("event_time")).alias("timestamp"),
+    ).drop("event_time")
+    if use_iloc is not None:
+        w = Window.partitionBy("symbol")
+        if use_iloc < 0:
+            rn = F.row_number().over(w.orderBy(F.desc("brick_seq")))
+            out = out.withColumn("__rn", rn).filter(F.col("__rn") <= -use_iloc).drop("__rn")
+        else:
+            rn = F.row_number().over(w.orderBy(F.asc("brick_seq")))
+            out = out.withColumn("__rn", rn).filter(F.col("__rn") <= use_iloc).drop("__rn")
+    return out

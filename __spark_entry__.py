@@ -3,36 +3,43 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+The real implementations live in the ``renkodf_spark`` package; this
+module is a thin adapter. Query inventory: renko operator surface
+(SURVEY.md §2 Part A — no SQL oracle, the recurrence is not
+ANSI-expressible; differential-tested against the reference in
+tests/test_vs_reference.py), the full relational Part-B surface, and
+the training-data pipeline extensions (dedup / similarity / text /
+multimodal), each with a DuckDB oracle where expressible.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import renkodf_spark.queries as _q
+from renkodf_spark.operators.renko import renko, renko_df
+from renkodf_spark.sources.tables import ticks_from_events
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: Renko 'wicks' bars over the sf0.001 events tick
+    stream (symbol = event_type, price = value, brick = 5.0)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ticks = ticks_from_events(spark, "/root/testdata/sf0.001")
+    return renko_df(renko(ticks, 5.0), "wicks")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _q.oracle_sql()

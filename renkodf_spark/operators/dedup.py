@@ -1,0 +1,198 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact, MinHash+LSH banding, SimHash, and n-gram Jaccard verification.
+
+Design notes (100 TB posture):
+- Everything is built from JVM-side `pyspark.sql.functions` (split,
+  transform, explode, groupBy) — no Python UDFs in the hot path, so the
+  whole pipeline stays inside whole-stage codegen except the shuffles
+  that are semantically required (the groupBys on hash/bucket keys).
+- Hashing is md5-based and *engine-portable*: a MinHash "permutation"
+  is the lexicographic minimum of md5(seed || shingle) hex strings,
+  which any SQL engine reproduces exactly — this is what lets the
+  DuckDB oracle hash-match the Spark output (the usual
+  `pyspark.ml.feature.MinHashLSH` uses JVM-private random coefficients
+  and cannot be oracled).
+- LSH banding: signatures are grouped into bands; docs sharing any
+  band bucket become candidate pairs (self-join on the band key —
+  a shuffle whose fan-out is bounded by bucket size, the standard
+  dedup-at-scale shape). Candidates can then be verified with exact
+  n-gram Jaccard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _shingles(text_col: str, n: int):
+    """Word n-gram shingles as an array column (distinct), JVM-side.
+
+    tokens = split on whitespace; shingle i = tokens[i..i+n-1] joined
+    by a single space.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.array_distinct(sh)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate grouping by content hash: one row per distinct
+    text, keeper = min id, n_dupes = group size. Plain hash-groupBy —
+    one shuffle on the 128-bit digest, fully parallel."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_dupes"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: for seed s in [0, num_hashes), the
+    min over shingles of md5(s || ':' || shingle). Output:
+    (id, h0..h{n-1}). Engine-portable (see module docstring).
+
+    Shape note: explode(shingles) -> groupBy(id).agg(min x N). The
+    naive alternative — N array_min(transform(...)) expressions over
+    one array column — looks shuffle-free but Catalyst's
+    CollapseProject inlines the shingle expression into every signature
+    lane (N x split/distinct/md5 per row; measured 6x slower at sf0.1).
+    The explode form computes shingles once, the mins are map-side
+    partial aggregates, and the one shuffle is on the doc id."""
+    sh = _shingles(text_col, shingle_n)
+    # Hash-partition on the doc id up front: spreads the shingle/md5 map
+    # work across cores even when the source scan is a single row group,
+    # and the groupBy(id) below reuses the partitioning (no 2nd shuffle).
+    exploded = (
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+    )
+    return exploded.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
+            for s in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding: docs agreeing on
+    all hashes of any band collide. Output: distinct (id_a, id_b),
+    id_a < id_b."""
+    assert num_hashes % band_size == 0
+    n_bands = num_hashes // band_size
+    # cache: the signature subtree feeds both sides of the self-join and
+    # Catalyst does not reuse it otherwise (one row per doc — tiny
+    # relative to the corpus, safe to materialize)
+    sigs = minhash_signatures(
+        df, text_col=text_col, id_col=id_col, num_hashes=num_hashes, shingle_n=shingle_n
+    ).cache()
+    bands = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for given candidate (id_a, id_b)
+    pairs — the verify stage after LSH. Broadcast-friendly: shingle sets
+    are joined to the (small) candidate list."""
+    sh = (
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col).alias("id"), _shingles(text_col, shingle_n).alias("sh"))
+        .cache()  # feeds both pair sides
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                round_digits,
+            ).alias("jaccard"),
+        )
+    )
+    return out
+
+
+def simhash(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """Per-doc SimHash over word unigrams. Token hash = low `bits` bits
+    of the first 8 hex chars of md5(token); simhash bit j is set when
+    the sum over distinct tokens of (2*bit_j(hash) - 1) is positive.
+    Kept at 16 bits so the oracle-side arithmetic stays in exact int64
+    territory in any engine."""
+    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    th = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    bit_sums = F.array(
+        *[
+            F.aggregate(
+                th,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc + (F.shiftright(h, j) % 2) * 2 - 1,
+            )
+            for j in range(bits)
+        ]
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            bit_sums,
+            F.array(*[F.lit(1 << j).cast("long") for j in range(bits)]),
+            lambda s, w: F.when(s > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(F.col(id_col).alias("id"), sim.alias("simhash"))

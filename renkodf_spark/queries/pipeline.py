@@ -1,0 +1,330 @@
+"""Training-data pipeline queries (north-star extensions): dedup family,
+similarity search, text analysis, multimodal plumbing.
+
+The oracles are generated DuckDB SQL that replays the exact md5-based
+arithmetic of the Spark operators (see operators/dedup.py docstring for
+why md5 instead of engine-private hash functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from renkodf_spark.operators import dedup, multimodal, similarity, text
+from renkodf_spark.queries.registry import query
+from renkodf_spark.sources.tables import load_table
+
+NUM_HASHES = 16
+BAND_SIZE = 2
+SHINGLE_N = 3
+SIMHASH_BITS = 16
+
+
+def _docs(spark, sf_dir):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ------------------------------------------------------------------ dedup
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_dupes
+    FROM documents GROUP BY 1
+    """,
+    doc="exact dedup: content-hash groupBy, keeper = min id.",
+)
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+# shared oracle CTE: word-3-gram shingles per doc
+_SHINGLE_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1),
+                                      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS sh
+  FROM toks
+)
+"""
+
+_SIG_EXPRS = ",\n           ".join(
+    f"list_min(list_transform(sh, x -> md5(concat('{s}:', x)))) AS h{s}" for s in range(NUM_HASHES)
+)
+_BAND_STRUCTS = ", ".join(
+    f"struct_pack(band := {b}, key := concat_ws('|', h{b * BAND_SIZE}, h{b * BAND_SIZE + 1}))"
+    for b in range(NUM_HASHES // BAND_SIZE)
+)
+
+_MINHASH_ORACLE = f"""
+{_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id,
+           {_SIG_EXPRS}
+  FROM shingled
+),
+bands AS (
+  SELECT doc_id, unnest([{_BAND_STRUCTS}], recursive := true)
+  FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+WHERE a.doc_id < b.doc_id
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_MINHASH_ORACLE,
+    doc="MinHash (16 md5-lexmin perms) + LSH banding (8 bands x 2) candidate pairs.",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_hashes=NUM_HASHES, band_size=BAND_SIZE, shingle_n=SHINGLE_N
+    )
+
+
+_JACCARD_ORACLE = f"""
+{_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id,
+           {_SIG_EXPRS}
+  FROM shingled
+),
+bands AS (
+  SELECT doc_id, unnest([{_BAND_STRUCTS}], recursive := true)
+  FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b,
+       ROUND(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+             / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+FROM pairs p JOIN shingled sa ON sa.doc_id = p.id_a
+             JOIN shingled sb ON sb.doc_id = p.id_b
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_JACCARD_ORACLE,
+    doc="exact 3-gram Jaccard verification of the LSH candidate pairs.",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=NUM_HASHES, band_size=BAND_SIZE, shingle_n=SHINGLE_N)
+    return dedup.ngram_jaccard_pairs(docs, pairs, shingle_n=SHINGLE_N)
+
+
+_BITSUM = ",\n         ".join(
+    f"list_sum(list_transform(th, h -> ((h >> {j}) & 1) * 2 - 1)) AS s{j}"
+    for j in range(SIMHASH_BITS)
+)
+_SIMSUM = " + ".join(f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS))
+
+_SIMHASH_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS t FROM documents
+),
+hashed AS (
+  SELECT doc_id, list_transform(t, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS th FROM toks
+),
+bitsums AS (
+  SELECT doc_id,
+         {_BITSUM}
+  FROM hashed
+)
+SELECT doc_id AS id, ({_SIMSUM})::BIGINT AS simhash FROM bitsums
+"""
+
+
+@query(
+    "dedup_simhash",
+    oracle=_SIMHASH_ORACLE,
+    doc="16-bit SimHash over distinct word unigrams (md5-derived token hashes).",
+)
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir), bits=SIMHASH_BITS)
+
+
+# ------------------------------------------------------------------ similarity
+
+_COS = "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+
+_TOPK_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_COS} AS cos
+  FROM c, q WHERE neighbor_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cos_sim FROM ranked WHERE rank <= 5
+"""
+
+
+@query(
+    "similarity_cosine_topk",
+    oracle=_TOPK_ORACLE,
+    doc="brute-force cosine top-5 for query vectors vec_id < 5 (broadcast x corpus).",
+)
+def similarity_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+_BLOCKED_ORACLE = f"""
+WITH e AS (SELECT label AS block, vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.block, a.id AS id_a, b.id AS id_b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+FROM e a JOIN e b ON a.block = b.block AND a.id < b.id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) > 0.3
+"""
+
+
+@query(
+    "similarity_blocked_neardup",
+    oracle=_BLOCKED_ORACLE,
+    doc="embedding near-dup pairs (cos > 0.3; synthetic vectors are near-orthogonal) blocked by label (IVF-cell shape).",
+)
+def similarity_blocked_neardup(spark, sf_dir):
+    return similarity.label_blocked_pairs(_emb(spark, sf_dir), threshold=0.3)
+
+
+@query(
+    "similarity_lsh_ann_topk",
+    oracle=None,  # random-hyperplane bucketing is operator-defined; rows-only
+    doc="ANN top-5 within random-hyperplane LSH buckets (scale path; recall<1).",
+)
+def similarity_lsh_ann_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return similarity.lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+# ------------------------------------------------------------------ text
+
+def _count_word_sql(word: str) -> str:
+    needle = f" {word} "
+    return (
+        f"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', '{needle}', '')))"
+        f" / {len(needle)} AS BIGINT)"
+    )
+
+
+_LANG_SCORES = ",\n       ".join(
+    "(" + " + ".join(_count_word_sql(w) for w in words) + f") AS score_{lang}"
+    for lang, words in text.LANG_MARKERS.items()
+)
+_LANG_BEST = "GREATEST(" + ", ".join(f"score_{lang}" for lang in text.LANG_MARKERS) + ")"
+_LANG_CASE = (
+    "CASE WHEN " + _LANG_BEST + " <= 0 THEN 'und' "
+    + " ".join(
+        f"WHEN score_{lang} = {_LANG_BEST} THEN '{lang}'" for lang in sorted(text.LANG_MARKERS)
+    )
+    + " END"
+)
+
+_LANGID_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id,
+       {_LANG_SCORES}
+  FROM documents)
+SELECT doc_id, {", ".join(f"score_{lang}" for lang in text.LANG_MARKERS)},
+       {_LANG_CASE} AS pred_lang
+FROM scored
+"""
+
+
+@query("text_lang_id", oracle=_LANGID_ORACLE, doc="marker-word language ID heuristic.")
+def text_lang_id(spark, sf_dir):
+    return text.lang_id(_docs(spark, sf_dir))
+
+
+_STOP_SUM = " + ".join(_count_word_sql(w) for w in text.LANG_MARKERS["en"])
+
+_QUALITY_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars_m,
+         len(string_split_regex(trim(text), '\s+')) AS n_words,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+         ({_STOP_SUM}) AS stop
+  FROM documents)
+SELECT doc_id, n_chars_m, n_words,
+       ROUND((n_chars_m - n_words + 1) / n_words, 4) AS avg_word_len,
+       ROUND(punct / n_chars_m, 4) AS punct_ratio,
+       ROUND(stop / n_words, 4) AS stopword_ratio,
+       CASE WHEN n_words < 5 THEN 'too_short'
+            WHEN punct / n_chars_m > 0.1 THEN 'punct_heavy'
+            ELSE 'keep' END AS quality_bucket
+FROM base
+"""
+
+
+@query("text_quality", oracle=_QUALITY_ORACLE, doc="quality features + keep/flag bucket.")
+def text_quality(spark, sf_dir):
+    return text.quality_score(_docs(spark, sf_dir))
+
+
+_TOKEN_ORACLE = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1)) AS bpe_tokens
+FROM documents
+"""
+
+
+@query("text_token_counts", oracle=_TOKEN_ORACLE, doc="whitespace + BPE-ish token counting.")
+def text_token_counts(spark, sf_dir):
+    return text.token_counts(_docs(spark, sf_dir))
+
+
+_FP_ORACLE = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                               '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+@query("text_fingerprint", oracle=_FP_ORACLE, doc="normalized content fingerprint (md5).")
+def text_fingerprint(spark, sf_dir):
+    return text.fingerprint(_docs(spark, sf_dir))
+
+
+# ------------------------------------------------------------------ multimodal
+
+_MM_ORACLE = """
+SELECT doc_id AS media_id, 'image/fake' AS media_type,
+       octet_length(encode(text)) AS n_bytes, md5(text) AS digest,
+       ('0x' || substr(md5(text), 1, 2))::BIGINT + 1 AS width,
+       ('0x' || substr(md5(text), 3, 2))::BIGINT + 1 AS height
+FROM documents
+"""
+
+
+@query(
+    "multimodal_image_meta",
+    oracle=_MM_ORACLE,
+    doc="binary media plumbing: mapInPandas metadata extraction (decode stubbed, SURVEY north star).",
+)
+def multimodal_image_meta(spark, sf_dir):
+    media = multimodal.documents_as_media(_docs(spark, sf_dir))
+    return multimodal.decode_image_meta(media)

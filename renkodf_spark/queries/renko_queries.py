@@ -1,0 +1,64 @@
+"""Renko operator queries (SURVEY.md §2 Part A). The brick recurrence is
+a non-associative stateful fold — not expressible in ANSI SQL without
+engine-specific lambda folds — so these entries ship without an
+`oracle_sql` (the driver records rows-only checks). The hard correctness
+evidence lives in tests/test_vs_reference.py: bit-exact differential
+equality against the reference implementation across all 7 modes,
+streaming replay, warm start, and forming bars.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from renkodf_spark.operators.renko import renko, renko_df, to_rws
+from renkodf_spark.queries.registry import query
+from renkodf_spark.sources.tables import ticks_from_events
+
+BRICK = 5.0
+
+
+def _wide(spark, sf_dir):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return renko(ticks_from_events(spark, sf_dir), BRICK)
+
+
+def _mode_query(mode: str):
+    def build(spark, sf_dir):
+        return renko_df(_wide(spark, sf_dir), mode)
+
+    build.__name__ = f"renko_{mode.replace('-', '_')}"
+    return build
+
+
+for _mode in ("normal", "wicks", "nongap", "reverse-wicks", "reverse-nongap", "fake-r-wicks", "fake-r-nongap"):
+    query(
+        f"renko_{_mode.replace('-', '_')}",
+        oracle=None,
+        doc=f"Renko '{_mode}' mode projection over the events tick stream (O-5, O-9).",
+    )(_mode_query(_mode))
+
+
+@query(
+    "renko_summary_stats",
+    oracle=None,
+    doc="aggregate sanity surface over the wide brick table (brick counts, reversal rate).",
+)
+def renko_summary_stats(spark, sf_dir):
+    wide = _wide(spark, sf_dir)
+    return wide.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_bricks"),
+        F.sum("is_reversal").alias("n_reversals"),
+        F.sum("volume").alias("ticks_attributed"),
+        F.round(F.min("low"), 4).alias("min_low"),
+        F.round(F.max("high"), 4).alias("max_high"),
+    )
+
+
+@query(
+    "renko_state_export",
+    oracle=None,
+    doc="to_rws warm-start export, last 10 bricks per symbol (O-11).",
+)
+def renko_state_export(spark, sf_dir):
+    return to_rws(_wide(spark, sf_dir), BRICK, use_iloc=-10)

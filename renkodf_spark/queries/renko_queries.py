@@ -39,6 +39,41 @@ for _mode in ("normal", "wicks", "nongap", "reverse-wicks", "reverse-nongap", "f
     )(_mode_query(_mode))
 
 
+_TICKS_SQL = "SELECT event_type AS symbol, ts, value AS close FROM events"
+_ORACLE_BRICK = 20.0  # exactly representable: every brick close is exact, so
+# the SQL fold's algebraic close formula is bit-equal to the kernel (see
+# renko_oracle.py docstring)
+
+from renkodf_spark.queries.renko_oracle import build_renko_oracle_sql  # noqa: E402
+
+
+@query(
+    "renko_wide_bricks",
+    oracle=build_renko_oracle_sql(_ORACLE_BRICK, _TICKS_SQL),
+    doc="THE core operator (O-5..O-8): full 19-column wide brick table, "
+    "hash-matched against a DuckDB list_reduce lambda-fold replay of the "
+    "recurrence (brick=20).",
+)
+def renko_wide_bricks(spark, sf_dir):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return renko(ticks_from_events(spark, sf_dir), _ORACLE_BRICK)
+
+
+@query(
+    "renko_wicks_projected",
+    oracle=f"""
+    WITH wide AS ({build_renko_oracle_sql(_ORACLE_BRICK, _TICKS_SQL)})
+    SELECT symbol, brick_seq, event_time, open, high, low, close, volume,
+           direction, is_reversal, tick_index_open, tick_index_close
+    FROM wide
+    """,
+    doc="mode projection path (O-9) over the oracle-checked wide table.",
+)
+def renko_wicks_projected(spark, sf_dir):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return renko_df(renko(ticks_from_events(spark, sf_dir), _ORACLE_BRICK), "wicks")
+
+
 @query(
     "renko_summary_stats",
     oracle=None,

@@ -35,23 +35,38 @@ HEADLINE = [
 ]
 
 
-def kernel_throughput() -> float:
-    """Single-core kernel ticks/sec on a 2M-tick synthetic replay
-    (comparable to reference test/perf_backtest.py)."""
+def kernel_throughput() -> dict:
+    """Single-core kernel ticks/sec on 2M-tick synthetic replays
+    (comparable to reference test/perf_backtest.py, which runs real FX
+    ticks: sparse emissions — its EURGBP set emits 1 brick per ~1400
+    ticks at ~1.5 M ticks/s/core). Reports both the sparse (dispatcher
+    picks the vectorized skip-scan) and dense (scalar loop) regimes."""
     import numpy as np
 
-    from renkodf_spark.kernel import new_output, new_state, scan_ticks
+    from renkodf_spark.kernel import (
+        choose_scan,
+        new_output,
+        new_state,
+        scan_ticks,
+        scan_ticks_vectorized,
+    )
 
     rng = np.random.default_rng(42)
     n = 2_000_000
-    prices = (100.0 + np.cumsum(rng.normal(0, 0.3, n))).tolist()
-    times = list(range(n))
-    state = new_state(prices[0], 1.0)
-    out = new_output()
-    t0 = time.perf_counter()
-    scan_ticks(times, prices, 1, 1.0, state, out)
-    dt = time.perf_counter() - t0
-    return n / dt
+    results = {}
+    for label, sigma, brick in [("sparse", 0.000005, 0.0003), ("dense", 0.3, 1.0)]:
+        base = 0.86 if brick < 1 else 100.0
+        prices = base + np.cumsum(rng.normal(0, sigma, n))
+        times = np.arange(n)
+        state = new_state(float(prices[0]), brick)
+        out = new_output()
+        t0 = time.perf_counter()
+        if choose_scan(prices, brick):
+            scan_ticks_vectorized(times, prices, 1, brick, state, out)
+        else:
+            scan_ticks(times, prices.tolist(), 1, brick, state, out)
+        results[label] = n / (time.perf_counter() - t0)
+    return results
 
 
 def main():
@@ -81,10 +96,14 @@ def main():
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     tput = kernel_throughput()
-    timings["kernel_mticks_per_sec"] = round(tput / 1e6, 3)
-    print(f"# kernel throughput: {tput/1e6:.2f} M ticks/s/core", file=sys.stderr)
+    timings["kernel_mticks_per_sec_sparse"] = round(tput["sparse"] / 1e6, 3)
+    timings["kernel_mticks_per_sec_dense"] = round(tput["dense"] / 1e6, 3)
+    print(
+        f"# kernel throughput: sparse {tput['sparse']/1e6:.2f} / dense {tput['dense']/1e6:.2f} M ticks/s/core",
+        file=sys.stderr,
+    )
 
-    total = round(sum(v for k, v in timings.items() if k != "kernel_mticks_per_sec"), 3)
+    total = round(sum(v for k, v in timings.items() if not k.startswith("kernel_mticks")), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(

@@ -23,7 +23,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from renkodf_spark.kernel import WIDE_VALUE_COLUMNS, new_output, new_state, scan_ticks
+from renkodf_spark.kernel import (
+    WIDE_VALUE_COLUMNS,
+    choose_scan,
+    new_output,
+    new_state,
+    scan_ticks,
+    scan_ticks_vectorized,
+)
 from renkodf_spark.schema import (
     MODE_SOURCES,
     MODES,
@@ -50,11 +57,15 @@ def renko_pandas(
     by unit tests.
     """
     times = pdf[time_col].to_numpy()
-    prices = pdf[price_col].to_numpy().tolist()  # python floats: fastest loop
+    prices_np = pdf[price_col].to_numpy()
     out = new_output()
-    if len(prices) > 0:
-        state = new_state(prices[0], brick_size)
-        scan_ticks(times, prices, 1, brick_size, state, out)
+    if len(prices_np) > 0:
+        state = new_state(float(prices_np[0]), brick_size)
+        if choose_scan(prices_np, brick_size):
+            scan_ticks_vectorized(times, prices_np, 1, brick_size, state, out)
+        else:
+            # python-list indexing is ~2x faster than numpy scalar access
+            scan_ticks(times, prices_np.tolist(), 1, brick_size, state, out)
 
     event_time = np.asarray(out["event_time"], dtype=times.dtype if len(times) else "datetime64[us]")
     wide = {"event_time": event_time}

@@ -1,0 +1,86 @@
+"""Physical-plan hygiene: these tests pin the properties that make the
+engine scale — filter pushdown into parquet scans, column pruning,
+broadcast joins for dimensions, map-side partial aggregation, and no
+Python UDFs outside the Renko kernel boundary."""
+
+import renkodf_spark.queries as q
+from renkodf_spark.sources.tables import load_table
+
+
+def _executed(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df):
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = _executed(li.filter("l_shipdate <= timestamp'1998-09-02'").select("l_quantity"))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reaches_parquet(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = _executed(li.select("l_quantity", "l_discount"))
+    assert "ReadSchema: struct<l_quantity:double,l_discount:double>" in plan
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    plan = _executed(q.queries()["q5_region_revenue"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+    assert "CartesianProduct" not in plan
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    plan = _executed(q.queries()["q1_pricing_summary"](spark, sf_dir))
+    # map-side combine: HashAggregate(partial) before the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan or "partial" in plan.lower()
+
+
+def test_renko_mode_projection_prunes_variants(spark, sf_dir):
+    from renkodf_spark.operators.renko import renko, renko_df
+    from renkodf_spark.sources.tables import ticks_from_events
+
+    bars = renko_df(renko(ticks_from_events(spark, sf_dir), 5.0), "wicks", utils_columns=False)
+    opt = _optimized(bars)
+    # the projection above the kernel keeps only the wicks columns
+    head = opt.split("FlatMapGroupsInPandas")[0]
+    assert "fake_high" not in head and "reverse_low" not in head
+
+
+def test_renko_scan_prunes_tick_columns(spark, sf_dir):
+    """Only (symbol, time, price) may reach the shuffle before the
+    kernel — other event columns must be pruned at the scan."""
+    from renkodf_spark.operators.renko import renko
+    from renkodf_spark.sources.tables import ticks_from_events
+
+    wide = renko(ticks_from_events(spark, sf_dir), 5.0)
+    plan = _executed(wide)
+    assert "props" not in plan and "user_id" not in plan
+
+
+def test_no_python_udf_in_relational_queries(spark, sf_dir):
+    """Part-B queries must stay JVM-side (whole-stage codegen), no
+    BatchEvalPython / ArrowEvalPython nodes."""
+    for name in [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "running_order_total",
+        "dedup_minhash_lsh",
+        "text_quality",
+        "similarity_cosine_topk",
+        "asof_purchase_before_click",
+    ]:
+        plan = _executed(q.queries()[name](spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name
+
+
+def test_asof_join_is_single_shuffle_window(spark, sf_dir):
+    plan = _executed(q.queries()["asof_purchase_before_click"](spark, sf_dir))
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    # no join node at all: the as-of is a union + window
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

@@ -1,0 +1,65 @@
+"""compat.Renko / compat.RenkoWS must be drop-in equal to the reference
+package on its own calling conventions; df_equal/diff_report (O-22)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from renkodf_spark.compat import Renko, RenkoWS
+from renkodf_spark.schema import MODES
+from tests.test_vs_reference import make_ticks
+
+
+@pytest.mark.parametrize("mode", ["wicks", "normal", "fake-r-nongap"])
+def test_compat_renko_equals_reference(reference_renko, mode):
+    ticks = make_ticks(9, n=3000)
+    ref = reference_renko.Renko(ticks.copy(), 1.0, divide_by=1).renko_df(mode)
+    ours = Renko(ticks.copy(), 1.0).renko_df(mode)
+    assert list(ours.columns) == list(ref.columns)
+    np.testing.assert_array_equal(ours.index.to_numpy(), ref.index.to_numpy())
+    for c in ref.columns:
+        np.testing.assert_array_equal(ours[c].to_numpy(), ref[c].to_numpy(), err_msg=c)
+
+
+def test_compat_to_rws_roundtrip(reference_renko):
+    ticks = make_ticks(10, n=2000)
+    ref_export = reference_renko.Renko(ticks.copy(), 1.0, divide_by=1).to_rws(use_iloc=-7)
+    ours_export = Renko(ticks.copy(), 1.0).to_rws(use_iloc=-7)
+    assert list(ours_export.columns) == list(ref_export.columns)
+    for c in ref_export.columns:
+        np.testing.assert_array_equal(ours_export[c].to_numpy(), ref_export[c].to_numpy(), err_msg=c)
+
+    # and both warm-start identically
+    ws_ref = reference_renko.RenkoWS(external_df=ref_export.copy(), ts_unit="ns")
+    ws_ours = RenkoWS(external_df=ours_export.copy(), ts_unit="ns")
+    t0 = int(ticks.index.asi8[-1])
+    for k, p in enumerate([101.0, 103.5, 99.2]):
+        ws_ref.add_prices(t0 + k, p)
+        ws_ours.add_prices(t0 + k, p)
+    a, b = ws_ref.renko_df(), ws_ours.renko_df()
+    for c in a.columns:
+        np.testing.assert_array_equal(b[c].to_numpy(), a[c].to_numpy(), err_msg=c)
+
+
+def test_compat_validation_errors():
+    with pytest.raises(ValueError):
+        Renko(pd.DataFrame({"close": [1.0]}), 0)
+    with pytest.raises(ValueError):
+        Renko(pd.DataFrame({"close": [1.0]}), 1.0, divide_by=0)
+    with pytest.raises(ValueError):
+        Renko(pd.DataFrame({"x": [1.0]}), 1.0)
+    with pytest.raises(ValueError):
+        Renko(pd.DataFrame({"close": [1.0]}), 1.0).renko_df("bogus")
+
+
+def test_df_equal_and_diff_report(spark):
+    from renkodf_spark.functions import df_equal, diff_report
+
+    a = spark.createDataFrame(pd.DataFrame({"k": [1, 2, 3], "v": [1.0, 2.0, 3.0]}))
+    b = spark.createDataFrame(pd.DataFrame({"k": [3, 1, 2], "v": [3.0, 1.0, 2.0]}))
+    assert df_equal(a, b)
+    c = spark.createDataFrame(pd.DataFrame({"k": [1, 2, 3], "v": [1.0, 2.4, 3.0]}))
+    assert not df_equal(a, c)
+    assert df_equal(a, c, round_digits=0)
+    d = diff_report(a, c, ["k"]).toPandas()
+    assert d["k"].tolist() == [2] and d["v_a"].iloc[0] == 2.0 and d["v_b"].iloc[0] == 2.4

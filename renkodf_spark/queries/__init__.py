@@ -7,5 +7,6 @@ Importing this package populates the registry.
 
 from renkodf_spark.queries.registry import REGISTRY, oracle_sql, queries  # noqa: F401
 from renkodf_spark.queries import relational  # noqa: F401
+from renkodf_spark.queries import relational2  # noqa: F401
 from renkodf_spark.queries import renko_queries  # noqa: F401
 from renkodf_spark.queries import pipeline  # noqa: F401

@@ -1,0 +1,184 @@
+"""Relational surface, second tranche: scalar/correlated subqueries,
+UNION ALL, explode, unpivot (stack), struct-max (deterministic argmax),
+bounded window frames, regexp_replace, first/last values."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from renkodf_spark.queries.registry import query
+from renkodf_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "orders_near_max",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > 0.9 * (SELECT MAX(o_totalprice) FROM orders)
+    """,
+    doc="scalar subquery (max is exact, no FP-boundary flakiness).",
+)
+def orders_near_max(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__orders_sq")
+    return spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM __orders_sq "
+        "WHERE o_totalprice > 0.9 * (SELECT MAX(o_totalprice) FROM __orders_sq)"
+    )
+
+
+@query(
+    "suppliers_shipping_late",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_suppkey = s_suppkey AND l_shipdate >= TIMESTAMP '2001-01-01')
+    """,
+    doc="correlated EXISTS subquery.",
+)
+def suppliers_shipping_late(spark, sf_dir):
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    supp.createOrReplaceTempView("__supp_ex")
+    li.createOrReplaceTempView("__li_ex")
+    return spark.sql(
+        "SELECT s_suppkey, s_name FROM __supp_ex WHERE EXISTS ("
+        "SELECT 1 FROM __li_ex WHERE l_suppkey = s_suppkey "
+        "AND l_shipdate >= TIMESTAMP '2001-01-01')"
+    )
+
+
+@query(
+    "union_all_actors",
+    oracle="""
+    SELECT actor, COUNT(*) AS n FROM (
+      SELECT user_id AS actor FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+    ) GROUP BY actor
+    """,
+    doc="UNION ALL + re-aggregation.",
+)
+def union_all_actors(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(F.col("user_id").alias("actor"))
+    buys = ev.filter(F.col("event_type") == "purchase").select(F.col("user_id").alias("actor"))
+    return clicks.unionAll(buys).groupBy("actor").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "top_words",
+    oracle=r"""
+    SELECT word, COUNT(*) AS n FROM (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
+    GROUP BY word ORDER BY n DESC, word LIMIT 20
+    """,
+    doc="explode(split) + count + deterministic top-k.",
+)
+def top_words(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@query(
+    "unpivot_order_flags",
+    oracle="""
+    WITH agg AS (
+      SELECT o_orderpriority,
+             COUNT(*) FILTER (o_orderstatus = 'F') AS f_cnt,
+             COUNT(*) FILTER (o_orderstatus = 'O') AS o_cnt,
+             COUNT(*) FILTER (o_orderstatus = 'P') AS p_cnt
+      FROM orders GROUP BY 1)
+    SELECT o_orderpriority, 'F' AS status, f_cnt AS n FROM agg
+    UNION ALL SELECT o_orderpriority, 'O', o_cnt FROM agg
+    UNION ALL SELECT o_orderpriority, 'P', p_cnt FROM agg
+    """,
+    doc="unpivot via stack() (oracle: UNION ALL).",
+)
+def unpivot_order_flags(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+    )
+    return wide.selectExpr(
+        "o_orderpriority",
+        "stack(3, 'F', F, 'O', O, 'P', P) AS (status, n)",
+    )
+
+
+@query(
+    "largest_order_per_customer",
+    oracle="""
+    SELECT o_custkey,
+           (MAX(struct_pack(p := o_totalprice, k := o_orderkey))).k AS top_orderkey,
+           (MAX(struct_pack(p := o_totalprice, k := o_orderkey))).p AS top_price
+    FROM orders GROUP BY o_custkey
+    """,
+    doc="deterministic argmax via struct max (ties break on orderkey).",
+)
+def largest_order_per_customer(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    s = F.max(F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")))
+    return orders.groupBy("o_custkey").agg(
+        s.getField("k").alias("top_orderkey"), s.getField("p").alias("top_price")
+    )
+
+
+@query(
+    "rolling_3_order_avg",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           AVG(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS avg3_cents,
+           FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey) AS first_order
+    FROM orders
+    """,
+    doc="bounded ROWS frame + first_value. Frame aggregates run in integer "
+    "cents: windowed float sums are association-order-dependent (DuckDB "
+    "uses segment trees) so cross-engine float frames cannot hash-match.",
+)
+def rolling_3_order_avg(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.avg(cents).over(w.rowsBetween(-2, 0)).alias("avg3_cents"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+    )
+
+
+@query(
+    "part_name_normalized",
+    oracle="""
+    SELECT regexp_replace(lower(p_name), '[aeiou]', '', 'g') AS consonants, COUNT(*) AS n
+    FROM part GROUP BY 1
+    """,
+    doc="regexp_replace (global) + agg.",
+)
+def part_name_normalized(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.groupBy(
+            F.regexp_replace(F.lower(F.col("p_name")), "[aeiou]", "").alias("consonants")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,70 @@
+"""Property-based differential testing (hypothesis): for arbitrary
+price paths — including grid-exact prices, multi-brick gaps, and
+immediate reversals — the kernel must equal the reference bit-for-bit,
+and the incremental replay must equal the batch run on every wide
+column (the reference's own equivalence contract)."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import assume, given, settings
+from hypothesis import strategies as st
+
+from renkodf_spark.kernel import WIDE_VALUE_COLUMNS, new_output, new_state, scan_ticks
+from renkodf_spark.operators.renko import renko_pandas
+
+price_moves = st.lists(
+    st.one_of(
+        st.floats(min_value=-0.9, max_value=0.9, allow_nan=False),  # sub-brick noise
+        st.sampled_from([1.0, -1.0, 2.5, -2.5, 7.0, -7.0, 0.0]),    # grid-exact + gaps
+    ),
+    min_size=2,
+    max_size=300,
+)
+
+
+def _frame(moves):
+    prices = 100.0 + np.cumsum(np.asarray(moves, dtype=np.float64))
+    times = pd.date_range("2024-01-01", periods=len(prices), freq="1s").astype("datetime64[us]")
+    return pd.DataFrame({"datetime": times, "close": prices}, index=times)
+
+
+@settings(max_examples=40, deadline=None)
+@given(price_moves)
+def test_kernel_matches_reference(reference_renko, moves):
+    ticks = _frame(moves)
+    try:
+        ref = reference_renko.Renko(ticks.copy(), 1.0, divide_by=1)
+        ref_wicks = ref.renko_df("wicks")
+    except IndexError:
+        # the reference's own defects (characterized, deliberately not
+        # inherited): array overflow when bricks > ticks/divide_by
+        # (SURVEY O-6) and label-drop on an empty brick table. Our
+        # engine handles these; covered by test_kernel_golden.
+        assume(False)
+        return
+    ours = renko_pandas(ticks.rename(columns={"datetime": "event_time"}), 1.0)
+    assert len(ours) == len(ref_wicks)
+    for col in ["open", "high", "low", "close", "volume", "direction", "is_reversal"]:
+        np.testing.assert_array_equal(ours[col].to_numpy(), ref_wicks[col].to_numpy(), err_msg=col)
+
+
+@settings(max_examples=40, deadline=None)
+@given(price_moves)
+def test_incremental_equals_batch(moves):
+    """Replaying tick-by-tick through the kernel (streaming path) equals
+    one batch scan — for every wide column including mode variants."""
+    prices = (100.0 + np.cumsum(np.asarray(moves, dtype=np.float64))).tolist()
+    times = list(range(len(prices)))
+
+    batch_state = new_state(prices[0], 1.0)
+    batch_out = new_output()
+    scan_ticks(times, prices, 1, 1.0, batch_state, batch_out)
+
+    inc_state = new_state(prices[0], 1.0)
+    inc_out = new_output()
+    for i in range(1, len(prices)):
+        scan_ticks(times, prices, i, 1.0, inc_state, inc_out, stop=i + 1)
+
+    assert batch_state == inc_state
+    for col in ("event_time", *WIDE_VALUE_COLUMNS):
+        assert list(batch_out[col]) == list(inc_out[col]), col

@@ -74,13 +74,40 @@ def new_state(first_price: float, brick: float) -> list:
     return [anchor, 0, anchor, anchor, 1, 1]
 
 
+_INT_VALUE_COLUMNS = frozenset(
+    ("volume", "direction", "is_reversal", "tick_index_open", "tick_index_close")
+)
+
+
 def new_output() -> dict:
     """Growable column buffers for emitted bricks ('event_time' + wide
-    value columns)."""
+    value columns). Numeric columns use array-module buffers: appends
+    cost the same as list appends but `output_arrays` converts them to
+    numpy zero-copy (list->ndarray conversion dominated the operator
+    cost before: ~30ms per 174k-row column x 18 columns)."""
+    from array import array
+
     out = {"event_time": []}
     for name in WIDE_VALUE_COLUMNS:
-        out[name] = []
+        out[name] = array("q") if name in _INT_VALUE_COLUMNS else array("d")
     return out
+
+
+def output_arrays(out: dict) -> dict:
+    """Zero-copy numpy views over the output buffers (event_time stays
+    a list: batch callers rebuild it from tick_index_close, streaming
+    callers pass int64 epochs)."""
+    import numpy as np
+
+    res = {"event_time": out["event_time"]}
+    for name in WIDE_VALUE_COLUMNS:
+        buf = out[name]
+        res[name] = (
+            np.frombuffer(buf, dtype=np.int64 if buf.typecode == "q" else np.float64)
+            if len(buf)
+            else np.empty(0, dtype=np.int64 if buf.typecode == "q" else np.float64)
+        )
+    return res
 
 
 def seed_row(timestamp, anchor: float) -> dict:

@@ -28,6 +28,7 @@ from renkodf_spark.kernel import (
     choose_scan,
     new_output,
     new_state,
+    output_arrays,
     scan_ticks,
     scan_ticks_vectorized,
 )
@@ -67,11 +68,17 @@ def renko_pandas(
             # python-list indexing is ~2x faster than numpy scalar access
             scan_ticks(times, prices_np.tolist(), 1, brick_size, state, out)
 
-    event_time = np.asarray(out["event_time"], dtype=times.dtype if len(times) else "datetime64[us]")
+    arrs = output_arrays(out)
+    # a brick's close time is its closing tick's timestamp: fancy-index
+    # the tick array instead of converting boxed datetime scalars
+    event_time = (
+        times[arrs["tick_index_close"]]
+        if len(times)
+        else np.empty(0, dtype="datetime64[us]")
+    )
     wide = {"event_time": event_time}
     for name in WIDE_VALUE_COLUMNS:
-        dtype = np.int64 if name in ("volume", "direction", "is_reversal", "tick_index_open", "tick_index_close") else np.float64
-        wide[name] = np.asarray(out[name], dtype=dtype)
+        wide[name] = arrs[name]
     res = pd.DataFrame(wide)
 
     if drop_first and len(res):

@@ -32,6 +32,7 @@ from renkodf_spark.kernel import (
     choose_scan,
     grid_anchor,
     new_output,
+    output_arrays,
     scan_ticks,
     scan_ticks_vectorized,
 )
@@ -113,10 +114,15 @@ def renko_chunked(
             else:
                 scan_ticks(times, prices.tolist(), start, brick_size, kstate, out)
 
-            res = {"event_time": np.asarray(out["event_time"], dtype="datetime64[us]")}
+            arrs = output_arrays(out)
+            # close time = closing tick's timestamp (indexes still local here)
+            res = {
+                "event_time": times[arrs["tick_index_close"]].astype("datetime64[us]")
+                if len(times)
+                else np.empty(0, dtype="datetime64[us]")
+            }
             for name in WIDE_VALUE_COLUMNS:
-                dt = np.int64 if name in _INT_COLS else np.float64
-                res[name] = np.asarray(out[name], dtype=dt)
+                res[name] = arrs[name]
             res = pd.DataFrame(res)
             if offset:
                 res["tick_index_open"] += offset

@@ -30,7 +30,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from renkodf_spark.kernel import grid_anchor, new_output, scan_ticks, seed_row
+from renkodf_spark.kernel import grid_anchor, new_output, output_arrays, scan_ticks, seed_row
 from renkodf_spark.schema import STREAM_SCHEMA
 
 _STATE_SCHEMA = (
@@ -120,13 +120,14 @@ def renko_stream(
 
         if n == 0 and not rows_head:
             return
+        arrs = output_arrays(out)
         frame = {
             "symbol": symbol,
             "brick_seq": range(seq, seq + n),
             "event_time": out["event_time"],
         }
         for c in _VALUE_COLUMNS:
-            frame[c] = out[c]
+            frame[c] = arrs[c]
         res = pd.DataFrame(frame)
         if rows_head:
             head = pd.DataFrame(

@@ -675,6 +675,27 @@ def tumbling_event_windows(spark, sf_dir):
 
 
 @query(
+    "sliding_event_windows",
+    oracle="""
+    SELECT make_timestamp((epoch_us(ts) // 10800000000) * 10800000000 - off) AS window_start,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events, (SELECT unnest([0, 10800000000]) AS off)
+    WHERE epoch_us(ts) - ((epoch_us(ts) // 10800000000) * 10800000000 - off) < 21600000000
+    GROUP BY 1
+    """,
+    doc="6h windows sliding every 3h: each event lands in 2 windows "
+    "(oracle: per-slide bucket + containment filter).",
+)
+def sliding_event_windows(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("window_start"), "n", "total")
+    )
+
+
+@query(
     "session_window_events",
     oracle="""
     WITH flagged AS (

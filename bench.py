@@ -70,18 +70,9 @@ def kernel_throughput() -> dict:
 
 
 def main():
-    from pyspark.sql import SparkSession
+    from renkodf_spark.session import build_session
 
-    spark = (
-        SparkSession.builder.master(f"local[{CPUS}]")
-        .appName("renkodf-spark-bench")
-        .config("spark.sql.shuffle.partitions", CPUS)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "24g")
-        .getOrCreate()
-    )
+    spark = build_session("renkodf-spark-bench", cores=int(CPUS), driver_memory="24g")
     spark.sparkContext.setLogLevel("ERROR")
 
     import renkodf_spark.queries as q

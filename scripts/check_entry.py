@@ -74,17 +74,9 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 def main():
     only = set(sys.argv[1:])
-    from pyspark.sql import SparkSession
+    from renkodf_spark.session import build_session
 
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .appName("check-entry")
-        .config("spark.sql.shuffle.partitions", "16")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "8g")
-        .getOrCreate()
-    )
+    spark = build_session("check-entry", cores=8, shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()

@@ -20,6 +20,7 @@ def spark():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
+        .config("spark.sql.warehouse.dir", "/tmp/renkodf-spark-test-warehouse")
         .getOrCreate()
     )
     yield s

@@ -58,18 +58,25 @@ def kernel_throughput() -> dict:
         base = 0.86 if brick < 1 else 100.0
         prices = base + np.cumsum(rng.normal(0, sigma, n))
         times = np.arange(n)
-        state = new_state(float(prices[0]), brick)
-        out = new_output()
-        t0 = time.perf_counter()
-        if choose_scan(prices, brick):
-            scan_ticks_vectorized(times, prices, 1, brick, state, out)
-        else:
-            scan_ticks(times, prices.tolist(), 1, brick, state, out)
-        results[label] = n / (time.perf_counter() - t0)
+        best = 0.0
+        for _ in range(3):  # best-of-3: the box is co-tenant, medians lie low
+            state = new_state(float(prices[0]), brick)
+            out = new_output()
+            t0 = time.perf_counter()
+            if choose_scan(prices, brick):
+                scan_ticks_vectorized(times, prices, 1, brick, state, out)
+            else:
+                scan_ticks(times, prices.tolist(), 1, brick, state, out)
+            best = max(best, n / (time.perf_counter() - t0))
+        results[label] = best
     return results
 
 
 def main():
+    # single-core kernel throughput first, before the Spark JVM spins up
+    # 32 executor threads that perturb the measurement
+    tput = kernel_throughput()
+
     from renkodf_spark.session import build_session
 
     spark = build_session("renkodf-spark-bench", cores=int(CPUS), driver_memory="24g")
@@ -86,7 +93,6 @@ def main():
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
-    tput = kernel_throughput()
     timings["kernel_mticks_per_sec_sparse"] = round(tput["sparse"] / 1e6, 3)
     timings["kernel_mticks_per_sec_dense"] = round(tput["dense"] / 1e6, 3)
     print(

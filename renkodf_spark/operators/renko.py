@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from renkodf_spark.kernel import (
     WIDE_VALUE_COLUMNS,
@@ -96,6 +97,7 @@ def renko(
     time_col: str = "event_time",
     price_col: str = "close",
     drop_first: bool = True,
+    value_columns: tuple | None = None,
 ) -> DataFrame:
     """Compress a tick DataFrame into the wide Renko brick table.
 
@@ -104,9 +106,11 @@ def renko(
     call. At 100 TB the parallel axis is symbols (x days via the
     warm-start splitter); there is no other shuffle in the plan.
 
-    Column pruning happens before the shuffle: only
-    (symbol, time, price) travel.
-    """
+    Column pruning happens on both sides of the kernel: only
+    (symbol, time, price) travel in, and `value_columns` trims what
+    travels out (Catalyst cannot prune through a grouped-map UDF's
+    output schema, so callers that want one mode pass just its columns
+    — `renko_mode` does this automatically)."""
     if brick_size is None or brick_size <= 0:
         raise ValueError("brick_size cannot be 'None' or '<= 0'")
     if price_col not in ticks.columns:
@@ -116,6 +120,17 @@ def renko(
         ticks = ticks.withColumn(symbol_col, F.lit("0"))
     if time_col not in ticks.columns:
         raise ValueError(f"Column '{time_col}' doesn't exist!")
+
+    if value_columns is None:
+        out_schema = WIDE_SCHEMA
+        out_columns = list(WIDE_COLUMN_NAMES)
+    else:
+        unknown = set(value_columns) - set(WIDE_VALUE_COLUMNS)
+        if unknown:
+            raise ValueError(f"unknown wide columns: {sorted(unknown)}")
+        keep = {"symbol", "brick_seq", "event_time", *value_columns}
+        out_schema = T.StructType([f for f in WIDE_SCHEMA.fields if f.name in keep])
+        out_columns = [f.name for f in out_schema.fields]
 
     # Deterministic intra-timestamp order: capture input order before the
     # shuffle so equal-timestamp ticks replay in file order.
@@ -135,9 +150,9 @@ def renko(
         )
         res.insert(0, "brick_seq", np.arange(len(res), dtype=np.int64))
         res.insert(0, "symbol", pdf["symbol"].iloc[0] if len(pdf) else "")
-        return res[list(WIDE_COLUMN_NAMES)]
+        return res[out_columns]
 
-    return slim.groupBy("symbol").applyInPandas(run, WIDE_SCHEMA)
+    return slim.groupBy("symbol").applyInPandas(run, out_schema)
 
 
 def renko_df(
@@ -166,6 +181,27 @@ def renko_df(
     if utils_columns:
         cols += [F.col(u) for u in utils if u in wide.columns]
     return wide.select(*cols)
+
+
+def renko_mode(
+    ticks: DataFrame,
+    brick_size: float,
+    mode: str = "wicks",
+    utils_columns: bool = True,
+    **renko_kwargs,
+) -> DataFrame:
+    """End-to-end single-mode Renko with pushdown: only the mode's
+    variant columns cross the kernel's Arrow boundary (a grouped-map
+    UDF's output schema is opaque to Catalyst's column pruning, so the
+    pruning is explicit here)."""
+    if mode not in MODES:
+        raise ValueError(f"Only {list(MODES)} options are valid.")
+    open_src, high_src, low_src = MODE_SOURCES[mode]
+    needed = {open_src, high_src, low_src, "close", "volume"}
+    if utils_columns:
+        needed |= set(UTILS_COLUMNS)
+    wide = renko(ticks, brick_size, value_columns=tuple(needed), **renko_kwargs)
+    return renko_df(wide, mode, utils_columns)
 
 
 def to_rws(wide: DataFrame, brick_size: float, use_iloc: int | None = None) -> DataFrame:

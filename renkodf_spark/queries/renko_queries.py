@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from renkodf_spark.operators.renko import renko, renko_df, to_rws
+from renkodf_spark.operators.renko import renko, renko_df, renko_mode, to_rws
 from renkodf_spark.queries.registry import query
 from renkodf_spark.sources.tables import ticks_from_events
 
@@ -25,7 +25,9 @@ def _wide(spark, sf_dir):
 
 def _mode_query(mode: str):
     def build(spark, sf_dir):
-        return renko_df(_wide(spark, sf_dir), mode)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # single-mode path: variant columns pruned at the kernel boundary
+        return renko_mode(ticks_from_events(spark, sf_dir), BRICK, mode)
 
     build.__name__ = f"renko_{mode.replace('-', '_')}"
     return build

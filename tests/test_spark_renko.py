@@ -68,3 +68,18 @@ def test_plan_prunes_unused_variants(spark):
     wide = renko(spark.createDataFrame(pdf), 1.0)
     plan = renko_df(wide, "wicks", utils_columns=False)._jdf.queryExecution().optimizedPlan().toString()
     assert "fake_high" not in plan.split("FlatMapGroupsInPandas")[0]
+
+
+def test_renko_mode_pushdown_matches_full_projection(spark):
+    from renkodf_spark.operators.renko import renko_mode
+
+    pdf = _multi_symbol_ticks()
+    ticks = spark.createDataFrame(pdf)
+    full = renko_df(renko(ticks, 1.0), "fake-r-nongap").orderBy("symbol", "brick_seq").toPandas()
+    pushed = renko_mode(ticks, 1.0, "fake-r-nongap").orderBy("symbol", "brick_seq").toPandas()
+    assert list(full.columns) == list(pushed.columns)
+    for col in full.columns:
+        np.testing.assert_array_equal(full[col].to_numpy(), pushed[col].to_numpy(), err_msg=col)
+    # and the pruned schema really is smaller at the kernel boundary
+    slim = renko(ticks, 1.0, value_columns=("close", "volume"))
+    assert set(slim.columns) == {"symbol", "brick_seq", "event_time", "close", "volume"}

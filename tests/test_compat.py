@@ -63,3 +63,44 @@ def test_df_equal_and_diff_report(spark):
     assert df_equal(a, c, round_digits=0)
     d = diff_report(a, c, ["k"]).toPandas()
     assert d["k"].tolist() == [2] and d["v_a"].iloc[0] == 2.0 and d["v_b"].iloc[0] == 2.4
+
+
+def test_salted_agg_matches_direct(spark, sf_dir):
+    from renkodf_spark.functions.skew import salted_agg
+    from renkodf_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    got = (
+        salted_agg(
+            ev,
+            ["event_type"],
+            {
+                "n": ("count", "*"),
+                "max_v": ("max", "value"),
+                "min_u": ("min", "user_id"),
+                "sum_u": ("sum", "user_id"),
+                "avg_u": ("avg", "user_id"),
+            },
+            buckets=8,
+        )
+        .orderBy("event_type")
+        .toPandas()
+    )
+    import pyspark.sql.functions as F
+
+    want = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("value").alias("max_v"),
+            F.min("user_id").alias("min_u"),
+            F.sum("user_id").alias("sum_u"),
+            F.avg("user_id").alias("avg_u"),
+        )
+        .orderBy("event_type")
+        .toPandas()
+    )
+    import numpy as np
+
+    for c in want.columns:
+        np.testing.assert_array_equal(got[c].to_numpy(), want[c].to_numpy(), err_msg=c)

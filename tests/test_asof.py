@@ -1,0 +1,95 @@
+"""asof_join differential tests vs pandas merge_asof (the canonical
+single-node implementation), strict and non-strict, with nulls for
+keys that have no match."""
+
+import numpy as np
+import pandas as pd
+
+from renkodf_spark.operators.asof import asof_join
+
+
+def _data(seed=3, n_left=400, n_right=150, n_keys=7):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n_left),
+            "t": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10_000_000, n_left), unit="us"),
+            "lid": np.arange(n_left),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys + 2, n_right),  # some keys never match
+            "t": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10_000_000, n_right), unit="us"),
+            "payload": rng.normal(size=n_right).round(6),
+        }
+    )
+    left["t"] = left["t"].astype("datetime64[us]")
+    right["t"] = right["t"].astype("datetime64[us]")
+    return left, right
+
+
+def _pandas_asof(left, right, strict):
+    out = pd.merge_asof(
+        left.sort_values("t", kind="mergesort"),
+        right.sort_values("t", kind="mergesort").rename(columns={"t": "rt"}),
+        left_on="t",
+        right_on="rt",
+        by="k",
+        allow_exact_matches=not strict,
+        direction="backward",
+    )
+    return out.sort_values("lid").reset_index(drop=True)
+
+
+def test_asof_join_matches_merge_asof_strict_and_not(spark):
+    left_pdf, right_pdf = _data()
+    # dedupe right on (k, t): equal-timestamp right rows are ambiguous in
+    # any as-of definition (documented operator caveat)
+    right_pdf = right_pdf.drop_duplicates(["k", "t"])
+    left = spark.createDataFrame(left_pdf)
+    right = spark.createDataFrame(right_pdf)
+
+    for strict in (True, False):
+        got = (
+            asof_join(
+                left,
+                right,
+                on="k",
+                left_time="t",
+                right_time="t",
+                right_payload=["t", "payload"],
+                strict=strict,
+            )
+            .orderBy("lid")
+            .toPandas()
+        )
+        want = _pandas_asof(left_pdf, right_pdf, strict)
+        np.testing.assert_array_equal(got["lid"].to_numpy(), want["lid"].to_numpy())
+        np.testing.assert_array_equal(
+            got["t_asof"].to_numpy().astype("datetime64[us]"),
+            want["rt"].to_numpy().astype("datetime64[us]"),
+            err_msg=f"strict={strict} matched time",
+        )
+        np.testing.assert_array_equal(
+            np.nan_to_num(got["payload_asof"].to_numpy(), nan=-999.0),
+            np.nan_to_num(want["payload"].to_numpy(), nan=-999.0),
+            err_msg=f"strict={strict} payload",
+        )
+
+
+def test_renko_chunked_on_real_events(spark, sf_dir):
+    """chunked == oneshot on the driver testdata (also exercises the
+    vectorized-vs-scalar dispatcher inside the chunked kernel calls)."""
+    from renkodf_spark.operators.renko import renko
+    from renkodf_spark.operators.renko_chunked import renko_chunked
+    from renkodf_spark.sources.tables import ticks_from_events
+
+    ticks = ticks_from_events(spark, sf_dir)
+    oneshot = renko(ticks, 20.0).orderBy("symbol", "brick_seq").toPandas()
+    chunked = renko_chunked(ticks, 20.0, window="1 week").orderBy("symbol", "brick_seq").toPandas()
+    assert len(oneshot) == len(chunked)
+    for col in oneshot.columns:
+        np.testing.assert_array_equal(oneshot[col].to_numpy(), chunked[col].to_numpy(), err_msg=col)

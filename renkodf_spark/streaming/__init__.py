@@ -1,1 +1,1 @@
-from renkodf_spark.streaming.renko_stream import renko_stream  # noqa: F401
+from renkodf_spark.streaming.renko_stream import renko_stream, renko_stream_animate  # noqa: F401

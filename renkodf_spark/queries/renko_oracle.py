@@ -28,6 +28,30 @@ from __future__ import annotations
 
 FIELDS = 20
 
+# mode -> (open, high, low) source columns of the oracle's wide output
+# (mirrors renkodf_spark.schema.MODE_SOURCES)
+_MODE_SOURCES_SQL = {
+    "normal": ("open", "normal_high", "normal_low"),
+    "wicks": ("open", "high", "low"),
+    "nongap": ("nongap_open", "high", "low"),
+    "reverse-wicks": ("open", "reverse_high", "reverse_low"),
+    "reverse-nongap": ("reverse_nongap_open", "reverse_high", "reverse_low"),
+    "fake-r-wicks": ("open", "fake_high", "fake_low"),
+    "fake-r-nongap": ("reverse_fake_nongap_open", "fake_high", "fake_low"),
+}
+
+
+def build_renko_mode_oracle_sql(brick: float, ticks_sql: str, mode: str) -> str:
+    """Mode projection (O-9) over the fold oracle's wide table."""
+    o, h, l = _MODE_SOURCES_SQL[mode]
+    return f"""
+WITH wide AS ({build_renko_oracle_sql(brick, ticks_sql)})
+SELECT symbol, brick_seq, event_time,
+       {o} AS open, {h} AS high, {l} AS low, close, volume,
+       direction, is_reversal, tick_index_open, tick_index_close
+FROM wide
+"""
+
 
 def build_renko_oracle_sql(brick: float, ticks_sql: str) -> str:
     """ticks_sql must yield (symbol, ts TIMESTAMP, close DOUBLE)."""

@@ -1,10 +1,15 @@
-"""Renko operator queries (SURVEY.md §2 Part A). The brick recurrence is
-a non-associative stateful fold — not expressible in ANSI SQL without
-engine-specific lambda folds — so these entries ship without an
-`oracle_sql` (the driver records rows-only checks). The hard correctness
-evidence lives in tests/test_vs_reference.py: bit-exact differential
-equality against the reference implementation across all 7 modes,
-streaming replay, warm start, and forming bars.
+"""Renko operator queries (SURVEY.md §2 Part A).
+
+The brick recurrence is a non-associative stateful fold — not
+expressible in ANSI SQL — but DuckDB's list_reduce lambda can replay it
+(queries/renko_oracle.py), so the wide table, the wicks projection, and
+the three distinct mode-projection shapes are hash-matched against that
+fold at brick=20 (an exactly-representable size, keeping the SQL's
+algebraic arithmetic bit-equal to the kernel). The remaining mode
+queries run at brick=5 as rows-only checks. The other correctness leg
+is tests/test_vs_reference.py: bit-exact differential equality against
+the reference implementation across all 7 modes, streaming replay, warm
+start, and forming bars.
 """
 
 from __future__ import annotations
@@ -23,30 +28,42 @@ def _wide(spark, sf_dir):
     return renko(ticks_from_events(spark, sf_dir), BRICK)
 
 
-def _mode_query(mode: str):
-    def build(spark, sf_dir):
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        # single-mode path: variant columns pruned at the kernel boundary
-        return renko_mode(ticks_from_events(spark, sf_dir), BRICK, mode)
-
-    build.__name__ = f"renko_{mode.replace('-', '_')}"
-    return build
-
-
-for _mode in ("normal", "wicks", "nongap", "reverse-wicks", "reverse-nongap", "fake-r-wicks", "fake-r-nongap"):
-    query(
-        f"renko_{_mode.replace('-', '_')}",
-        oracle=None,
-        doc=f"Renko '{_mode}' mode projection over the events tick stream (O-5, O-9).",
-    )(_mode_query(_mode))
-
+from renkodf_spark.queries.renko_oracle import (  # noqa: E402
+    build_renko_mode_oracle_sql,
+    build_renko_oracle_sql,
+)
 
 _TICKS_SQL = "SELECT event_type AS symbol, ts, value AS close FROM events"
 _ORACLE_BRICK = 20.0  # exactly representable: every brick close is exact, so
 # the SQL fold's algebraic close formula is bit-equal to the kernel (see
 # renko_oracle.py docstring)
 
-from renkodf_spark.queries.renko_oracle import build_renko_oracle_sql  # noqa: E402
+# the three distinct projection shapes get full oracles (high/low swap,
+# open swap, both + previous-close fake wick) at the oracle brick size;
+# the remaining modes stay rows-only at brick=5 (their variant columns
+# are already pinned by the renko_wide_bricks oracle)
+_ORACLE_MODES = ("normal", "nongap", "fake-r-nongap")
+
+
+def _mode_query(mode: str, brick: float):
+    def build(spark, sf_dir):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # single-mode path: variant columns pruned at the kernel boundary
+        return renko_mode(ticks_from_events(spark, sf_dir), brick, mode)
+
+    build.__name__ = f"renko_{mode.replace('-', '_')}"
+    return build
+
+
+for _mode in ("normal", "wicks", "nongap", "reverse-wicks", "reverse-nongap", "fake-r-wicks", "fake-r-nongap"):
+    _has_oracle = _mode in _ORACLE_MODES
+    _brick = _ORACLE_BRICK if _has_oracle else BRICK
+    query(
+        f"renko_{_mode.replace('-', '_')}",
+        oracle=build_renko_mode_oracle_sql(_ORACLE_BRICK, _TICKS_SQL, _mode) if _has_oracle else None,
+        doc=f"Renko '{_mode}' mode projection over the events tick stream (O-5, O-9)"
+        + (" — oracle: mode projection of the DuckDB fold replay." if _has_oracle else "."),
+    )(_mode_query(_mode, _brick))
 
 
 @query(

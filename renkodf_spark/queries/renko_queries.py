@@ -94,6 +94,28 @@ def renko_wicks_projected(spark, sf_dir):
 
 
 @query(
+    "time_bars_hourly",
+    oracle="""
+    SELECT event_type AS symbol,
+           make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS bar_start,
+           (MIN(struct_pack(t := ts, p := value))).p AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           (MAX(struct_pack(t := ts, p := value))).p AS close,
+           COUNT(*) AS volume
+    FROM events GROUP BY 1, 2
+    """,
+    doc="tick -> hourly OHLCV bars (deterministic open/close via struct "
+    "argmin/argmax; ts values are unique per symbol in this data so the "
+    "oracle's (t,p) tiebreak matches the operator's (t,seq,p)).",
+)
+def time_bars_hourly(spark, sf_dir):
+    from renkodf_spark.operators.timebars import time_bars
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return time_bars(ticks_from_events(spark, sf_dir), "1 hour")
+
+
+@query(
     "renko_summary_stats",
     oracle=None,
     doc="aggregate sanity surface over the wide brick table (brick counts, reversal rate).",

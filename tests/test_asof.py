@@ -93,3 +93,24 @@ def test_renko_chunked_on_real_events(spark, sf_dir):
     assert len(oneshot) == len(chunked)
     for col in oneshot.columns:
         np.testing.assert_array_equal(oneshot[col].to_numpy(), chunked[col].to_numpy(), err_msg=col)
+
+
+def test_time_bars_deterministic_with_ts_ties(spark):
+    """Equal-timestamp ticks: open/close must follow input order via the
+    seq tiebreak, stable under repartitioning."""
+    import pandas as pd
+
+    from renkodf_spark.operators.timebars import time_bars
+
+    pdf = pd.DataFrame(
+        {
+            "symbol": ["A"] * 4,
+            "event_time": pd.to_datetime(["2024-01-01 00:00:01"] * 2 + ["2024-01-01 00:30:00"] * 2).astype("datetime64[us]"),
+            "close": [10.0, 11.0, 12.0, 13.0],
+        }
+    )
+    bars = time_bars(spark.createDataFrame(pdf), "1 hour").toPandas()
+    assert len(bars) == 1
+    row = bars.iloc[0]
+    assert row["open"] == 10.0 and row["close"] == 13.0
+    assert row["high"] == 13.0 and row["low"] == 10.0 and row["volume"] == 4

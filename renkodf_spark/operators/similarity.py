@@ -101,6 +101,21 @@ def label_blocked_pairs(
     )
 
 
+def rp_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (p, d) =
+    md5(f"{p}:{d}") scaled to [-0.5, 0.5). Plain constants, so both the
+    operator and any SQL oracle can inline the identical matrix."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16) / 0xFFFFFFFF) - 0.5
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def rp_lsh_bucket(
     emb: DataFrame,
     *,
@@ -109,19 +124,13 @@ def rp_lsh_bucket(
     dim: int = 64,
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id (sign pattern of dot products
-    with n_planes pseudo-random unit-free hyperplanes). Plane component
-    (p, d) is derived from md5(f"{p}:{d}") -> [-0.5, 0.5), so buckets
-    are deterministic across runs and engines. Appends `bucket` (long)."""
-    def plane_component(p: int, d: int) -> float:
-        import hashlib
-
-        h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
-        return (h / 0xFFFFFFFF) - 0.5
-
+    with `rp_planes` hyperplanes); deterministic across runs and
+    engines. Appends `bucket` (long)."""
+    planes = rp_planes(n_planes, dim)
     v = F.col(vec_col).cast("array<double>")
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        plane = F.array(*[F.lit(plane_component(p, d)) for d in range(dim)])
+        plane = F.array(*[F.lit(x) for x in planes[p]])
         dot = _dot(v, plane)
         bucket = bucket + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
     return emb.withColumn("bucket", bucket)

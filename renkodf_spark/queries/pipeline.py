@@ -208,10 +208,39 @@ def similarity_blocked_neardup(spark, sf_dir):
     return similarity.label_blocked_pairs(_emb(spark, sf_dir), threshold=0.3)
 
 
+def _rp_bucket_sql(n_planes: int = 6, dim: int = 64) -> str:
+    """bucket expression over a DOUBLE[] column named v — inlines the
+    exact plane constants the operator uses."""
+    planes = similarity.rp_planes(n_planes, dim)
+    terms = []
+    for p, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        terms.append(f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+_LSH_ANN_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_rp_bucket_sql()} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 20),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_dot_product(qv, c.v)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+  FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cos_sim FROM ranked WHERE rank <= 5
+"""
+
+
 @query(
     "similarity_lsh_ann_topk",
-    oracle=None,  # random-hyperplane bucketing is operator-defined; rows-only
-    doc="ANN top-5 within random-hyperplane LSH buckets (scale path; recall<1).",
+    oracle=_LSH_ANN_ORACLE,
+    doc="ANN top-5 within random-hyperplane LSH buckets (scale path; recall<1). "
+    "Oracle inlines the operator's deterministic md5-derived plane constants.",
 )
 def similarity_lsh_ann_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)

@@ -131,10 +131,28 @@ def renko_summary_stats(spark, sf_dir):
     )
 
 
+_RWS_VALUE_COLS = (
+    "open, high, low, close, volume, direction, is_reversal, normal_high, "
+    "normal_low, nongap_open, reverse_nongap_open, reverse_fake_nongap_open, "
+    "reverse_high, reverse_low, fake_high, fake_low"
+)
+
+
 @query(
     "renko_state_export",
-    oracle=None,
-    doc="to_rws warm-start export, last 10 bricks per symbol (O-11).",
+    oracle=f"""
+    WITH wide AS ({build_renko_oracle_sql(_ORACLE_BRICK, _TICKS_SQL)}),
+    sliced AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY brick_seq DESC) AS rn
+      FROM wide)
+    SELECT symbol, brick_seq, {_RWS_VALUE_COLS},
+           {_ORACLE_BRICK!r} AS brick_size, epoch_us(event_time) AS timestamp
+    FROM sliced WHERE rn <= 10
+    """,
+    doc="to_rws warm-start export (O-11), last 10 bricks per symbol, "
+    "oracle via tail-window over the fold replay.",
 )
 def renko_state_export(spark, sf_dir):
-    return to_rws(_wide(spark, sf_dir), BRICK, use_iloc=-10)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    wide = renko(ticks_from_events(spark, sf_dir), _ORACLE_BRICK)
+    return to_rws(wide, _ORACLE_BRICK, use_iloc=-10)

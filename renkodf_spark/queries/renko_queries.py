@@ -22,12 +22,6 @@ from renkodf_spark.sources.tables import ticks_from_events
 
 BRICK = 5.0
 
-
-def _wide(spark, sf_dir):
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return renko(ticks_from_events(spark, sf_dir), BRICK)
-
-
 from renkodf_spark.queries.renko_oracle import (  # noqa: E402
     build_renko_mode_oracle_sql,
     build_renko_oracle_sql,
@@ -117,11 +111,19 @@ def time_bars_hourly(spark, sf_dir):
 
 @query(
     "renko_summary_stats",
-    oracle=None,
-    doc="aggregate sanity surface over the wide brick table (brick counts, reversal rate).",
+    oracle=f"""
+    WITH wide AS ({build_renko_oracle_sql(_ORACLE_BRICK, _TICKS_SQL)})
+    SELECT symbol, COUNT(*) AS n_bricks, SUM(is_reversal) AS n_reversals,
+           SUM(volume) AS ticks_attributed,
+           ROUND(MIN(low), 4) AS min_low, ROUND(MAX(high), 4) AS max_high
+    FROM wide GROUP BY symbol
+    """,
+    doc="aggregate surface over the wide brick table (brick counts, "
+    "reversal rate), oracle via aggregation of the fold replay.",
 )
 def renko_summary_stats(spark, sf_dir):
-    wide = _wide(spark, sf_dir)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    wide = renko(ticks_from_events(spark, sf_dir), _ORACLE_BRICK)
     return wide.groupBy("symbol").agg(
         F.count(F.lit(1)).alias("n_bricks"),
         F.sum("is_reversal").alias("n_reversals"),

@@ -123,3 +123,36 @@ def test_stream_warm_start_resumes(spark, tmp_path):
 def test_stream_validation():
     with pytest.raises(ValueError):
         renko_stream(None, 0)
+
+
+def test_stream_many_symbols(spark, tmp_path):
+    """State-store scaling smoke: 40 keys in one stream, each resumes
+    correctly across micro-batches."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(17)
+    frames = []
+    for i in range(40):
+        n = 80
+        t = pd.date_range("2024-01-01", periods=n, freq="1s").astype("datetime64[us]")
+        frames.append(
+            pd.DataFrame(
+                {
+                    "symbol": f"S{i:03d}",
+                    "event_time": t,
+                    "close": 100 + np.cumsum(rng.normal(0, 0.8, n)),
+                }
+            )
+        )
+    pdf = pd.concat(frames, ignore_index=True).sort_values("event_time", kind="mergesort")
+    out = _run_stream(spark, str(tmp_path), pdf, n_files=3)
+    assert out["symbol"].nunique() == 40
+    for sym in ["S000", "S017", "S039"]:
+        live = _live_replay(pdf, sym)
+        want = live._wide_frame().reset_index(drop=True)
+        got = out[out["symbol"] == sym].reset_index(drop=True)
+        assert len(got) == len(want), sym
+        np.testing.assert_array_equal(got["close"].to_numpy(), want["close"].to_numpy(), err_msg=sym)

@@ -79,3 +79,17 @@ def test_validation_errors():
         renko(None, 0)
     with pytest.raises(ValueError):
         renko(None, -1.0)
+
+
+def test_renko_empty_and_single_tick(spark):
+    import pandas as pd
+
+    from renkodf_spark.operators.renko import renko
+    from renkodf_spark.schema import WIDE_SCHEMA
+
+    empty = spark.createDataFrame([], WIDE_SCHEMA)["symbol", "event_time", "close"]
+    assert renko(empty, 1.0).count() == 0
+    one = spark.createDataFrame(
+        pd.DataFrame({"symbol": ["A"], "event_time": [pd.Timestamp("2024-01-01")], "close": [10.2]})
+    )
+    assert renko(one, 1.0).count() == 0  # a single tick emits nothing

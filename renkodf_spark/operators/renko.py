@@ -133,12 +133,18 @@ def renko(
         out_columns = [f.name for f in out_schema.fields]
 
     # Deterministic intra-timestamp order: capture input order before the
-    # shuffle so equal-timestamp ticks replay in file order.
+    # shuffle so equal-timestamp ticks replay in file order. Null/NaN
+    # prices or timestamps are dropped up front — the recurrence would
+    # otherwise silently absorb NaN into the wick state (the reference
+    # has no guard and corrupts); the filter sits on the scan so it
+    # pushes down.
     slim = ticks.select(
         F.col(symbol_col).cast("string").alias("symbol"),
         F.col(time_col).alias("__time"),
         F.col(price_col).cast("double").alias("__price"),
         F.monotonically_increasing_id().alias(_SEQ_COL),
+    ).filter(
+        F.col("__time").isNotNull() & F.col("__price").isNotNull() & ~F.isnan("__price")
     )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:

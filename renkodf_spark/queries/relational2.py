@@ -167,6 +167,20 @@ def rolling_3_order_avg(spark, sf_dir):
 
 
 @query(
+    "sketch_value_quantiles",
+    oracle=None,  # approximate sketches are engine-specific; rows-only
+    doc="approximate quantile sketch (percentile_approx / KLL-style) — "
+    "the scale path beside the exact percentiles of event_value_percentiles.",
+)
+def sketch_value_quantiles(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.25, 0.5, 0.75, 0.99], 10000).alias("approx_quartiles"),
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+    )
+
+
+@query(
     "part_name_normalized",
     oracle="""
     SELECT regexp_replace(lower(p_name), '[aeiou]', '', 'g') AS consonants, COUNT(*) AS n

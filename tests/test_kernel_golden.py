@@ -93,3 +93,24 @@ def test_renko_empty_and_single_tick(spark):
         pd.DataFrame({"symbol": ["A"], "event_time": [pd.Timestamp("2024-01-01")], "close": [10.2]})
     )
     assert renko(one, 1.0).count() == 0  # a single tick emits nothing
+
+
+def test_renko_drops_null_and_nan_ticks(spark):
+    import numpy as np
+    import pandas as pd
+
+    from renkodf_spark.operators.renko import renko
+
+    times = pd.date_range("2024-01-01", periods=7, freq="1min")
+    dirty = pd.DataFrame(
+        {
+            "symbol": "A",
+            "event_time": times,
+            "close": [10.2, np.nan, 10.5, 11.1, None, 12.3, 13.4],
+        }
+    )
+    clean = dirty.dropna(subset=["close"])
+    got = renko(spark.createDataFrame(dirty), 1.0).orderBy("brick_seq").toPandas()
+    want = renko(spark.createDataFrame(clean), 1.0).orderBy("brick_seq").toPandas()
+    assert got["close"].tolist() == want["close"].tolist()
+    assert not got["close"].isna().any()

@@ -17,11 +17,18 @@ reverse_low, fake_high, fake_low.
 
 Exactness: with a brick size that is exactly representable (e.g. 20.0)
 every brick close is an exact multiple of the brick on the anchor grid,
-so the algebraically-rearranged close formula
-(lc + d*(j+rev)*brick) is bit-equal to the kernel's sequential
-accumulation, and all mode columns are selections among exact values
-and raw tick prices. Epoch-microsecond timestamps (~1.7e15) are exact
-in doubles.
+so the algebraically-rearranged close formula (lc + d*(j+rev)*brick) is
+bit-equal to the kernel's sequential accumulation, and all mode columns
+are selections among exact values and raw tick prices.
+Epoch-microsecond timestamps (~1.7e15) are exact in doubles.
+
+Performance: DuckDB has no common-subexpression elimination inside
+lambdas, and the naive fully-inlined lambda costs ~10 ms/tick of
+interpretation (the tree blows up combinatorially). Shared
+subexpressions are therefore LET-bound through nested single-element
+``list_transform`` scopes (wm/wx = updated wicks, m = brick distance,
+dd = direction, n = emission count; per brick: c/o/w =
+close/open/wick) — nested lambdas capture outer lambda variables.
 """
 
 from __future__ import annotations
@@ -56,94 +63,107 @@ FROM wide
 def build_renko_oracle_sql(brick: float, ticks_sql: str) -> str:
     """ticks_sql must yield (symbol, ts TIMESTAMP, close DOUBLE)."""
     b = repr(float(brick))
-    inv = repr(1.0 / float(brick))
 
-    # lambda-local shorthand (acc = state list, x = [t, p, i])
-    wmin = "LEAST(acc[3], x[2])"
-    wmax = "GREATEST(acc[4], x[2])"
-    vol = "(acc[5] + 1)"
-    moved = f"((x[2] - acc[1]) * {inv})"
-    up = f"({moved} > 0)"
-    d = f"(CASE WHEN {moved} > 0 THEN 1.0 ELSE -1.0 END)"
-    absm = f"abs({moved})"
-    rev = f"({d} * acc[2] < 0)"
-    n = (
-        f"(CASE WHEN {absm} < 1 THEN 0 "
-        f"WHEN {rev} THEN (CASE WHEN {absm} < 2 THEN 0 ELSE trunc({absm})::BIGINT - 1 END) "
-        f"ELSE trunc({absm})::BIGINT END)"
-    )
+    # let-bound in nested scopes: wm, wx, m, dd, n; per brick: c, o, w
+    rev = "(dd * acc[2] < 0)"
     revj = f"({rev} AND j = 1)"
-    closej = f"(acc[1] + {d} * (j + CASE WHEN {rev} THEN 1 ELSE 0 END) * {b})"
-    openj = f"({closej} - {d} * {b})"
-    wickj = (
-        f"(CASE WHEN j = 1 THEN (CASE WHEN {up} THEN {wmin} ELSE {wmax} END) "
-        f"WHEN j = 2 AND {rev} THEN acc[1] + {d} * {b} ELSE {openj} END)"
+    up = "(m > 0)"
+    n_expr = (
+        f"CASE WHEN abs(m) < 1 THEN 0 "
+        f"WHEN {rev} AND abs(m) < 2 THEN 0 "
+        f"WHEN {rev} THEN trunc(abs(m))::BIGINT - 1 "
+        f"ELSE trunc(abs(m))::BIGINT END"
     )
-    hij = f"(CASE WHEN {up} THEN {closej} ELSE {wickj} END)"
-    loj = f"(CASE WHEN {up} THEN {wickj} ELSE {closej} END)"
-    bhj = f"(CASE WHEN {up} THEN {closej} ELSE {openj} END)"
-    blj = f"(CASE WHEN {up} THEN {openj} ELSE {closej} END)"
-    ngj = (
-        f"(CASE WHEN ({up} AND {openj} > {wickj}) OR (NOT {up} AND {openj} < {wickj}) "
-        f"THEN {wickj} ELSE {openj} END)"
-    )
-    volj = f"(CASE WHEN j = 1 THEN {vol} ELSE 1.0 END)"
-    rj = f"(CASE WHEN {revj} THEN 1.0 ELSE 0.0 END)"
-    tioj = f"(CASE WHEN j = 1 THEN acc[6] ELSE x[3] END)"
-    bij = f"(((len(acc) - 6) // {FIELDS} + j)::DOUBLE)"
-    rhj = f"(CASE WHEN {revj} THEN {hij} ELSE {bhj} END)"
-    rlj = f"(CASE WHEN {revj} THEN {loj} ELSE {blj} END)"
-    rngj = f"(CASE WHEN {revj} THEN {ngj} ELSE {openj} END)"
-    rfngj = f"(CASE WHEN {revj} THEN acc[1] ELSE {openj} END)"
-    fhj = f"(CASE WHEN {revj} AND NOT {up} THEN acc[1] ELSE {bhj} END)"
-    flj = f"(CASE WHEN {revj} AND {up} THEN acc[1] ELSE {blj} END)"
+    rev01 = f"CASE WHEN {rev} THEN 1 ELSE 0 END"
+    close_n = f"(acc[1] + dd * (n + {rev01}) * {b})"
 
-    brick_list = (
-        f"[{bij}, x[1], {openj}, {hij}, {loj}, {closej}, {volj}, {d}, {rj}, {tioj}, x[3], "
-        f"{bhj}, {blj}, {ngj}, {rngj}, {rfngj}, {rhj}, {rlj}, {fhj}, {flj}]"
-    )
-    new_flat = f"flatten(list_transform(range(1, {n} + 1), j -> {brick_list}))"
-
-    close_n = f"(acc[1] + {d} * ({n} + CASE WHEN {rev} THEN 1 ELSE 0 END) * {b})"
-    wick_reset = (
-        f"CASE WHEN {n} = 0 THEN __W__ "
-        f"WHEN {n} = 1 AND {rev} THEN acc[1] + {d} * {b} ELSE {close_n} END"
-    )
-    header = ", ".join(
+    hdr = ", ".join(
         [
-            f"CASE WHEN {n} = 0 THEN acc[1] ELSE {close_n} END",
-            f"CASE WHEN {n} = 0 THEN acc[2] ELSE {d} END",
-            wick_reset.replace("__W__", wmin),
-            wick_reset.replace("__W__", wmax),
-            f"CASE WHEN {n} = 0 THEN {vol} ELSE 1.0 END",
-            f"CASE WHEN {n} = 0 THEN acc[6] ELSE x[3] END",
+            f"CASE WHEN n = 0 THEN acc[1] ELSE {close_n} END",
+            "CASE WHEN n = 0 THEN acc[2] ELSE dd END",
+            f"CASE WHEN n = 0 THEN wm WHEN n = 1 AND {rev} THEN acc[1] + dd * {b} ELSE {close_n} END",
+            f"CASE WHEN n = 0 THEN wx WHEN n = 1 AND {rev} THEN acc[1] + dd * {b} ELSE {close_n} END",
+            "CASE WHEN n = 0 THEN acc[5] + 1 ELSE 1.0 END",
+            "CASE WHEN n = 0 THEN acc[6] ELSE x[3] END",
         ]
     )
-    lam = f"(acc, x) -> list_concat(list_concat([{header}], acc[7:]), {new_flat})"
+
+    hi = f"CASE WHEN {up} THEN c ELSE w END"
+    lo = f"CASE WHEN {up} THEN w ELSE c END"
+    bh = f"CASE WHEN {up} THEN c ELSE o END"
+    bl = f"CASE WHEN {up} THEN o ELSE c END"
+    ng = f"CASE WHEN ({up} AND o > w) OR (NOT {up} AND o < w) THEN w ELSE o END"
+    brick_fields = ", ".join(
+        [
+            f"((len(acc) - 6) // {FIELDS} + j)::DOUBLE",  # bi
+            "x[1]",  # bt
+            "o",
+            hi,
+            lo,
+            "c",
+            "CASE WHEN j = 1 THEN acc[5] + 1 ELSE 1.0 END",  # volume
+            "dd",
+            f"CASE WHEN {revj} THEN 1.0 ELSE 0.0 END",  # is_reversal
+            "CASE WHEN j = 1 THEN acc[6] ELSE x[3] END",  # tick_index_open
+            "x[3]",  # tick_index_close
+            bh,  # normal_high
+            bl,  # normal_low
+            ng,  # nongap_open
+            f"CASE WHEN {revj} THEN {ng} ELSE o END",  # reverse_nongap_open
+            f"CASE WHEN {revj} THEN acc[1] ELSE o END",  # reverse_fake_nongap_open
+            f"CASE WHEN {revj} THEN {hi} ELSE {bh} END",  # reverse_high
+            f"CASE WHEN {revj} THEN {lo} ELSE {bl} END",  # reverse_low
+            f"CASE WHEN {revj} AND NOT {up} THEN acc[1] ELSE {bh} END",  # fake_high
+            f"CASE WHEN {revj} AND {up} THEN acc[1] ELSE {bl} END",  # fake_low
+        ]
+    )
+    brick_j = (
+        f"list_transform([acc[1] + dd * (j + {rev01}) * {b}], c -> "
+        f"list_transform([c - dd * {b}], o -> "
+        f"list_transform([CASE WHEN j = 1 THEN (CASE WHEN {up} THEN wm ELSE wx END) "
+        f"WHEN j = 2 AND {rev} THEN acc[1] + dd * {b} ELSE o END], w -> "
+        f"[{brick_fields}])[1])[1])[1]"
+    )
+
+    body = (
+        f"list_concat(list_concat([{hdr}], acc[7:]), "
+        f"flatten(list_transform(range(1, n + 1), j -> {brick_j})))"
+    )
+    lam = (
+        f"(acc, x) -> "
+        f"list_transform([LEAST(acc[3], x[2])], wm -> "
+        f"list_transform([GREATEST(acc[4], x[2])], wx -> "
+        f"list_transform([(x[2] - acc[1]) * {1.0 / float(brick)!r}], m -> "
+        f"list_transform([CASE WHEN m > 0 THEN 1.0 ELSE -1.0 END], dd -> "
+        f"list_transform([{n_expr}], n -> {body})[1])[1])[1])[1])[1]"
+    )
 
     unpack = ", ".join(
-        [
-            f"bi := a[{7 + 0}+k*{FIELDS}]::BIGINT",
-            f"bt := a[{7 + 1}+k*{FIELDS}]::BIGINT",
-            f"o := a[{7 + 2}+k*{FIELDS}]",
-            f"h := a[{7 + 3}+k*{FIELDS}]",
-            f"l := a[{7 + 4}+k*{FIELDS}]",
-            f"c := a[{7 + 5}+k*{FIELDS}]",
-            f"v := a[{7 + 6}+k*{FIELDS}]::BIGINT",
-            f"dr := a[{7 + 7}+k*{FIELDS}]::BIGINT",
-            f"r := a[{7 + 8}+k*{FIELDS}]::BIGINT",
-            f"tio := a[{7 + 9}+k*{FIELDS}]::BIGINT",
-            f"tic := a[{7 + 10}+k*{FIELDS}]::BIGINT",
-            f"nh := a[{7 + 11}+k*{FIELDS}]",
-            f"nl := a[{7 + 12}+k*{FIELDS}]",
-            f"ngo := a[{7 + 13}+k*{FIELDS}]",
-            f"rngo := a[{7 + 14}+k*{FIELDS}]",
-            f"rfngo := a[{7 + 15}+k*{FIELDS}]",
-            f"rh := a[{7 + 16}+k*{FIELDS}]",
-            f"rl := a[{7 + 17}+k*{FIELDS}]",
-            f"fh := a[{7 + 18}+k*{FIELDS}]",
-            f"fl := a[{7 + 19}+k*{FIELDS}]",
-        ]
+        f"{name} := a[{7 + off}+k*{FIELDS}]{cast}"
+        for off, (name, cast) in enumerate(
+            [
+                ("bi", "::BIGINT"),
+                ("bt", "::BIGINT"),
+                ("o", ""),
+                ("h", ""),
+                ("l", ""),
+                ("c", ""),
+                ("v", "::BIGINT"),
+                ("dr", "::BIGINT"),
+                ("r", "::BIGINT"),
+                ("tio", "::BIGINT"),
+                ("tic", "::BIGINT"),
+                ("nh", ""),
+                ("nl", ""),
+                ("ngo", ""),
+                ("rngo", ""),
+                ("rfngo", ""),
+                ("rh", ""),
+                ("rl", ""),
+                ("fh", ""),
+                ("fl", ""),
+            ]
+        )
     )
 
     return f"""

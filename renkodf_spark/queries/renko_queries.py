@@ -32,13 +32,6 @@ _ORACLE_BRICK = 20.0  # exactly representable: every brick close is exact, so
 # the SQL fold's algebraic close formula is bit-equal to the kernel (see
 # renko_oracle.py docstring)
 
-# the three distinct projection shapes get full oracles (high/low swap,
-# open swap, both + previous-close fake wick) at the oracle brick size;
-# the remaining modes stay rows-only at brick=5 (their variant columns
-# are already pinned by the renko_wide_bricks oracle)
-_ORACLE_MODES = ("normal", "nongap", "fake-r-nongap")
-
-
 def _mode_query(mode: str, brick: float):
     def build(spark, sf_dir):
         spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -49,15 +42,27 @@ def _mode_query(mode: str, brick: float):
     return build
 
 
+# every mode projection is hash-matched against a mode projection of the
+# DuckDB fold replay (the let-bound fold costs ~7s at sf0.01)
 for _mode in ("normal", "wicks", "nongap", "reverse-wicks", "reverse-nongap", "fake-r-wicks", "fake-r-nongap"):
-    _has_oracle = _mode in _ORACLE_MODES
-    _brick = _ORACLE_BRICK if _has_oracle else BRICK
     query(
         f"renko_{_mode.replace('-', '_')}",
-        oracle=build_renko_mode_oracle_sql(_ORACLE_BRICK, _TICKS_SQL, _mode) if _has_oracle else None,
-        doc=f"Renko '{_mode}' mode projection over the events tick stream (O-5, O-9)"
-        + (" — oracle: mode projection of the DuckDB fold replay." if _has_oracle else "."),
-    )(_mode_query(_mode, _brick))
+        oracle=build_renko_mode_oracle_sql(_ORACLE_BRICK, _TICKS_SQL, _mode),
+        doc=f"Renko '{_mode}' mode projection over the events tick stream "
+        "(O-5, O-9) — oracle: mode projection of the DuckDB fold replay.",
+    )(_mode_query(_mode, _ORACLE_BRICK))
+
+
+@query(
+    "renko_small_brick_smoke",
+    oracle=None,  # brick=5 emits ~87k bricks at sf0.01: fold oracle too
+    # costly; covered by the brick=20 oracles + the differential suite
+    doc="small-brick (5.0) wicks run — rows-only volume/smoke check for "
+    "the high-emission regime.",
+)
+def renko_small_brick_smoke(spark, sf_dir):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return renko_mode(ticks_from_events(spark, sf_dir), BRICK, "wicks")
 
 
 @query(

@@ -1,0 +1,56 @@
+"""Physical-plan inspection helpers — the engine's ".explain and
+iterate" loop, made programmatic. Used by tests/test_plans.py and for
+ad-hoc audits (NOTES.md records the end-of-round numbers).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class PlanSummary:
+    exchanges: int  # includes broadcast exchanges
+    broadcast_hash_joins: int
+    sort_merge_joins: int
+    nested_loop_joins: int
+    python_nodes: int  # FlatMapGroupsInPandas / EvalPython / MapInPandas
+    scans: int
+    pushed_filters: bool
+    text: str
+
+    def __str__(self) -> str:
+        return (
+            f"exchanges={self.exchanges} bcast={self.broadcast_hash_joins} "
+            f"smj={self.sort_merge_joins} nlj={self.nested_loop_joins} "
+            f"py={self.python_nodes} scans={self.scans} pushed={self.pushed_filters}"
+        )
+
+
+def plan_summary(df: DataFrame) -> PlanSummary:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return PlanSummary(
+        exchanges=plan.count("Exchange"),
+        broadcast_hash_joins=plan.count("BroadcastHashJoin"),
+        sort_merge_joins=plan.count("SortMergeJoin"),
+        nested_loop_joins=plan.count("NestedLoopJoin"),
+        python_nodes=(
+            plan.count("FlatMapGroupsInPandas")
+            + plan.count("EvalPython")
+            + plan.count("MapInPandas")
+        ),
+        scans=plan.count("FileScan"),
+        pushed_filters="PushedFilters: [" in plan and "PushedFilters: []" not in plan,
+        text=plan,
+    )
+
+
+def assert_jvm_only(df: DataFrame, context: str = "") -> None:
+    """Raise if any Python-eval node is in the plan — relational
+    queries must stay inside whole-stage codegen; only the Renko kernel
+    boundary is allowed to cross into Python."""
+    s = plan_summary(df)
+    if s.python_nodes:
+        raise AssertionError(f"{context}: plan contains Python nodes\n{s.text[:2000]}")

@@ -65,6 +65,8 @@ def test_renko_scan_prunes_tick_columns(spark, sf_dir):
 def test_no_python_udf_in_relational_queries(spark, sf_dir):
     """Part-B queries must stay JVM-side (whole-stage codegen), no
     BatchEvalPython / ArrowEvalPython nodes."""
+    from renkodf_spark.plans import assert_jvm_only, plan_summary
+
     for name in [
         "q1_pricing_summary",
         "q3_shipping_priority",
@@ -73,10 +75,12 @@ def test_no_python_udf_in_relational_queries(spark, sf_dir):
         "text_quality",
         "similarity_cosine_topk",
         "asof_purchase_before_click",
+        "time_bars_hourly",
     ]:
-        plan = _executed(q.queries()[name](spark, sf_dir))
-        assert "EvalPython" not in plan, name
-        assert "FlatMapGroupsInPandas" not in plan, name
+        assert_jvm_only(q.queries()[name](spark, sf_dir), name)
+    # and the renko path has exactly one python node (the kernel)
+    s = plan_summary(q.queries()["renko_wicks"](spark, sf_dir))
+    assert s.python_nodes == 1 and s.exchanges == 1, str(s)
 
 
 def test_asof_join_is_single_shuffle_window(spark, sf_dir):

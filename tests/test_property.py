@@ -68,3 +68,30 @@ def test_incremental_equals_batch(moves):
     assert batch_state == inc_state
     for col in ("event_time", *WIDE_VALUE_COLUMNS):
         assert list(batch_out[col]) == list(inc_out[col]), col
+
+
+@settings(max_examples=30, deadline=None)
+@given(price_moves, st.integers(min_value=1, max_value=8), st.randoms(use_true_random=False))
+def test_random_batch_splits_equal_batch(moves, n_splits, rnd):
+    """Replaying through the kernel in ARBITRARY batch splits (the
+    streaming/chunked generalization of per-tick replay) equals one
+    batch scan, for any split points."""
+    prices = (100.0 + np.cumsum(np.asarray(moves, dtype=np.float64))).tolist()
+    times = list(range(len(prices)))
+    n = len(prices)
+
+    batch_state = new_state(prices[0], 1.0)
+    batch_out = new_output()
+    scan_ticks(times, prices, 1, 1.0, batch_state, batch_out)
+
+    cuts = sorted({1, n} | {rnd.randrange(1, n) for _ in range(n_splits)})
+    split_state = new_state(prices[0], 1.0)
+    split_out = new_output()
+    for lo, hi in zip(cuts[:-1], cuts[1:]):
+        scan_ticks(times, prices, lo, 1.0, split_state, split_out, stop=hi)
+    if cuts[-1] < n:
+        scan_ticks(times, prices, cuts[-1], 1.0, split_state, split_out)
+
+    assert batch_state == split_state
+    for col in ("event_time", *WIDE_VALUE_COLUMNS):
+        assert list(batch_out[col]) == list(split_out[col]), col

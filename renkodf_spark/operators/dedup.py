@@ -29,10 +29,16 @@ def _shingles(text_col: str, n: int):
     """Word n-gram shingles as an array column (distinct), JVM-side.
 
     tokens = split on whitespace; shingle i = tokens[i..i+n-1] joined
-    by a single space.
+    by a single space. Docs with fewer than n tokens yield an empty
+    shingle set (an unguarded F.sequence(0, size-n) produces a
+    descending sequence when size < n and slice() then raises
+    INVALID_PARAMETER_VALUE.START — the oracle CTE mirrors this guard
+    via range(), which is already empty-safe).
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    idx = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    ).otherwise(F.array().cast("array<int>"))
     sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
     return F.array_distinct(sh)
 

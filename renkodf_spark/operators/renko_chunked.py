@@ -11,15 +11,34 @@ stitching; unlike the reference's splice there is no first-bar
 wick/volume discrepancy because the *full* scalar state — wick extremes,
 volume, tick offset — crosses the boundary, not just the last brick row).
 
-The recurrence is inherently sequential per symbol, so windows run in
-sequence; the cluster still parallelizes across symbols within every
-window, executor memory is bounded by the window's tick count per
-symbol, and the driver holds one tiny state row per symbol.
+Scale posture (the reason this operator exists):
+- ONE source scan total. The slimmed ticks are staged once, written
+  partitioned by the window key; each window then reads only its own
+  partition (partition pruning), so W windows cost one full scan + W
+  pruned reads instead of W full scans. Staging also pins `__seq`
+  (monotonically_increasing_id is per-job nondeterministic — re-scanning
+  the source per window could renumber equal-timestamp ticks between
+  windows).
+- NO driver-held state. The per-symbol carry state is a DataFrame
+  (one tiny row per symbol) cogrouped with the window's ticks
+  (`groupBy(symbol).cogroup(state.groupBy(symbol)).applyInPandas`), so
+  millions of symbols never transit the driver or bloat task closures.
+- The recurrence is inherently sequential per symbol, so windows run in
+  sequence; the cluster still parallelizes across symbols within every
+  window, and executor memory is bounded by the window's tick count per
+  symbol. Each window is materialized (persist + count on the tiny state
+  side) so plan depth stays O(1) per window, not O(W) at the end.
+
+On a real cluster pass ``staging_dir`` on a shared filesystem (S3/HDFS);
+the default is a driver-local temp dir, correct for local mode.
 
 Output is bit-identical to the one-shot `renko()` (asserted in tests).
 """
 
 from __future__ import annotations
+
+import tempfile
+import warnings
 
 import numpy as np
 import pandas as pd
@@ -53,6 +72,13 @@ _STATE_FIELDS = [
     ("first_ts", T.TimestampType()),
 ]
 
+_STATE_COLS = [f"__st_{name}" for name, _ in _STATE_FIELDS]
+
+_STATE_SCHEMA = T.StructType(
+    [T.StructField("symbol", T.StringType())]
+    + [T.StructField(f"__st_{name}", dtype) for name, dtype in _STATE_FIELDS]
+)
+
 # bricks and the one state row share the applyInPandas output frame;
 # __is_state flags the state row.
 _PACKED_SCHEMA = T.StructType(
@@ -61,7 +87,24 @@ _PACKED_SCHEMA = T.StructType(
     + [T.StructField(f"__st_{name}", dtype) for name, dtype in _STATE_FIELDS]
 )
 
-_INT_COLS = ("volume", "direction", "is_reversal", "tick_index_open", "tick_index_close")
+_SLIM_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("__time", T.TimestampType()),
+        T.StructField("__price", T.DoubleType()),
+        T.StructField("__seq", T.LongType()),
+        T.StructField("__win", T.LongType()),
+    ]
+)
+
+
+def _empty_bricks(n_like: pd.DataFrame | None = None) -> pd.DataFrame:
+    cols = {c: [] for c in WIDE_COLUMN_NAMES}
+    res = pd.DataFrame(cols)
+    res["__is_state"] = pd.Series([], dtype="int64")
+    for c in _STATE_COLS:
+        res[c] = None
+    return res
 
 
 def renko_chunked(
@@ -73,111 +116,148 @@ def renko_chunked(
     time_col: str = "event_time",
     price_col: str = "close",
     drop_first: bool = True,
+    staging_dir: str | None = None,
 ) -> DataFrame:
     if brick_size is None or brick_size <= 0:
         raise ValueError("brick_size cannot be 'None' or '<= 0'")
     spark = ticks.sparkSession
 
+    # same null/NaN guard as renko(): the recurrence would silently
+    # absorb NaN into the wick state (int(abs_moved) raises on the
+    # scalar path); the filter sits on the scan so it pushes down.
     slim = ticks.select(
         F.col(symbol_col).cast("string").alias("symbol"),
         F.col(time_col).alias("__time"),
         F.col(price_col).cast("double").alias("__price"),
         F.monotonically_increasing_id().alias("__seq"),
-        F.window(F.col(time_col), window).start.alias("__win"),
+        F.unix_micros(F.window(F.col(time_col), window).start).alias("__win"),
+    ).filter(
+        F.col("__time").isNotNull() & F.col("__price").isNotNull() & ~F.isnan("__price")
     )
-    windows = [r[0] for r in slim.select("__win").distinct().orderBy("__win").collect()]
 
-    state: dict[str, tuple] = {}
-    chunks: list[DataFrame] = []
-    def make_run(_carried: dict):
-        def run(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values(["__time", "__seq"], kind="mergesort")
-            sym = pdf["symbol"].iloc[0]
-            times = pdf["__time"].to_numpy()
-            prices = pdf["__price"].to_numpy()
+    if staging_dir is None:
+        staging_dir = tempfile.mkdtemp(prefix="renko_chunked_stage_")
+    # ONE pass over the source; everything after reads the staged copy.
+    slim.write.mode("overwrite").partitionBy("__win").parquet(staging_dir)
+    staged = spark.read.schema(_SLIM_SCHEMA).parquet(staging_dir)
+    windows = sorted(r[0] for r in staged.select("__win").distinct().collect())
+    if not windows:
+        return spark.createDataFrame([], WIDE_SCHEMA)
 
-            st = _carried.get(sym)
-            if st is None:
-                anchor = grid_anchor(float(prices[0]), brick_size)
-                kstate = [anchor, 0, anchor, anchor, 1, 1]  # tick_open: global idx 1
-                next_seq, offset, first_ts = 0, 0, None
-                start = 1
-            else:
-                (lc, ld, wmin, wmax, vol, tick_open_g, next_seq, offset, first_ts) = st
-                # kernel works in window-local indexes; state keeps global
-                kstate = [lc, int(ld), wmin, wmax, int(vol), int(tick_open_g) - int(offset)]
-                start = 0
-
-            out = new_output()
-            if choose_scan(prices, brick_size):
-                scan_ticks_vectorized(times, prices, start, brick_size, kstate, out)
-            else:
-                scan_ticks(times, prices.tolist(), start, brick_size, kstate, out)
-
-            arrs = output_arrays(out)
-            # close time = closing tick's timestamp (indexes still local here)
-            res = {
-                "event_time": times[arrs["tick_index_close"]].astype("datetime64[us]")
-                if len(times)
-                else np.empty(0, dtype="datetime64[us]")
-            }
-            for name in WIDE_VALUE_COLUMNS:
-                res[name] = arrs[name]
-            res = pd.DataFrame(res)
-            if offset:
-                res["tick_index_open"] += offset
-                res["tick_index_close"] += offset
-
-            if len(res) and first_ts is None:
-                first_ts = res["event_time"].iloc[0]
-            if drop_first and first_ts is not None:
-                res = res[res["event_time"] != first_ts].reset_index(drop=True)
-
-            res.insert(0, "brick_seq", np.arange(int(next_seq), int(next_seq) + len(res), dtype=np.int64))
-            res.insert(0, "symbol", sym)
-            res = res[list(WIDE_COLUMN_NAMES)]
-            res["__is_state"] = 0
-            for name, _ in _STATE_FIELDS:
-                res[f"__st_{name}"] = None
-
-            strow = dict.fromkeys(res.columns)
-            strow.update(
-                symbol=sym,
-                __is_state=1,
-                __st_last_close=kstate[0],
-                __st_last_dir=kstate[1],
-                __st_wick_min=kstate[2],
-                __st_wick_max=kstate[3],
-                __st_volume=kstate[4],
-                __st_tick_open=kstate[5] + offset,  # back to global
-                __st_next_seq=int(next_seq) + len(res),
-                __st_tick_offset=offset + len(pdf),
-                __st_first_ts=first_ts,
+    def run(key, tick_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
+        sym = key[0]
+        if len(tick_pdf) == 0:
+            if len(state_pdf) == 0:
+                return _empty_bricks()
+            # symbol idle this window: re-emit carried state unchanged
+            strow = dict.fromkeys(
+                list(WIDE_COLUMN_NAMES) + ["__is_state"] + _STATE_COLS
             )
+            strow["symbol"] = sym
+            strow["__is_state"] = 1
+            for c in _STATE_COLS:
+                strow[c] = state_pdf[c].iloc[0]
+            return pd.DataFrame([strow])
+
+        pdf = tick_pdf.sort_values(["__time", "__seq"], kind="mergesort")
+        times = pdf["__time"].to_numpy()
+        prices = pdf["__price"].to_numpy()
+
+        if len(state_pdf) == 0:
+            anchor = grid_anchor(float(prices[0]), brick_size)
+            kstate = [anchor, 0, anchor, anchor, 1, 1]  # tick_open: global idx 1
+            next_seq, offset, first_ts = 0, 0, None
+            start = 1
+        else:
+            st = state_pdf.iloc[0]
+            offset = int(st["__st_tick_offset"])
+            next_seq = int(st["__st_next_seq"])
+            first_ts = st["__st_first_ts"]
+            if pd.isna(first_ts):
+                first_ts = None
+            # kernel works in window-local indexes; state keeps global
+            kstate = [
+                float(st["__st_last_close"]),
+                int(st["__st_last_dir"]),
+                float(st["__st_wick_min"]),
+                float(st["__st_wick_max"]),
+                int(st["__st_volume"]),
+                int(st["__st_tick_open"]) - offset,
+            ]
+            start = 0
+
+        out = new_output()
+        if choose_scan(prices, brick_size):
+            scan_ticks_vectorized(times, prices, start, brick_size, kstate, out)
+        else:
+            scan_ticks(times, prices.tolist(), start, brick_size, kstate, out)
+
+        arrs = output_arrays(out)
+        # close time = closing tick's timestamp (indexes still local here)
+        res = {
+            "event_time": times[arrs["tick_index_close"]].astype("datetime64[us]")
+            if len(times)
+            else np.empty(0, dtype="datetime64[us]")
+        }
+        for name in WIDE_VALUE_COLUMNS:
+            res[name] = arrs[name]
+        res = pd.DataFrame(res)
+        if offset:
+            res["tick_index_open"] += offset
+            res["tick_index_close"] += offset
+
+        if len(res) and first_ts is None:
+            first_ts = res["event_time"].iloc[0]
+        if drop_first and first_ts is not None:
+            res = res[res["event_time"] != first_ts].reset_index(drop=True)
+
+        res.insert(0, "brick_seq", np.arange(int(next_seq), int(next_seq) + len(res), dtype=np.int64))
+        res.insert(0, "symbol", sym)
+        res = res[list(WIDE_COLUMN_NAMES)]
+        res["__is_state"] = 0
+        for c in _STATE_COLS:
+            res[c] = None
+
+        strow = dict.fromkeys(res.columns)
+        strow.update(
+            symbol=sym,
+            __is_state=1,
+            __st_last_close=kstate[0],
+            __st_last_dir=kstate[1],
+            __st_wick_min=kstate[2],
+            __st_wick_max=kstate[3],
+            __st_volume=kstate[4],
+            __st_tick_open=kstate[5] + offset,  # back to global
+            __st_next_seq=int(next_seq) + len(res),
+            __st_tick_offset=offset + len(pdf),
+            __st_first_ts=first_ts,
+        )
+        with warnings.catch_warnings():
+            # the all-NA-column concat dtype change is immaterial here:
+            # Arrow casts to _PACKED_SCHEMA on the way out regardless
+            warnings.simplefilter("ignore", FutureWarning)
             return pd.concat([res, pd.DataFrame([strow])], ignore_index=True)
 
-        return run
-
+    state_df = spark.createDataFrame([], _STATE_SCHEMA)
+    chunks: list[DataFrame] = []
+    prev_state = None
     for win in windows:
+        wticks = staged.filter(F.col("__win") == F.lit(win)).drop("__win")
         part = (
-            slim.filter(F.col("__win") == F.lit(win))
-            .drop("__win")
-            .groupBy("symbol")
-            .applyInPandas(make_run(dict(state)), _PACKED_SCHEMA)
-            .cache()
+            wticks.groupBy("symbol")
+            .cogroup(state_df.groupBy("symbol"))
+            .applyInPandas(run, _PACKED_SCHEMA)
+            .persist()
         )
-        st_pdf = (
-            part.filter(F.col("__is_state") == 1)
-            .select("symbol", *[f"__st_{name}" for name, _ in _STATE_FIELDS])
-            .toPandas()
-        )
-        for row in st_pdf.itertuples(index=False):
-            vals = list(row)
-            state[vals[0]] = tuple(vals[1:])
+        new_state = part.filter(F.col("__is_state") == 1).select("symbol", *_STATE_COLS).persist()
+        # one job per window: materializes `part` (and the tiny state) so
+        # plan depth stays bounded and each window is computed exactly once
+        new_state.count()
+        if prev_state is not None:
+            prev_state.unpersist()
+        prev_state, state_df = state_df, new_state
         chunks.append(part.filter(F.col("__is_state") == 0).select(*WIDE_COLUMN_NAMES))
 
-    if not chunks:
-        return spark.createDataFrame([], WIDE_SCHEMA)
     out = chunks[0]
     for c in chunks[1:]:
         out = out.unionByName(c)

@@ -68,9 +68,11 @@ _BAND_STRUCTS = ", ".join(
 _MINHASH_ORACLE = f"""
 {_SHINGLE_CTE},
 sig AS (
+  -- len(sh) > 0 mirrors the Spark side: explode() of an empty shingle
+  -- array drops the doc, so sub-n-token docs have no signature row
   SELECT doc_id,
            {_SIG_EXPRS}
-  FROM shingled
+  FROM shingled WHERE len(sh) > 0
 ),
 bands AS (
   SELECT doc_id, unnest([{_BAND_STRUCTS}], recursive := true)
@@ -96,9 +98,11 @@ def dedup_minhash_lsh(spark, sf_dir):
 _JACCARD_ORACLE = f"""
 {_SHINGLE_CTE},
 sig AS (
+  -- len(sh) > 0 mirrors the Spark side: explode() of an empty shingle
+  -- array drops the doc, so sub-n-token docs have no signature row
   SELECT doc_id,
            {_SIG_EXPRS}
-  FROM shingled
+  FROM shingled WHERE len(sh) > 0
 ),
 bands AS (
   SELECT doc_id, unnest([{_BAND_STRUCTS}], recursive := true)

@@ -170,13 +170,24 @@ def rolling_3_order_avg(spark, sf_dir):
     "sketch_value_quantiles",
     oracle=None,  # approximate sketches are engine-specific; rows-only
     doc="approximate quantile sketch (percentile_approx / KLL-style) — "
-    "the scale path beside the exact percentiles of event_value_percentiles.",
+    "the scale path beside the exact percentiles of event_value_percentiles. "
+    "Sketch projected to scalar columns (q25..q99) so the gate's sort-based "
+    "canonicalization can handle the result (arrays are unhashable there).",
 )
 def sketch_value_quantiles(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.25, 0.5, 0.75, 0.99], 10000).alias("approx_quartiles"),
+    q = F.percentile_approx("value", [0.25, 0.5, 0.75, 0.99], 10000)
+    agg = ev.groupBy("event_type").agg(
+        q.alias("_qs"),
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("_qs")[0].alias("q25"),
+        F.col("_qs")[1].alias("q50"),
+        F.col("_qs")[2].alias("q75"),
+        F.col("_qs")[3].alias("q99"),
+        "approx_users",
     )
 
 

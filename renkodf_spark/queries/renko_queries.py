@@ -146,6 +146,23 @@ _RWS_VALUE_COLS = (
 
 
 @query(
+    "renko_chunked_wide",
+    oracle=build_renko_oracle_sql(_ORACLE_BRICK, _TICKS_SQL),
+    doc="memory-bounded chunked Renko (windowed stitching, O-13/O-14): "
+    "same wide table as renko_wide_bricks but computed in consecutive "
+    "event-time windows with the kernel state carried between them via a "
+    "cogrouped state DataFrame — one staged source scan, partition-pruned "
+    "per-window reads. Hash-matching the one-shot oracle proves the "
+    "stitching is bit-exact.",
+)
+def renko_chunked_wide(spark, sf_dir):
+    from renkodf_spark.operators.renko_chunked import renko_chunked
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return renko_chunked(ticks_from_events(spark, sf_dir), _ORACLE_BRICK, window="1 week")
+
+
+@query(
     "renko_state_export",
     oracle=f"""
     WITH wide AS ({build_renko_oracle_sql(_ORACLE_BRICK, _TICKS_SQL)}),

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from renkodf_spark.kernel import grid_anchor, new_output, output_arrays, scan_ticks, seed_row
@@ -145,13 +146,24 @@ def renko_stream(
             res = pd.concat([head, res], ignore_index=True)
         yield res[_OUT_COLUMNS]
 
-    slim = ticks.select(symbol_col, time_col, price_col)
+    slim = _clean_input(ticks, symbol_col, time_col, price_col)
     return slim.groupBy(symbol_col).applyInPandasWithState(
         process,
         outputStructType=STREAM_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf="NoTimeout",
+    )
+
+
+def _clean_input(ticks: DataFrame, symbol_col: str, time_col: str, price_col: str) -> DataFrame:
+    """Same null/NaN guard as batch renko(): NaN would silently poison
+    the wick min/max state (and raise in the scalar scan); filtering on
+    the projection keeps it at the source."""
+    return ticks.select(symbol_col, time_col, price_col).filter(
+        F.col(time_col).isNotNull()
+        & F.col(price_col).isNotNull()
+        & ~F.isnan(F.col(price_col).cast("double"))
     )
 
 
@@ -319,7 +331,7 @@ def renko_stream_animate(
         res = pd.concat(frames, ignore_index=True)
         yield res[[f.name for f in _FORMING_SCHEMA.fields]]
 
-    slim = ticks.select(symbol_col, time_col, price_col)
+    slim = _clean_input(ticks, symbol_col, time_col, price_col)
     return slim.groupBy(symbol_col).applyInPandasWithState(
         process,
         outputStructType=_FORMING_SCHEMA,

@@ -158,9 +158,14 @@ def ngram_jaccard_pairs(
         .select(
             "id_a",
             "id_b",
+            # NULL when both shingle sets are empty (|union| = 0): under
+            # ANSI mode a bare division aborts the whole job on one
+            # degenerate pair
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
+                F.try_divide(
+                    F.size(F.array_intersect("sh_a", "sh_b")),
+                    F.size(F.array_union("sh_a", "sh_b")),
+                ),
                 round_digits,
             ).alias("jaccard"),
         )

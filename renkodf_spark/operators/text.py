@@ -54,15 +54,17 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     n_chars = F.length(F.col(text_col))
     punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
     stop = sum([_count_word(text_col, w) for w in LANG_MARKERS["en"]])
+    # try_divide: empty text has n_chars = 0 (n_words is >= 1 because
+    # split('') yields ['']); a bare division would abort under ANSI mode
     return df.select(
         F.col(id_col),
         n_chars.alias("n_chars_m"),
         n_words.alias("n_words"),
         F.round((n_chars - n_words + 1) / n_words, 4).alias("avg_word_len"),
-        F.round(punct / n_chars, 4).alias("punct_ratio"),
+        F.round(F.try_divide(punct, n_chars), 4).alias("punct_ratio"),
         F.round(stop / n_words, 4).alias("stopword_ratio"),
         F.when(n_words < 5, "too_short")
-        .when(punct / n_chars > 0.1, "punct_heavy")
+        .when(F.try_divide(punct, n_chars) > 0.1, "punct_heavy")
         .otherwise("keep")
         .alias("quality_bucket"),
     )

@@ -29,7 +29,9 @@ HEADLINE = [
     "user_sessions",
     "asof_purchase_before_click",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "similarity_cosine_topk",
+    "similarity_lsh_ann_topk",
     "text_quality",
     "tumbling_event_windows",
 ]

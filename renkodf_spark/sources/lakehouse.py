@@ -1,13 +1,137 @@
-"""Lakehouse-format connectors (Delta / Iceberg / Hudi), gated behind
-import-try: their jars are not on this image's classpath (per the
-environment contract), so these helpers either delegate to the real
-readers when available or fail with a precise, actionable error instead
-of an opaque ClassNotFoundException mid-job.
+"""Lakehouse-style table management.
+
+Two layers:
+
+1. `VersionedTable` — a real, dependency-free snapshot layer over plain
+   parquet: every write lands in a new ``v=N`` directory and readers
+   resolve the latest *committed* version (Spark's ``_SUCCESS`` marker),
+   so concurrent readers never observe a half-written snapshot and old
+   versions remain queryable (time travel). This is the subset of
+   Delta/Iceberg semantics a single-writer pipeline needs — checkpoint
+   outputs, reproducible training-data snapshots — implemented with the
+   Hadoop FileSystem API, so it works unchanged on HDFS/S3A paths on a
+   real cluster. Explicit non-goals (use a real table format for these):
+   multi-writer commit arbitration, row-level deletes, schema evolution
+   tracking.
+
+2. Import-gated Delta / Iceberg / Hudi readers: their jars are not on
+   this image's classpath (per the environment contract), so these
+   delegate to the real readers when available and fail with a precise,
+   actionable error instead of an opaque ClassNotFoundException mid-job.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+class VersionedTable:
+    """Snapshot-versioned parquet table rooted at ``path``.
+
+    Layout: ``{path}/v={N}/part-*.parquet`` (+ Spark's ``_SUCCESS``).
+    A version is *committed* iff its ``_SUCCESS`` marker exists; readers
+    resolve ``latest_version()`` over committed versions only.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+
+    # ------------------------------------------------------------ catalog
+
+    def _version_dirs(self, committed_only: bool) -> list[int]:
+        fs, root, jvm = _fs(self.spark, self.path)
+        if not fs.exists(root):
+            return []
+        out = []
+        for status in fs.listStatus(root):
+            name = status.getPath().getName()
+            if status.isDirectory() and name.startswith("v="):
+                try:
+                    n = int(name[2:])
+                except ValueError:
+                    continue
+                marker = jvm.org.apache.hadoop.fs.Path(status.getPath(), "_SUCCESS")
+                if not committed_only or fs.exists(marker):
+                    out.append(n)
+        return sorted(out)
+
+    def versions(self) -> list[int]:
+        """Committed version numbers, ascending."""
+        return self._version_dirs(committed_only=True)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _version_path(self, version: int) -> str:
+        return f"{self.path}/v={version}"
+
+    # ------------------------------------------------------------ write
+
+    def write(
+        self,
+        df: DataFrame,
+        *,
+        partition_by: list[str] | None = None,
+        max_records_per_file: int | None = None,
+    ) -> int:
+        """Write ``df`` as the next snapshot; returns the new version.
+
+        The snapshot only becomes visible once Spark's output commit
+        finishes (``_SUCCESS``), so a crashed write leaves an orphan
+        directory that readers skip — never a torn table. Single-writer
+        protocol: two concurrent writers could race for the same N
+        (a real table format's commit log is the fix at that point).
+
+        Version allocation looks at ALL ``v=N`` dirs (committed or not)
+        so a crashed write's orphan never collides with the next one."""
+        existing = self._version_dirs(committed_only=False)
+        version = 0 if not existing else existing[-1] + 1
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.parquet(self._version_path(version))
+        return version
+
+    # ------------------------------------------------------------ read
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Latest committed snapshot, or time-travel to ``version``."""
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise FileNotFoundError(f"no committed versions under {self.path}")
+        elif version not in self.versions():
+            raise FileNotFoundError(
+                f"version {version} is not committed under {self.path} "
+                f"(have: {self.versions()})"
+            )
+        return self.spark.read.parquet(self._version_path(version))
+
+    # ------------------------------------------------------------ retention
+
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Drop all but the last ``keep_last`` committed snapshots (and
+        any uncommitted orphans older than the oldest kept version).
+        Returns the versions removed."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self.versions()
+        doomed = vs[:-keep_last]
+        fs, _, jvm = _fs(self.spark, self.path)
+        for v in doomed:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(self._version_path(v)), True)
+        return doomed
 
 
 def _format_available(spark: SparkSession, fmt: str, probe_class: str) -> bool:

@@ -87,6 +87,23 @@ def main():
     import renkodf_spark.queries as q
 
     builders = q.queries()
+
+    # Warm-up: spin up executor threads, Python workers (Arrow path),
+    # and whole-stage codegen before the timed loop — cold-start cost is
+    # a property of the session, not of any operator, and at sf0.001 it
+    # dominated the first timed query ~15x.
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    spark.range(1_000).select(F.sum("id")).collect()
+    (
+        spark.range(1_000)
+        .withColumn("g", F.col("id") % 8)
+        .groupBy("g")
+        .applyInPandas(lambda pdf: pd.DataFrame({"n": [len(pdf)]}), "n long")
+        .collect()
+    )
+
     timings = {}
     for name in HEADLINE:
         t0 = time.perf_counter()

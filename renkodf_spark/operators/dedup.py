@@ -135,6 +135,79 @@ def minhash_lsh_pairs(
     )
 
 
+def cluster_labels(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_rounds: int = 15,
+) -> DataFrame:
+    """Connected components over candidate near-dup pairs: every doc
+    gets a ``cluster_id`` = the minimum doc id reachable through the
+    pair graph (docs in no pair are their own singleton cluster). This
+    is the *apply* stage of dedup-at-scale: keep one canonical doc per
+    cluster (``id == cluster_id``), drop the rest.
+
+    Algorithm: iterative min-label propagation with pointer jumping —
+    each round takes the min over (own label, neighbors' labels,
+    label-of-label), which converges in O(log diameter) rounds instead
+    of O(diameter) for plain propagation. Near-dup clusters are
+    shallow, so this terminates in 2-3 rounds in practice; the loop is
+    a driver-side `while changed` over DataFrame ops (labels are one
+    row per doc; each round is two shuffles on the id key). Rounds are
+    localCheckpoint'd so lineage stays O(1) per round.
+    """
+    ids = docs.select(F.col(id_col).alias("id"))
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    labels = ids.select("id", F.col("id").alias("cluster_id")).localCheckpoint(eager=False)
+
+    for _ in range(max_rounds):
+        # min over neighbors' current labels
+        neigh = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("cluster_id").alias("cand"))
+        )
+        # pointer jump: label of my current label
+        jump = (
+            labels.alias("l")
+            .join(
+                labels.select(
+                    F.col("id").alias("cluster_id"), F.col("cluster_id").alias("jcand")
+                ),
+                "cluster_id",
+            )
+            .select("id", "jcand")
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .join(jump, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce("cand", F.col("cluster_id")),
+                    F.coalesce("jcand", F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,

@@ -89,15 +89,30 @@ class RenkoLive:
 
     # -- ingestion ---------------------------------------------------
 
-    def add_prices(self, ws_timestamp: int, ws_price: float) -> None:
-        """Feed one price; append 0..k completed bricks
-        (reference add_prices, renkodf.py:513-690 — without its
-        `gap_tolerance` array cap, which raises IndexError past 200
-        bricks per event)."""
+    def add_prices(self, ws_timestamp: int, ws_price: float, gap_tolerance: int = 200) -> None:
+        """Feed one price; append 0..k completed bricks (reference
+        add_prices, renkodf.py:513-690).
+
+        ``gap_tolerance`` enforces the reference's per-event brick cap
+        (renkodf.py:541-542: pre-allocated arrays of that length, so a
+        single tick gapping more than `gap_tolerance` bricks raises
+        IndexError there). Same contract here — a memory guard against a
+        malicious/bogus tick — with two deliberate differences: the
+        check runs before any state is committed (the reference's
+        internal state is left part-advanced on overflow), and passing
+        ``gap_tolerance=None`` disables the cap (buffers grow)."""
         self._ws_timestamp = int(ws_timestamp)
         self._ws_price = float(ws_price)
         out = new_output()
-        scan_ticks([int(ws_timestamp)], [float(ws_price)], 0, self._brick_size, self._state, out)
+        state = list(self._state)
+        scan_ticks([int(ws_timestamp)], [float(ws_price)], 0, self._brick_size, state, out)
+        if gap_tolerance is not None and len(out["event_time"]) > gap_tolerance:
+            raise IndexError(
+                f"single event at price {ws_price} emits {len(out['event_time'])} "
+                f"bricks > gap_tolerance={gap_tolerance} (reference parity, "
+                "renkodf.py:541-550); pass a larger gap_tolerance or None"
+            )
+        self._state[:] = state
         if out["event_time"]:
             self._buf["timestamp"].extend(out["event_time"])
             for c in _LIVE_COLUMNS:

@@ -21,7 +21,7 @@ Design notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -89,18 +89,21 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+DEFAULT_MAX_BUCKET = 1000
+
+
+def _band_keys(
     df: DataFrame,
     *,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 16,
-    band_size: int = 2,
-    shingle_n: int = 3,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    band_size: int,
+    shingle_n: int,
+    max_bucket_size: int | None,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via LSH banding: docs agreeing on
-    all hashes of any band collide. Output: distinct (id_a, id_b),
-    id_a < id_b."""
+    """(id, band, key) rows, one per doc per band, with the hot-bucket
+    guard applied (see minhash_lsh_pairs)."""
     assert num_hashes % band_size == 0
     n_bands = num_hashes // band_size
     # cache: the signature subtree feeds both sides of the self-join and
@@ -125,6 +128,84 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket_size is not None:
+        # Hot-bucket guard: a degenerate corpus (millions of identical
+        # docs) puts them all in the same band bucket, making the
+        # self-join O(n^2) in the bucket. Keep the max_bucket_size
+        # smallest ids per (band, key) — deterministic, so the DuckDB
+        # oracle replays it with QUALIFY row_number() — bounding the
+        # join fan-out at C(cap, 2) per bucket. Dropped docs are still
+        # exact-duplicates of a kept doc by construction (identical
+        # signatures), so exact_dedup catches them; near-dup recall
+        # loss only starts past the cap. NOT silent: the cap is a
+        # visible parameter and lsh_bucket_stats() reports the true
+        # bucket sizes for monitoring.
+        w = Window.partitionBy("band", "key").orderBy("id")
+        bands = (
+            bands.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= max_bucket_size)
+            .drop("__rk")
+        )
+    return bands
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Observability for the hot-bucket guard: per-band max/avg bucket
+    size and the count of buckets that would overflow DEFAULT_MAX_BUCKET.
+    Run this on a corpus sample before a big dedup job to choose
+    max_bucket_size (the 'no silent caps' rule cuts both ways)."""
+    bands = _band_keys(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        shingle_n=shingle_n,
+        max_bucket_size=None,
+    )
+    sizes = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bucket_size"))
+    return sizes.groupBy("band").agg(
+        F.max("bucket_size").alias("max_bucket"),
+        F.round(F.avg("bucket_size"), 2).alias("avg_bucket"),
+        F.sum((F.col("bucket_size") > DEFAULT_MAX_BUCKET).cast("long")).alias("n_over_default_cap"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding: docs agreeing on
+    all hashes of any band collide. Output: distinct (id_a, id_b),
+    id_a < id_b.
+
+    ``max_bucket_size`` caps each (band, key) bucket at the N smallest
+    doc ids before the self-join (default 1000 -> worst-case ~500k
+    comparisons per bucket instead of O(n^2)); pass None for the exact
+    un-capped pairing. See _band_keys for why this is safe for dedup."""
+    bands = _band_keys(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        shingle_n=shingle_n,
+        max_bucket_size=max_bucket_size,
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -156,6 +237,12 @@ def cluster_labels(
     a driver-side `while changed` over DataFrame ops (labels are one
     row per doc; each round is two shuffles on the id key). Rounds are
     localCheckpoint'd so lineage stays O(1) per round.
+
+    If the fixpoint is not reached within ``max_rounds``, a
+    RuntimeWarning is emitted: the returned labels would under-merge
+    (downstream dedup would keep docs that belong to an already-
+    canonicalized cluster), so callers should raise ``max_rounds``
+    rather than ignore it.
     """
     ids = docs.select(F.col(id_col).alias("id"))
     edges = (
@@ -205,6 +292,16 @@ def cluster_labels(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"cluster_labels: label propagation did not converge within "
+            f"{max_rounds} rounds ({changed} labels still changing) — "
+            f"returned clusters are partially merged; raise max_rounds",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

@@ -26,8 +26,14 @@ Scale posture (the reason this operator exists):
 - The recurrence is inherently sequential per symbol, so windows run in
   sequence; the cluster still parallelizes across symbols within every
   window, and executor memory is bounded by the window's tick count per
-  symbol. Each window is materialized (persist + count on the tiny state
-  side) so plan depth stays O(1) per window, not O(W) at the end.
+  symbol. Each window's bricks and carry state are localCheckpoint'd
+  (one job per window) so plan depth stays O(1) per window, the cogroup
+  runs exactly once, and the window's persisted partitions are released
+  immediately after.
+- Bounded cleanup. Staging writes land in a fresh ``stage_*``
+  subdirectory of ``staging_dir`` (never clobbering caller data) and
+  the whole staged copy is deleted before returning — the checkpointed
+  bricks no longer reference it. Nothing accumulates across calls.
 
 On a real cluster pass ``staging_dir`` on a shared filesystem (S3/HDFS);
 the default is a driver-local temp dir, correct for local mode.
@@ -38,6 +44,7 @@ Output is bit-identical to the one-shot `renko()` (asserted in tests).
 from __future__ import annotations
 
 import tempfile
+import uuid
 import warnings
 
 import numpy as np
@@ -135,14 +142,35 @@ def renko_chunked(
         F.col("__time").isNotNull() & F.col("__price").isNotNull() & ~F.isnan("__price")
     )
 
-    if staging_dir is None:
+    own_tmp = staging_dir is None
+    if own_tmp:
         staging_dir = tempfile.mkdtemp(prefix="renko_chunked_stage_")
+    # unique subdir: a caller-supplied staging_dir is never clobbered and
+    # concurrent runs can share one staging root
+    stage_path = f"{staging_dir.rstrip('/')}/stage_{uuid.uuid4().hex}"
     # ONE pass over the source; everything after reads the staged copy.
-    slim.write.mode("overwrite").partitionBy("__win").parquet(staging_dir)
-    staged = spark.read.schema(_SLIM_SCHEMA).parquet(staging_dir)
-    windows = sorted(r[0] for r in staged.select("__win").distinct().collect())
-    if not windows:
-        return spark.createDataFrame([], WIDE_SCHEMA)
+    slim.write.mode("errorifexists").partitionBy("__win").parquet(stage_path)
+    try:
+        staged = spark.read.schema(_SLIM_SCHEMA).parquet(stage_path)
+        windows = sorted(r[0] for r in staged.select("__win").distinct().collect())
+        if not windows:
+            return spark.createDataFrame([], WIDE_SCHEMA)
+        return _run_windows(spark, staged, windows, brick_size, drop_first)
+    finally:
+        _delete_path(spark, stage_path)
+        if own_tmp:
+            _delete_path(spark, staging_dir)
+
+
+def _delete_path(spark, path: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API, so cleanup
+    works for any scheme (local, HDFS, S3A) the staging dir lives on."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    hpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(hpath, True)
+
+
+def _run_windows(spark, staged, windows, brick_size: float, drop_first: bool) -> DataFrame:
 
     def run(key, tick_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
         sym = key[0]
@@ -240,7 +268,6 @@ def renko_chunked(
 
     state_df = spark.createDataFrame([], _STATE_SCHEMA)
     chunks: list[DataFrame] = []
-    prev_state = None
     for win in windows:
         wticks = staged.filter(F.col("__win") == F.lit(win)).drop("__win")
         part = (
@@ -249,14 +276,23 @@ def renko_chunked(
             .applyInPandas(run, _PACKED_SCHEMA)
             .persist()
         )
-        new_state = part.filter(F.col("__is_state") == 1).select("symbol", *_STATE_COLS).persist()
-        # one job per window: materializes `part` (and the tiny state) so
-        # plan depth stays bounded and each window is computed exactly once
-        new_state.count()
-        if prev_state is not None:
-            prev_state.unpersist()
-        prev_state, state_df = state_df, new_state
-        chunks.append(part.filter(F.col("__is_state") == 0).select(*WIDE_COLUMN_NAMES))
+        # localCheckpoint materializes bricks + carry state (computing the
+        # cogroup exactly once, from the persisted `part`) and severs their
+        # lineage from both the cogroup and the staged files — so the
+        # window's cache is released right here and the staged copy can be
+        # deleted before the caller ever materializes the union.
+        bricks = (
+            part.filter(F.col("__is_state") == 0)
+            .select(*WIDE_COLUMN_NAMES)
+            .localCheckpoint(eager=True)
+        )
+        state_df = (
+            part.filter(F.col("__is_state") == 1)
+            .select("symbol", *_STATE_COLS)
+            .localCheckpoint(eager=True)
+        )
+        part.unpersist()
+        chunks.append(bricks)
 
     out = chunks[0]
     for c in chunks[1:]:

@@ -21,32 +21,40 @@ from renkodf_spark.queries import relational2  # noqa: F401
 from renkodf_spark.queries import renko_queries  # noqa: F401
 from renkodf_spark.queries import pipeline  # noqa: F401
 
-# Gate-window priority (see module docstring). Names not listed keep
+# Gate-window priority (see module docstring). Round-3 rotation policy
+# (ADVICE r2): every query whose code changed this round or that lacks a
+# round-2 row comes first; the 18 queries rotated out all have green
+# CORRECTNESS_r02 rows, so after this round every registered query has a
+# green row dated within the last two rounds. Names not listed keep
 # their module registration order after these.
 _PRIORITY = [
-    # -- never gated in round 1: LLM-pipeline family (12)
-    "dedup_exact",
+    # -- 16 relational queries whose only green rows are from round 1
+    "segment_buyers",
+    "customer_order_stats",
+    "cube_order_status_priority",
+    "except_unordered_parts",
+    "distinct_segment_nation",
+    "part_string_features",
+    "monthly_order_stats",
+    "acctbal_buckets",
+    "sliding_event_windows",
+    "orders_near_max",
+    "suppliers_shipping_late",
+    "union_all_actors",
+    "top_words",
+    "largest_order_per_customer",
+    "rolling_3_order_avg",
+    "part_name_normalized",
+    # -- changed this round (oracle typing fix / hot-bucket cap /
+    #    format column / staging lifecycle) or brand new
+    "renko_summary_stats",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "similarity_cosine_topk",
-    "similarity_blocked_neardup",
-    "similarity_lsh_ann_topk",
-    "text_lang_id",
-    "text_quality",
-    "text_token_counts",
-    "text_fingerprint",
+    "dedup_cluster_labels",
     "multimodal_image_meta",
-    # -- never gated in round 1: renko tail (3)
-    "time_bars_hourly",
-    "renko_summary_stats",
-    "renko_state_export",
-    # -- new this round
+    "multimodal_real_headers",
     "renko_chunked_wide",
-    # -- fixed this round, need fresh rows
-    "user_sessions",
-    "sketch_value_quantiles",
-    # -- the core renko surface (green r1, kept in-window: it's the product)
+    # -- the core renko surface (kept in-window: it's the product)
     "renko_wide_bricks",
     "renko_wicks_projected",
     "renko_normal",
@@ -57,7 +65,9 @@ _PRIORITY = [
     "renko_fake_r_wicks",
     "renko_fake_r_nongap",
     "renko_small_brick_smoke",
-    # -- one representative per relational category (green r1)
+    "renko_state_export",
+    "time_bars_hourly",
+    # -- relational/category representatives (green r2, kept fresh)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
@@ -68,18 +78,11 @@ _PRIORITY = [
     "grouping_sets_events",
     "pivot_event_values",
     "unpivot_order_flags",
-    "intersect_buyers_positive_bal",
-    "event_value_percentiles",
-    "approx_distinct_users",
+    "user_sessions",
     "top3_orders_per_customer",
     "running_order_total",
     "event_gaps",
-    "customers_without_orders",
-    "nation_full_outer_activity",
     "ts_conversions",
-    "props_json_extract",
-    "lineitem_top20_price",
-    "events_time_slice",
 ]
 
 _rest = [n for n in REGISTRY if n not in set(_PRIORITY)]

@@ -18,6 +18,7 @@ NUM_HASHES = 16
 BAND_SIZE = 2
 SHINGLE_N = 3
 SIMHASH_BITS = 16
+MAX_BUCKET = 1000  # = dedup.DEFAULT_MAX_BUCKET, mirrored in the oracles
 
 
 def _docs(spark, sf_dir):
@@ -65,7 +66,9 @@ _BAND_STRUCTS = ", ".join(
     for b in range(NUM_HASHES // BAND_SIZE)
 )
 
-_MINHASH_ORACLE = f"""
+# shared CTE chain: shingles -> signatures -> bands (hot-bucket capped,
+# exactly mirroring the operator's deterministic guard) -> candidate pairs
+_PAIRS_CTES = f"""
 {_SHINGLE_CTE},
 sig AS (
   -- len(sh) > 0 mirrors the Spark side: explode() of an empty shingle
@@ -74,14 +77,21 @@ sig AS (
            {_SIG_EXPRS}
   FROM shingled WHERE len(sh) > 0
 ),
-bands AS (
+bands_all AS (
   SELECT doc_id, unnest([{_BAND_STRUCTS}], recursive := true)
   FROM sig
-)
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-WHERE a.doc_id < b.doc_id
-"""
+),
+bands AS (
+  SELECT doc_id, band, key FROM bands_all
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY doc_id) <= {MAX_BUCKET}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+)"""
+
+_MINHASH_ORACLE = f"{_PAIRS_CTES}\nSELECT id_a, id_b FROM pairs"
 
 
 @query(
@@ -96,23 +106,7 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 _JACCARD_ORACLE = f"""
-{_SHINGLE_CTE},
-sig AS (
-  -- len(sh) > 0 mirrors the Spark side: explode() of an empty shingle
-  -- array drops the doc, so sub-n-token docs have no signature row
-  SELECT doc_id,
-           {_SIG_EXPRS}
-  FROM shingled WHERE len(sh) > 0
-),
-bands AS (
-  SELECT doc_id, unnest([{_BAND_STRUCTS}], recursive := true)
-  FROM sig
-),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-  WHERE a.doc_id < b.doc_id
-)
+{_PAIRS_CTES}
 SELECT p.id_a, p.id_b,
        ROUND(len(list_intersect(sa.sh, sb.sh))::DOUBLE
              / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
@@ -130,6 +124,43 @@ def dedup_ngram_jaccard(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     pairs = dedup.minhash_lsh_pairs(docs, num_hashes=NUM_HASHES, band_size=BAND_SIZE, shingle_n=SHINGLE_N)
     return dedup.ngram_jaccard_pairs(docs, pairs, shingle_n=SHINGLE_N)
+
+
+# connected components as a recursive min-label walk: walk(id, node)
+# enumerates every node reachable from id through the symmetric pair
+# graph; cluster_id = MIN(reachable node). Components from LSH pairs are
+# shallow, so the transitive closure stays small at gate scale.
+_CLUSTER_ORACLE = (
+    _PAIRS_CTES.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """,
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk(id, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT id, MIN(node) AS cluster_id FROM walk GROUP BY id
+"""
+)
+
+
+@query(
+    "dedup_cluster_labels",
+    oracle=_CLUSTER_ORACLE,
+    doc="connected components over LSH candidate pairs (pointer-jumping "
+    "min-label propagation) — the apply stage of dedup-at-scale; oracle "
+    "is a DuckDB recursive-CTE transitive closure (VERDICT r2 item 7).",
+)
+def dedup_cluster_labels(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=NUM_HASHES, band_size=BAND_SIZE, shingle_n=SHINGLE_N
+    )
+    return dedup.cluster_labels(docs, pairs)
 
 
 _BITSUM = ",\n         ".join(
@@ -347,6 +378,7 @@ def text_fingerprint(spark, sf_dir):
 _MM_ORACLE = """
 SELECT doc_id AS media_id, 'image/fake' AS media_type,
        octet_length(encode(text)) AS n_bytes, md5(text) AS digest,
+       'unknown' AS format,
        ('0x' || substr(md5(text), 1, 2))::BIGINT + 1 AS width,
        ('0x' || substr(md5(text), 3, 2))::BIGINT + 1 AS height
 FROM documents
@@ -356,8 +388,35 @@ FROM documents
 @query(
     "multimodal_image_meta",
     oracle=_MM_ORACLE,
-    doc="binary media plumbing: mapInPandas metadata extraction (decode stubbed, SURVEY north star).",
+    doc="binary media plumbing: mapInPandas metadata extraction over "
+    "text-as-bytes payloads (the format='unknown' fallback path).",
 )
 def multimodal_image_meta(spark, sf_dir):
     media = multimodal.documents_as_media(_docs(spark, sf_dir))
     return multimodal.decode_image_meta(media)
+
+
+# Real header parsing: synthetic PNG/GIF/BMP/JPEG payloads built from the
+# doc_id arithmetic (operators/multimodal.py synthetic_media); the oracle
+# recomputes the expected (format, width, height) WITHOUT parsing bytes,
+# so a parser bug cannot cancel out.
+_MM_HEADERS_ORACLE = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                       WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format,
+       (doc_id % 200 + 1)::BIGINT AS width,
+       (doc_id * 7 % 200 + 1)::BIGINT AS height
+FROM documents
+"""
+
+
+@query(
+    "multimodal_real_headers",
+    oracle=_MM_HEADERS_ORACLE,
+    doc="pure-struct PNG/GIF/BMP/JPEG dimension extraction from real "
+    "header bytes (VERDICT r2 item 5).",
+)
+def multimodal_real_headers(spark, sf_dir):
+    media = multimodal.synthetic_media(_docs(spark, sf_dir))
+    meta = multimodal.decode_image_meta(media)
+    return meta.select("media_id", "format", "width", "height")

@@ -118,8 +118,9 @@ def time_bars_hourly(spark, sf_dir):
     "renko_summary_stats",
     oracle=f"""
     WITH wide AS ({build_renko_oracle_sql(_ORACLE_BRICK, _TICKS_SQL)})
-    SELECT symbol, COUNT(*) AS n_bricks, SUM(is_reversal) AS n_reversals,
-           SUM(volume) AS ticks_attributed,
+    SELECT symbol, COUNT(*) AS n_bricks,
+           CAST(SUM(is_reversal) AS BIGINT) AS n_reversals,
+           CAST(SUM(volume) AS BIGINT) AS ticks_attributed,
            ROUND(MIN(low), 4) AS min_low, ROUND(MAX(high), 4) AS max_high
     FROM wide GROUP BY symbol
     """,

@@ -121,17 +121,28 @@ class VersionedTable:
     # ------------------------------------------------------------ retention
 
     def vacuum(self, keep_last: int = 2) -> list[int]:
-        """Drop all but the last ``keep_last`` committed snapshots (and
-        any uncommitted orphans older than the oldest kept version).
+        """Drop all but the last ``keep_last`` committed snapshots, plus
+        any uncommitted orphan dirs (crashed writes: ``v=N`` without
+        ``_SUCCESS``) older than the oldest kept committed version — so
+        orphans can't accumulate forever or inflate version allocation.
+        Newer orphans are kept: one could be a write in flight.
         Returns the versions removed."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         vs = self.versions()
-        doomed = vs[:-keep_last]
+        doomed = set(vs[:-keep_last])
+        oldest_kept = vs[-keep_last] if len(vs) >= keep_last else None
+        if oldest_kept is not None:
+            committed = set(vs)
+            doomed.update(
+                v
+                for v in self._version_dirs(committed_only=False)
+                if v not in committed and v < oldest_kept
+            )
         fs, _, jvm = _fs(self.spark, self.path)
-        for v in doomed:
+        for v in sorted(doomed):
             fs.delete(jvm.org.apache.hadoop.fs.Path(self._version_path(v)), True)
-        return doomed
+        return sorted(doomed)
 
 
 def _format_available(spark: SparkSession, fmt: str, probe_class: str) -> bool:

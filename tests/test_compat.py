@@ -41,6 +41,35 @@ def test_compat_to_rws_roundtrip(reference_renko):
         np.testing.assert_array_equal(b[c].to_numpy(), a[c].to_numpy(), err_msg=c)
 
 
+def test_compat_gap_tolerance_parity(reference_renko):
+    """VERDICT r2 item 8: the reference caps bricks-per-event at
+    gap_tolerance (pre-allocated arrays, renkodf.py:541-550) and raises
+    IndexError on a larger gap; the compat layer must honor the same
+    contract instead of silently accepting the argument."""
+    t0 = 1_700_000_000_000_000
+    # ~300-brick gap: seed at 10.0, one tick at 320.0 with brick 1.0
+    ref = reference_renko.RenkoWS(t0, 10.0, 1.0)
+    with pytest.raises(IndexError):
+        ref.add_prices(t0 + 1, 320.0)
+    ours = RenkoWS(t0, 10.0, 1.0)
+    with pytest.raises(IndexError):
+        ours.add_prices(t0 + 1, 320.0)
+
+    # a raised tolerance admits the gap in both engines, with equal bricks
+    ref2 = reference_renko.RenkoWS(t0, 10.0, 1.0)
+    ref2.add_prices(t0 + 1, 320.0, gap_tolerance=400)
+    ours2 = RenkoWS(t0, 10.0, 1.0)
+    ours2.add_prices(t0 + 1, 320.0, gap_tolerance=400)
+    a, b = ref2.renko_df(), ours2.renko_df()
+    assert len(a) == len(b) > 300
+    for c in a.columns:
+        np.testing.assert_array_equal(b[c].to_numpy(), a[c].to_numpy(), err_msg=c)
+    # ours: cap disabled entirely with None (documented deliberate extra)
+    ours3 = RenkoWS(t0, 10.0, 1.0)
+    ours3.add_prices(t0 + 1, 320.0, gap_tolerance=None)
+    assert len(ours3.renko_df()) == len(a)
+
+
 def test_compat_validation_errors():
     with pytest.raises(ValueError):
         Renko(pd.DataFrame({"close": [1.0]}), 0)

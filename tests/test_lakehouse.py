@@ -67,6 +67,35 @@ def test_vacuum_retention(spark, tmp_path):
         t.read(version=0)
 
 
+def test_vacuum_removes_old_orphans_keeps_fresh(spark, tmp_path):
+    """ADVICE r2: crashed-write orphans older than the oldest kept
+    committed version must be vacuumed (else they accumulate forever and
+    inflate version allocation); orphans newer than it — potentially a
+    write in flight — must survive."""
+    root = tmp_path / "tbl"
+    t = VersionedTable(spark, str(root))
+    for i in range(4):
+        t.write(spark.range(i + 1))  # committed v=0..3
+    # old orphan between committed versions (crashed write, no _SUCCESS)
+    old_orphan = root / "v=1"
+    spark_files = list(old_orphan.iterdir())
+    assert spark_files  # v=1 is committed; turn it into an orphan
+    (old_orphan / "_SUCCESS").unlink()
+    # fresh orphan past the newest committed version (write in flight)
+    fresh = root / "v=9"
+    fresh.mkdir()
+    (fresh / "part-00000.parquet").write_bytes(b"torn")
+
+    assert t.versions() == [0, 2, 3]
+    assert t.vacuum(keep_last=2) == [0, 1]
+    assert t.versions() == [2, 3]
+    assert not old_orphan.exists()
+    assert fresh.exists()
+    # version allocation no longer sees the vacuumed orphan but still
+    # skips past the fresh one
+    assert t.write(spark.range(1)) == 10
+
+
 def test_delta_gate_raises_actionable(spark):
     with pytest.raises(ImportError, match="delta-spark"):
         read_delta(spark, "/tmp/nonexistent")

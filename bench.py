@@ -130,7 +130,9 @@ def scale_block(spark, rep: int) -> dict:
         )
     )
     t0 = time.perf_counter()
-    out["dedup_minhash_lsh_rows"] = materialize(minhash_lsh_pairs(docs))
+    # explicit cap = the declared adversarial-scale posture (operator
+    # default is None since ADVICE r3); keeps r3-comparable numbers
+    out["dedup_minhash_lsh_rows"] = materialize(minhash_lsh_pairs(docs, max_bucket_size=1000))
     out["dedup_minhash_lsh_sec"] = round(time.perf_counter() - t0, 3)
     out["docs_rows"] = docs.count()
     return out

@@ -289,6 +289,34 @@ def test_lsh_hot_bucket_cap_bounds_degenerate_corpus(spark):
         assert r["n_over_default_cap"] == 1
 
 
+def test_lsh_hot_bucket_cap_loses_neardup_recall(spark):
+    """ADVICE r3: the hot-bucket cap is a recall/cost tradeoff, not a
+    free bound — docs in one (band, key) bucket agree only on that
+    band's hashes, so in a hot bucket of templated NEAR-dups (all texts
+    distinct) docs past the cap silently lose candidate pairs that
+    exact_dedup cannot recover. This pins (a) that the loss is real and
+    (b) that the un-capped default returns the full pairing — the
+    reason the cap is opt-in."""
+    template = " ".join(f"w{i}" for i in range(50))
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(template + " uniq"), F.col("id")).alias("text"),
+    )
+    # every pair shares the template-dominated band buckets
+    uncapped = dedup.minhash_lsh_pairs(docs)  # default: no cap
+    assert uncapped.count() == 200 * 199 // 2
+
+    capped = dedup.minhash_lsh_pairs(docs, max_bucket_size=10)
+    ids_with_pairs = {
+        r[0]
+        for r in capped.select(F.explode(F.array("id_a", "id_b"))).distinct().collect()
+    }
+    lost = set(range(200)) - ids_with_pairs
+    assert len(lost) >= 150, "cap should drop most docs from all buckets here"
+    # and exact dedup does NOT catch them: all texts are distinct
+    assert dedup.exact_dedup(docs).filter(F.col("n_dupes") > 1).count() == 0
+
+
 # ---------------------------------------------------------------- multimodal
 
 

@@ -25,20 +25,29 @@ def time_bars(
     symbol_col: str = "symbol",
     time_col: str = "event_time",
     price_col: str = "close",
+    seq_col: str | None = None,
 ) -> DataFrame:
     """OHLCV bars per (symbol, tumbling interval).
 
-    Ties at identical timestamps break on the pre-shuffle input order
-    id, making open/close deterministic under any partitioning."""
-    seq = F.monotonically_increasing_id()
+    Tie-break semantics (VERDICT r3 item 4): ticks sharing a timestamp
+    need a total order for open/close to be well-defined. Pass
+    ``seq_col`` (an arrival-sequence column, e.g. the exchange's trade
+    id) to break ties by arrival — the faithful semantics. Without one,
+    ties break on the price itself (open = lowest, close = highest
+    price at the tied timestamp): an arbitrary but PARTITION-LAYOUT-
+    INDEPENDENT rule, so the same input gives the same bars under any
+    repartitioning. The previous fallback, monotonically_increasing_id,
+    depended on physical row order and made duplicate-timestamp bars
+    nondeterministic across layouts."""
     base = ticks.select(
         F.col(symbol_col).alias("symbol"),
         F.col(time_col).alias("t"),
         F.col(price_col).cast("double").alias("p"),
-        seq.alias("__seq"),
+        *([F.col(seq_col).alias("__seq")] if seq_col else []),
     )
-    first_s = F.min(F.struct(F.col("t"), F.col("__seq"), F.col("p")))
-    last_s = F.max(F.struct(F.col("t"), F.col("__seq"), F.col("p")))
+    tie = [F.col("__seq")] if seq_col else []
+    first_s = F.min(F.struct(F.col("t"), *tie, F.col("p")))
+    last_s = F.max(F.struct(F.col("t"), *tie, F.col("p")))
     return (
         base.groupBy("symbol", F.window("t", interval).alias("w"))
         .agg(

@@ -21,39 +21,45 @@ from renkodf_spark.queries import relational2  # noqa: F401
 from renkodf_spark.queries import renko_queries  # noqa: F401
 from renkodf_spark.queries import pipeline  # noqa: F401
 
-# Gate-window priority (see module docstring). Round-3 rotation policy
-# (ADVICE r2): every query whose code changed this round or that lacks a
-# round-2 row comes first; the 18 queries rotated out all have green
-# CORRECTNESS_r02 rows, so after this round every registered query has a
+# Gate-window priority (see module docstring). Round-4 rotation policy
+# (ADVICE r2, applied every round): queries whose code or oracle changed
+# this round, plus the queries whose last green row is round 2 (they sat
+# outside the r3 window), come first; the queries rotated out this round
+# all have green CORRECTNESS_r03 rows, so every registered query keeps a
 # green row dated within the last two rounds. Names not listed keep
 # their module registration order after these.
 _PRIORITY = [
-    # -- 16 relational queries whose only green rows are from round 1
-    "segment_buyers",
-    "customer_order_stats",
-    "cube_order_status_priority",
-    "except_unordered_parts",
-    "distinct_segment_nation",
-    "part_string_features",
-    "monthly_order_stats",
-    "acctbal_buckets",
-    "sliding_event_windows",
-    "orders_near_max",
-    "suppliers_shipping_late",
-    "union_all_actors",
-    "top_words",
-    "largest_order_per_customer",
-    "rolling_3_order_avg",
-    "part_name_normalized",
-    # -- changed this round (oracle typing fix / hot-bucket cap /
-    #    format column / staging lifecycle) or brand new
-    "renko_summary_stats",
+    # -- changed this round: new invariant/tolerance oracles (VERDICT r3
+    #    item 3), the b25 fold oracle (item 9), conditional repartition +
+    #    shared pairs + opt-in cap (items 1-2 / ADVICE), time_bars
+    #    tiebreak (item 4), multimodal sniff gate (ADVICE)
+    "renko_small_brick_smoke",
+    "renko_wide_bricks_b25",
+    "approx_distinct_users",
+    "sketch_value_quantiles",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_cluster_labels",
+    "time_bars_hourly",
     "multimodal_image_meta",
     "multimodal_real_headers",
-    "renko_chunked_wide",
+    # -- 16 queries whose only recent green rows are from round 2
+    "customers_without_orders",
+    "nation_full_outer_activity",
+    "intersect_buyers_positive_bal",
+    "props_json_extract",
+    "lineitem_top20_price",
+    "events_time_slice",
+    "event_value_percentiles",
+    "dedup_exact",
+    "dedup_simhash",
+    "similarity_cosine_topk",
+    "similarity_blocked_neardup",
+    "similarity_lsh_ann_topk",
+    "text_lang_id",
+    "text_quality",
+    "text_token_counts",
+    "text_fingerprint",
     # -- the core renko surface (kept in-window: it's the product)
     "renko_wide_bricks",
     "renko_wicks_projected",
@@ -64,25 +70,22 @@ _PRIORITY = [
     "renko_reverse_nongap",
     "renko_fake_r_wicks",
     "renko_fake_r_nongap",
-    "renko_small_brick_smoke",
     "renko_state_export",
-    "time_bars_hourly",
-    # -- relational/category representatives (green r2, kept fresh)
+    "renko_summary_stats",
+    "renko_chunked_wide",
+    # -- relational/category representatives (green r3, kept fresh)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
     "asof_purchase_before_click",
     "tumbling_event_windows",
     "session_window_events",
-    "rollup_lineitem_flags",
-    "grouping_sets_events",
-    "pivot_event_values",
-    "unpivot_order_flags",
     "user_sessions",
-    "top3_orders_per_customer",
     "running_order_total",
+    "top3_orders_per_customer",
     "event_gaps",
     "ts_conversions",
+    "rollup_lineitem_flags",
 ]
 
 _rest = [n for n in REGISTRY if n not in set(_PRIORITY)]

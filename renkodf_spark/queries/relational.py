@@ -620,12 +620,26 @@ def event_value_percentiles(spark, sf_dir):
 
 @query(
     "approx_distinct_users",
-    oracle=None,  # approx sketches are engine-specific; rows-only check
-    doc="approx_count_distinct (HLL) — no oracle by design.",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact,
+           TRUE AS approx_within_15pct
+    FROM events GROUP BY event_type
+    """,
+    doc="approx_count_distinct (HLL) — tolerance-band oracle (VERDICT r3 "
+    "item 3): the HLL estimate itself is engine-specific, so the query "
+    "emits the exact distinct count (hash-matched) plus a boolean that "
+    "the estimate lies within 15% of it (3x the default rsd 0.05; "
+    "observed worst case 6.7% at sf0.1). HLL merge is commutative and "
+    "its hash deterministic, so the flag is stable across partitionings.",
 )
 def approx_distinct_users(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(F.approx_count_distinct("user_id").alias("approx_users"))
+    exact = F.count_distinct("user_id")
+    approx = F.approx_count_distinct("user_id")
+    return ev.groupBy("event_type").agg(
+        exact.alias("n_users_exact"),
+        (F.abs(approx - exact) <= exact * 0.15).alias("approx_within_15pct"),
+    )
 
 
 @query(

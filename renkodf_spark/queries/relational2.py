@@ -166,28 +166,54 @@ def rolling_3_order_avg(spark, sf_dir):
     )
 
 
+_QS = [0.25, 0.5, 0.75, 0.99]
+_QLBL = ["q25", "q50", "q75", "q99"]
+
 @query(
     "sketch_value_quantiles",
-    oracle=None,  # approximate sketches are engine-specific; rows-only
-    doc="approximate quantile sketch (percentile_approx / KLL-style) — "
-    "the scale path beside the exact percentiles of event_value_percentiles. "
-    "Sketch projected to scalar columns (q25..q99) so the gate's sort-based "
-    "canonicalization can handle the result (arrays are unhashable there).",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 4) AS q25_exact,
+           ROUND(quantile_cont(value, 0.50), 4) AS q50_exact,
+           ROUND(quantile_cont(value, 0.75), 4) AS q75_exact,
+           ROUND(quantile_cont(value, 0.99), 4) AS q99_exact,
+           TRUE AS q25_rank_ok, TRUE AS q50_rank_ok,
+           TRUE AS q75_rank_ok, TRUE AS q99_rank_ok
+    FROM events GROUP BY event_type
+    """,
+    doc="approximate quantile sketch (percentile_approx / KLL-style) with "
+    "a rank-space tolerance-band oracle (VERDICT r3 item 3): the exact "
+    "interpolated percentiles hash-match DuckDB quantile_cont, and each "
+    "approx quantile carries a boolean that its empirical rank (fraction "
+    "of values <= estimate) is within 0.01 of the target — the sketch's "
+    "actual guarantee is n/accuracy = 1e-4 rank error, so the band has "
+    "100x slack yet stays meaningful (value-space bands are not: at "
+    "sf0.001 the q99 tail is so sparse the estimate sits 20% of the "
+    "value range from the interpolated exact).",
 )
 def sketch_value_quantiles(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    q = F.percentile_approx("value", [0.25, 0.5, 0.75, 0.99], 10000)
     agg = ev.groupBy("event_type").agg(
-        q.alias("_qs"),
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.percentile_approx("value", _QS, 10000).alias("_qs"),
+        F.percentile("value", F.lit(_QS)).alias("_qe"),
     )
-    return agg.select(
+    # one more pass to measure the sketch's empirical ranks; the 5-row
+    # agg side broadcasts
+    joined = ev.join(F.broadcast(agg), "event_type")
+    fracs = joined.groupBy("event_type").agg(
+        F.first("_qe").alias("_qe"),
+        *[
+            F.avg((F.col("value") <= F.col("_qs")[i]).cast("double")).alias(f"_f{i}")
+            for i in range(len(_QS))
+        ],
+    )
+    return fracs.select(
         "event_type",
-        F.col("_qs")[0].alias("q25"),
-        F.col("_qs")[1].alias("q50"),
-        F.col("_qs")[2].alias("q75"),
-        F.col("_qs")[3].alias("q99"),
-        "approx_users",
+        *[F.round(F.col("_qe")[i], 4).alias(f"{l}_exact") for i, l in enumerate(_QLBL)],
+        *[
+            (F.abs(F.col(f"_f{i}") - F.lit(q)) <= 0.01).alias(f"{l}_rank_ok")
+            for i, (q, l) in enumerate(zip(_QS, _QLBL))
+        ],
     )
 
 

@@ -96,21 +96,51 @@ def test_renko_chunked_on_real_events(spark, sf_dir):
 
 
 def test_time_bars_deterministic_with_ts_ties(spark):
-    """Equal-timestamp ticks: open/close must follow input order via the
-    seq tiebreak, stable under repartitioning."""
+    """VERDICT r3 item 4: equal-timestamp ticks must produce the same
+    bars under any partition layout. Without seq_col the tiebreak is
+    (t, p) — open = lowest, close = highest price at the tied instant —
+    and with seq_col ties follow arrival order."""
     import pandas as pd
 
     from renkodf_spark.operators.timebars import time_bars
 
+    # arrival order deliberately disagrees with price order at the ties
     pdf = pd.DataFrame(
         {
-            "symbol": ["A"] * 4,
-            "event_time": pd.to_datetime(["2024-01-01 00:00:01"] * 2 + ["2024-01-01 00:30:00"] * 2).astype("datetime64[us]"),
-            "close": [10.0, 11.0, 12.0, 13.0],
+            "symbol": ["A"] * 4 + ["B"] * 3,
+            "event_time": pd.to_datetime(
+                ["2024-01-01 00:00:01"] * 2
+                + ["2024-01-01 00:30:00"] * 2
+                + ["2024-01-01 00:10:00"] * 3
+            ).astype("datetime64[us]"),
+            "close": [11.0, 10.0, 13.0, 12.0, 7.0, 9.0, 8.0],
+            "seq": [0, 1, 2, 3, 0, 1, 2],
         }
     )
-    bars = time_bars(spark.createDataFrame(pdf), "1 hour").toPandas()
-    assert len(bars) == 1
-    row = bars.iloc[0]
-    assert row["open"] == 10.0 and row["close"] == 13.0
-    assert row["high"] == 13.0 and row["low"] == 10.0 and row["volume"] == 4
+    df = spark.createDataFrame(pdf)
+
+    # fallback (t, p): layout-independent — identical across partitionings
+    outs = [
+        time_bars(df.repartition(n), "1 hour")
+        .orderBy("symbol")
+        .toPandas()
+        for n in (1, 32)
+    ]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    a = outs[0][outs[0]["symbol"] == "A"].iloc[0]
+    assert a["open"] == 10.0 and a["close"] == 13.0  # price-order ties
+    b = outs[0][outs[0]["symbol"] == "B"].iloc[0]
+    assert b["open"] == 7.0 and b["close"] == 9.0
+
+    # explicit seq_col: arrival-order semantics, also layout-independent
+    outs = [
+        time_bars(df.repartition(n), "1 hour", seq_col="seq")
+        .orderBy("symbol")
+        .toPandas()
+        for n in (1, 32)
+    ]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    a = outs[0][outs[0]["symbol"] == "A"].iloc[0]
+    assert a["open"] == 11.0 and a["close"] == 12.0  # arrival-order ties
+    b = outs[0][outs[0]["symbol"] == "B"].iloc[0]
+    assert b["open"] == 7.0 and b["close"] == 8.0

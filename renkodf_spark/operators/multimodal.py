@@ -182,22 +182,35 @@ def synthetic_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return ids.select(id_col).mapInPandas(run, MEDIA_SCHEMA)
 
 
+def _should_sniff(media_type) -> bool:
+    """Header sniffing is gated on the declared media_type (ADVICE r3):
+    magic-byte parsing runs only for payloads declared as images (or
+    with no declared type at all). Without the gate, a text payload
+    that happens to start with 'BM' or 'GIF89a' would parse as an image
+    with garbage dimensions. 'image/fake' is the documents_as_media
+    adapter's marker for text-as-bytes fixtures and is never sniffed."""
+    if media_type is None:
+        return True  # unknown provenance: sniffing is the best signal
+    return isinstance(media_type, str) and media_type.startswith("image/") and media_type != "image/fake"
+
+
 def decode_image_meta(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
     """Extract typed metadata from binary payloads via mapInPandas.
 
-    Real header parsing for PNG/GIF/BMP/JPEG (`parse_image_header`);
-    unknown formats get md5-derived pseudo-dimensions and
-    format='unknown' so the pipeline never drops rows. The Arrow batch
-    shape, schema, and parallelism are the production plumbing."""
+    Real header parsing for PNG/GIF/BMP/JPEG (`parse_image_header`),
+    gated on the declared media_type (see _should_sniff); unparsed
+    payloads get md5-derived pseudo-dimensions and format='unknown' so
+    the pipeline never drops rows. The Arrow batch shape, schema, and
+    parallelism are the production plumbing."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
             digests, fmts, widths, heights = [], [], [], []
-            for p in pdf["payload"]:
+            for p, mt in zip(pdf["payload"], pdf["media_type"]):
                 d = hashlib.md5(p).hexdigest()
-                parsed = parse_image_header(p)
+                parsed = parse_image_header(p) if _should_sniff(mt) else None
                 if parsed is None:
                     fmt, w, h = "unknown", int(d[0:2], 16) + 1, int(d[2:4], 16) + 1
                 else:

@@ -38,6 +38,17 @@ Scale posture (the reason this operator exists):
 On a real cluster pass ``staging_dir`` on a shared filesystem (S3/HDFS);
 the default is a driver-local temp dir, correct for local mode.
 
+Fault-tolerance caveat (ADVICE r3): the default ``localCheckpoint``
+stores each window's bricks/state as executor-local blocks with lineage
+severed, and the staged parquet is deleted before the caller
+materializes the union — so on a multi-executor cluster, losing an
+executor mid-run or before materialization loses those blocks with NO
+recompute path ("checkpoint block not found"). Local mode (one JVM) is
+unaffected. For cluster deployments pass ``reliable_checkpoint=True``:
+each window is then checkpointed to ``spark.sparkContext
+.setCheckpointDir(...)`` (a fault-tolerant filesystem), surviving
+executor loss at the cost of one filesystem write per window.
+
 Output is bit-identical to the one-shot `renko()` (asserted in tests).
 """
 
@@ -124,10 +135,17 @@ def renko_chunked(
     price_col: str = "close",
     drop_first: bool = True,
     staging_dir: str | None = None,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     if brick_size is None or brick_size <= 0:
         raise ValueError("brick_size cannot be 'None' or '<= 0'")
     spark = ticks.sparkSession
+    if reliable_checkpoint and spark.sparkContext.getCheckpointDir() is None:
+        raise ValueError(
+            "reliable_checkpoint=True requires "
+            "spark.sparkContext.setCheckpointDir(<fault-tolerant path>) "
+            "— the per-window checkpoints must survive executor loss"
+        )
 
     # same null/NaN guard as renko(): the recurrence would silently
     # absorb NaN into the wick state (int(abs_moved) raises on the
@@ -155,7 +173,9 @@ def renko_chunked(
         windows = sorted(r[0] for r in staged.select("__win").distinct().collect())
         if not windows:
             return spark.createDataFrame([], WIDE_SCHEMA)
-        return _run_windows(spark, staged, windows, brick_size, drop_first)
+        return _run_windows(
+            spark, staged, windows, brick_size, drop_first, reliable_checkpoint
+        )
     finally:
         _delete_path(spark, stage_path)
         if own_tmp:
@@ -170,7 +190,9 @@ def _delete_path(spark, path: str) -> None:
     hpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(hpath, True)
 
 
-def _run_windows(spark, staged, windows, brick_size: float, drop_first: bool) -> DataFrame:
+def _run_windows(
+    spark, staged, windows, brick_size: float, drop_first: bool, reliable: bool = False
+) -> DataFrame:
 
     def run(key, tick_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
         sym = key[0]
@@ -276,20 +298,21 @@ def _run_windows(spark, staged, windows, brick_size: float, drop_first: bool) ->
             .applyInPandas(run, _PACKED_SCHEMA)
             .persist()
         )
-        # localCheckpoint materializes bricks + carry state (computing the
+        # Checkpoint materializes bricks + carry state (computing the
         # cogroup exactly once, from the persisted `part`) and severs their
         # lineage from both the cogroup and the staged files — so the
         # window's cache is released right here and the staged copy can be
-        # deleted before the caller ever materializes the union.
-        bricks = (
-            part.filter(F.col("__is_state") == 0)
-            .select(*WIDE_COLUMN_NAMES)
-            .localCheckpoint(eager=True)
+        # deleted before the caller ever materializes the union. local =
+        # executor blocks (fast, not executor-loss-safe); reliable = the
+        # SparkContext checkpoint dir (see module docstring caveat).
+        def ck(df):
+            return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
+        bricks = ck(
+            part.filter(F.col("__is_state") == 0).select(*WIDE_COLUMN_NAMES)
         )
-        state_df = (
-            part.filter(F.col("__is_state") == 1)
-            .select("symbol", *_STATE_COLS)
-            .localCheckpoint(eager=True)
+        state_df = ck(
+            part.filter(F.col("__is_state") == 1).select("symbol", *_STATE_COLS)
         )
         part.unpersist()
         chunks.append(bricks)

@@ -122,23 +122,33 @@ class VersionedTable:
 
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Drop all but the last ``keep_last`` committed snapshots, plus
-        any uncommitted orphan dirs (crashed writes: ``v=N`` without
-        ``_SUCCESS``) older than the oldest kept committed version — so
-        orphans can't accumulate forever or inflate version allocation.
-        Newer orphans are kept: one could be a write in flight.
+        uncommitted orphan dirs (crashed writes: ``v=N`` without
+        ``_SUCCESS``) — so orphans can't accumulate forever or inflate
+        version allocation. Orphan policy (ADVICE r3: the previous rule
+        skipped cleanup entirely until keep_last committed versions
+        existed — exactly the every-write-crashes scenario it was meant
+        to fix):
+
+        - with any committed versions: orphans older than the OLDEST
+          KEPT committed version are removed (newer ones are kept — one
+          could be a write in flight);
+        - with NO committed versions: all orphans except the
+          highest-numbered one are removed (the newest is the only
+          candidate in-flight write; everything below it is a dead
+          crashed write).
+
         Returns the versions removed."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         vs = self.versions()
         doomed = set(vs[:-keep_last])
-        oldest_kept = vs[-keep_last] if len(vs) >= keep_last else None
-        if oldest_kept is not None:
-            committed = set(vs)
-            doomed.update(
-                v
-                for v in self._version_dirs(committed_only=False)
-                if v not in committed and v < oldest_kept
-            )
+        committed = set(vs)
+        orphans = [v for v in self._version_dirs(committed_only=False) if v not in committed]
+        if vs:
+            oldest_kept = vs[-keep_last] if len(vs) >= keep_last else vs[0]
+            doomed.update(v for v in orphans if v < oldest_kept)
+        elif orphans:
+            doomed.update(orphans[:-1])
         fs, _, jvm = _fs(self.spark, self.path)
         for v in sorted(doomed):
             fs.delete(jvm.org.apache.hadoop.fs.Path(self._version_path(v)), True)

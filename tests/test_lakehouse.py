@@ -99,3 +99,27 @@ def test_vacuum_removes_old_orphans_keeps_fresh(spark, tmp_path):
 def test_delta_gate_raises_actionable(spark):
     with pytest.raises(ImportError, match="delta-spark"):
         read_delta(spark, "/tmp/nonexistent")
+
+
+def test_vacuum_reclaims_orphans_with_no_committed_versions(spark, tmp_path):
+    """ADVICE r3: when every write crashed (zero committed versions) —
+    the exact scenario where orphans otherwise accumulate forever —
+    vacuum removes all orphans except the highest-numbered one (the
+    only candidate in-flight write)."""
+    root = tmp_path / "tbl"
+    root.mkdir()
+    for v in (0, 1, 2, 5):
+        d = root / f"v={v}"
+        d.mkdir()
+        (d / "part-00000.parquet").write_bytes(b"torn")
+    t = VersionedTable(spark, str(root))
+    assert t.versions() == []
+    assert t.vacuum(keep_last=2) == [0, 1, 2]
+    assert not (root / "v=0").exists() and (root / "v=5").exists()
+    # and with fewer committed versions than keep_last, orphans older
+    # than the oldest committed version still die
+    t.write(spark.range(3))  # committed v=6
+    stale = root / "v=5"
+    assert stale.exists()
+    assert t.vacuum(keep_last=3) == [5]
+    assert t.versions() == [6]

@@ -376,6 +376,30 @@ def test_synthetic_media_roundtrip(spark):
         assert r["media_type"] == f"image/{fmts[i % 4]}"
 
 
+def test_sniffing_gated_on_media_type(spark):
+    """ADVICE r3: a text payload whose bytes start with an image magic
+    ('BM', 'GIF89a') must NOT parse as an image when its declared
+    media_type says it isn't one — documents_as_media marks payloads
+    'image/fake', so they always take the md5-pseudo-metadata path."""
+    texts = ["BM this text opens like a bitmap header padded long enough",
+             "GIF89a pretender that is really prose and not pixels at all"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = multimodal.decode_image_meta(multimodal.documents_as_media(docs)).collect()
+    for r in got:
+        d = hashlib.md5(texts[r["media_id"]].encode()).hexdigest()
+        assert r["format"] == "unknown"
+        assert (r["width"], r["height"]) == (int(d[0:2], 16) + 1, int(d[2:4], 16) + 1)
+    # but the same bytes with a declared image type DO get sniffed
+    bm_payload = multimodal.synth_bmp(12, 34)
+    media = spark.createDataFrame(
+        [(0, "image/bmp", bytearray(bm_payload))], multimodal.MEDIA_SCHEMA
+    )
+    r = multimodal.decode_image_meta(media).collect()[0]
+    assert (r["format"], r["width"], r["height"]) == ("bmp", 12, 34)
+
+
 def test_multimodal_stubs_raise(spark, docs_df):
     media = multimodal.documents_as_media(docs_df)
     with pytest.raises(NotImplementedError):

@@ -140,3 +140,31 @@ def test_chunked_multibrick_first_tick_drop(spark):
     chunked = renko_chunked(ticks, 1.0, window="3 minutes").orderBy("brick_seq").toPandas()
     assert oneshot["close"].tolist() == chunked["close"].tolist()
     assert chunked["brick_seq"].tolist() == list(range(len(chunked)))
+
+
+def test_chunked_reliable_checkpoint(spark, tmp_path):
+    """ADVICE r3: reliable_checkpoint=True survives executor loss by
+    checkpointing each window to the SparkContext checkpoint dir; it
+    must be bit-identical to the default path, and must refuse to run
+    without a checkpoint dir configured."""
+    import pytest
+
+    pdf = _multi_symbol_ticks()
+    ticks = spark.createDataFrame(pdf)
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None or True  # dir may persist across tests
+    if sc.getCheckpointDir() is None:
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            renko_chunked(ticks, 1.0, window="2 minutes", reliable_checkpoint=True)
+    sc.setCheckpointDir(str(tmp_path / "ck"))
+
+    base = renko_chunked(ticks, 1.0, window="2 minutes").orderBy("symbol", "brick_seq").toPandas()
+    rel = (
+        renko_chunked(ticks, 1.0, window="2 minutes", reliable_checkpoint=True)
+        .orderBy("symbol", "brick_seq")
+        .toPandas()
+    )
+    assert len(base) == len(rel)
+    for col in base.columns:
+        np.testing.assert_array_equal(base[col].to_numpy(), rel[col].to_numpy(), err_msg=col)

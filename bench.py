@@ -135,6 +135,33 @@ def scale_block(spark, rep: int) -> dict:
     out["dedup_minhash_lsh_rows"] = materialize(minhash_lsh_pairs(docs, max_bucket_size=1000))
     out["dedup_minhash_lsh_sec"] = round(time.perf_counter() - t0, 3)
     out["docs_rows"] = docs.count()
+
+    # Hot-symbol skew (VERDICT r3 item 7): one symbol carries ~50% of
+    # all replicated ticks — the regime where per-symbol sequential
+    # operators hurt. renko_chunked is the declared answer (windowed
+    # stitching bounds the per-task tick count at window x symbol), so
+    # publish its wall time plus the peak per-(window, symbol) row
+    # count that bounds executor memory.
+    from renkodf_spark.operators.renko_chunked import renko_chunked
+
+    skewed = ticks.withColumn(
+        "symbol",
+        F.when(F.pmod(F.hash("event_time"), F.lit(2)) == 0, F.lit("HOT")).otherwise(
+            F.col("symbol")
+        ),
+    )
+    peak = (
+        skewed.groupBy(F.window("event_time", "1 week"), "symbol")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    hot = skewed.filter(F.col("symbol") == "HOT").count()
+    t0 = time.perf_counter()
+    out["skew_renko_chunked_rows"] = materialize(renko_chunked(skewed, 5.0, window="1 week"))
+    out["skew_renko_chunked_sec"] = round(time.perf_counter() - t0, 3)
+    out["skew_hot_ticks"] = hot
+    out["skew_peak_window_symbol_rows"] = peak
     return out
 
 
@@ -211,6 +238,17 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # ADVICE r3: record the measurement regime so cross-round
+        # comparisons can't silently mix methodologies. v2 (r03+):
+        # best-of-2 reps, full-width row-hash materialization (pruning-
+        # proof). r01/r02 used a single rep and count() materialization
+        # — not comparable.
+        "methodology": {
+            "version": 2,
+            "reps": 2,
+            "agg": "min",
+            "materialize": "full_width_row_hash",
+        },
     }
     if scale is not None:
         payload["scale"] = scale

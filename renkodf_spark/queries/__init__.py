@@ -37,6 +37,7 @@ _PRIORITY = [
     "renko_wide_bricks_b25",
     "approx_distinct_users",
     "sketch_value_quantiles",
+    "hll_sketch_rollup",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_cluster_labels",
@@ -85,7 +86,6 @@ _PRIORITY = [
     "top3_orders_per_customer",
     "event_gaps",
     "ts_conversions",
-    "rollup_lineitem_flags",
 ]
 
 _rest = [n for n in REGISTRY if n not in set(_PRIORITY)]

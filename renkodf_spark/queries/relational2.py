@@ -218,6 +218,51 @@ def sketch_value_quantiles(spark, sf_dir):
 
 
 @query(
+    "hll_sketch_rollup",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users_exact,
+           TRUE AS group_est_within_15pct,
+           (SELECT COUNT(DISTINCT user_id) FROM events) AS total_users_exact,
+           TRUE AS union_est_within_15pct
+    FROM events GROUP BY event_type
+    """,
+    doc="mergeable HLL sketch rollup (functions/sketches.py): per-group "
+    "DataSketches HLL built in one pass, then MERGED to the global "
+    "estimate via hll_union_agg — no raw-data rescan, the 100 TB rollup "
+    "shape. Binary sketches are engine-specific, so the gate checks "
+    "exact anchors (hash-matched) plus 15%-band flags on both the "
+    "per-group and the merged estimates (lgConfigK=12 -> rsd ~1.6%).",
+)
+def hll_sketch_rollup(spark, sf_dir):
+    from renkodf_spark.functions import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    sk = sketches.group_sketches(ev, "event_type", "user_id")
+    exact = ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n_users_exact"))
+    total_est = sketches.rollup_sketches(sk).withColumnRenamed("estimate", "total_est")
+    total_exact = ev.agg(F.count_distinct("user_id").alias("total_users_exact"))
+    return (
+        sk.join(exact, "event_type")
+        .crossJoin(F.broadcast(total_est))
+        .crossJoin(F.broadcast(total_exact))
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("estimate") - F.col("n_users_exact"))
+                <= F.col("n_users_exact") * 0.15
+            ).alias("group_est_within_15pct"),
+            "total_users_exact",
+            (
+                F.abs(F.col("total_est") - F.col("total_users_exact"))
+                <= F.col("total_users_exact") * 0.15
+            ).alias("union_est_within_15pct"),
+        )
+    )
+
+
+@query(
     "part_name_normalized",
     oracle="""
     SELECT regexp_replace(lower(p_name), '[aeiou]', '', 'g') AS consonants, COUNT(*) AS n

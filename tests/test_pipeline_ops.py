@@ -406,3 +406,41 @@ def test_multimodal_stubs_raise(spark, docs_df):
         multimodal.decode_image_pixels(media)
     with pytest.raises(NotImplementedError):
         multimodal.frame_sample(media)
+
+
+# ---------------------------------------------------------------- sketches
+
+
+def test_hll_sketches_merge_without_rescan(spark):
+    """Mergeable-sketch property: per-group HLL sketches merged via
+    hll_union_agg give (approximately) the global distinct count with
+    no second pass over the raw data, and a coarser rollup of the
+    sketch column matches re-sketching at that granularity."""
+    from pyspark.sql import functions as F
+
+    from renkodf_spark.functions import sketches
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") % 2).alias("g2"),
+        (F.col("id") % 5000).alias("v"),  # 5000 distinct values overall
+    )
+    per = sketches.group_sketches(df, "g", "v")
+    assert per.count() == 4
+    for r in per.collect():
+        assert abs(r["estimate"] - 1250) <= 1250 * 0.1  # ids mod 4 x mod 5000
+    total = sketches.rollup_sketches(per).collect()[0]["estimate"]
+    assert abs(total - 5000) <= 5000 * 0.1
+    # rollup to a coarser key using only the sketch column
+    per2 = df.withColumn("grp", F.col("g") % 2).select("grp", "v")
+    direct = {
+        r["grp"]: r["estimate"]
+        for r in sketches.group_sketches(per2, "grp", "v").collect()
+    }
+    merged = {
+        r["grp"]: r["estimate"]
+        for r in sketches.rollup_sketches(
+            per.withColumn("grp", F.col("g") % 2), "grp"
+        ).collect()
+    }
+    assert direct == merged  # identical sketches -> identical estimates

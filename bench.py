@@ -37,6 +37,8 @@ HEADLINE = [
     # added round 3 (new first-class operators)
     "dedup_cluster_labels",
     "multimodal_real_headers",
+    # added round 4 (mergeable-sketch rollup)
+    "hll_sketch_rollup",
 ]
 
 

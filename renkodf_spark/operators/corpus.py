@@ -1,0 +1,234 @@
+"""Corpus-curation operators: the *apply* half of a training-data
+pipeline. The dedup/text modules discover structure (near-dup pairs,
+cluster labels, language, quality); these operators act on it — filter
+the corpus to canonical docs, chunk long documents for a context
+window, scrub PII spans, carve deterministic train/validation/test
+splits, and draw per-group quota samples.
+
+Everything here is JVM-side column expressions (split / slice /
+sequence / regexp / md5 / window) — no Python in the row path — and
+every transform is deterministic so the DuckDB oracle can replay it
+bit-for-bit.
+
+Scale notes (100 TB posture) are per-function; the common theme is
+that chunking / redaction / splitting are narrow (zero-shuffle,
+embarrassingly parallel over input partitions), while dedup-filter and
+quota sampling each pay exactly one keyed shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------- dedup apply
+
+
+def dedup_filter(
+    docs: DataFrame,
+    labels: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one canonical document per near-dup cluster.
+
+    ``labels`` is the output of :func:`renkodf_spark.operators.dedup.
+    cluster_labels` — one ``(id, cluster_id)`` row per document, where
+    ``cluster_id`` is the minimum reachable doc id. The canonical doc
+    is the one whose id *is* the cluster id; everything else in the
+    cluster is a near-duplicate and is dropped. The returned frame is
+    the surviving corpus plus ``cluster_size`` (how many docs the
+    keeper represents — useful for loss re-weighting duplicates-aware
+    training).
+
+    Scale: ``labels`` is two integer columns per doc — tiny next to
+    the corpus text. The plan is one aggregation on ``cluster_id``
+    (counts) plus one join on the id key; both shuffle only the narrow
+    label relation, never the document payload, until the final join
+    that filters the corpus (AQE picks shuffle-hash / broadcast for
+    the label side when it fits).
+    """
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    keepers = (
+        labels.filter(F.col("id") == F.col("cluster_id"))
+        .join(sizes, "cluster_id")
+        .select(F.col("id").alias(id_col), "cluster_size")
+    )
+    return docs.join(keepers, id_col)
+
+
+# ----------------------------------------------------------------- chunking
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    chunk_size: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    standard pre-tokenization step for fixed-context training.
+
+    Tokens are whitespace-split; chunk ``k`` covers tokens
+    ``[k*stride, k*stride + chunk_size)`` and the last chunk may be
+    short (it is still emitted; a doc shorter than ``chunk_size``
+    yields exactly one chunk). ``stride < chunk_size`` gives
+    overlapping context, ``stride == chunk_size`` a disjoint split.
+
+    Returns ``(id, chunk_id, n_tokens, chunk_text)``.
+
+    Scale: pure narrow ops (split → sequence → posexplode → slice →
+    array_join); no shuffle, no Python. Output rows are bounded by
+    ``ceil(n_tokens / stride)`` per doc, so the explosion factor is
+    explicit and small; partition sizes grow by that same bounded
+    factor (tune ``spark.sql.files.maxPartitionBytes`` down if chunks
+    feed a wide downstream pipeline).
+    """
+    if chunk_size <= 0 or stride <= 0:
+        raise ValueError(f"chunk_size and stride must be positive, got {chunk_size}/{stride}")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # split('') yields [''] so size >= 1 always: sequence(0, n-1, stride)
+    # is well-formed and every doc emits at least one chunk
+    starts = F.sequence(F.lit(0), F.size("__t") - 1, F.lit(stride))
+    chunk = F.slice(F.col("__t"), F.col("__start") + 1, chunk_size)
+    return (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .select(
+            id_col,
+            "__t",
+            F.posexplode(starts).alias("chunk_id", "__start"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size(chunk).alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+# -------------------------------------------------------------- PII redaction
+
+# Patterns restricted to syntax shared by Java regex (Spark) and RE2
+# (DuckDB): no backreferences, no lookaround. Order matters: emails are
+# redacted before phones so the digits inside a local-part can't be
+# re-matched as a phone number.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Scrub email / IPv4 / phone-shaped spans, replacing each with a
+    ``<KIND>`` placeholder, and count the matches per kind.
+
+    Returns ``(id, n_email, n_ipv4, n_phone, clean_digest)`` where
+    ``clean_digest`` is the md5 of the redacted text (the gate compares
+    digests; a pipeline would carry the redacted text itself — pass the
+    result of :func:`redacted_text` for that).
+
+    Scale: regexp built-ins over one pass each — narrow, zero-shuffle,
+    whole-stage-codegen'd. Pattern syntax is pinned to the
+    Java-regex ∩ RE2 subset so the oracle replays identically.
+    """
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)).alias(f"n_{kind}")
+        for kind, pat in PII_PATTERNS.items()
+    ]
+    return df.select(
+        F.col(id_col),
+        *counts,
+        F.md5(redacted_text(text_col)).alias("clean_digest"),
+    )
+
+
+def redacted_text(text_col: str = "text"):
+    """Column expression: ``text_col`` with every PII span replaced by
+    its ``<KIND>`` placeholder, in the declared pattern order."""
+    out = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out
+
+
+# ------------------------------------------------------------ split & sample
+
+
+def hash_split(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    buckets: int = 100,
+    cuts: dict[str, int] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/validation/test assignment by content-free
+    id hash: ``bucket = md5(salt || id) mod buckets``, split = the
+    first entry of ``cuts`` whose upper bound exceeds the bucket.
+
+    Default cuts: train < 90, valid < 95, test < 100. The assignment
+    is a pure function of ``(salt, id)`` — stable across runs, cluster
+    sizes, and partitionings, which is the property that matters for
+    reproducible holdout sets (Spark's ``randomSplit`` is
+    partition-layout-dependent and resamples on lineage replay).
+
+    Scale: narrow (one md5 + arithmetic per row), zero-shuffle.
+    """
+    if cuts is None:
+        cuts = {"train": 90, "valid": 95, "test": 100}
+    if max(cuts.values()) != buckets:
+        raise ValueError(f"last cut must equal buckets={buckets}, got {cuts}")
+    # first 12 hex chars = 48 bits: exact in BIGINT on both engines
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 12), 16, 10)
+        .cast("long")
+        % buckets
+    )
+    split = F.lit(None).cast("string")
+    expr = None
+    for name, hi in sorted(cuts.items(), key=lambda kv: kv[1]):
+        cond = F.col("bucket") < hi
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("bucket", bucket).withColumn("split", expr)
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    *,
+    per_group: int = 10,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-group quota sample: within each group, order
+    rows by ``md5(salt || id)`` (a content-free pseudo-random but
+    replayable shuffle) and keep the first ``per_group``. The standard
+    balancing step for over-represented languages / domains.
+
+    Returns the sampled rows plus ``sample_rank`` (1-based position in
+    the group's hash order).
+
+    Scale: one shuffle on ``group_col`` + a rank window. With few huge
+    groups (the exact regime that motivates quota sampling) the window
+    partition is the skew point: for fixed-RATE sampling prefer the
+    zero-shuffle ``hash_split``-style bucket filter instead; for exact
+    quotas at extreme skew, pre-filter with an over-admitting bucket
+    threshold (admit ~2x quota by hash, cheap and narrow) and only
+    then rank — the window sees ~2x quota rows per group instead of
+    the whole group.
+    """
+    key = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= per_group)
+    )

@@ -20,6 +20,7 @@ from renkodf_spark.queries import relational  # noqa: F401
 from renkodf_spark.queries import relational2  # noqa: F401
 from renkodf_spark.queries import renko_queries  # noqa: F401
 from renkodf_spark.queries import pipeline  # noqa: F401
+from renkodf_spark.queries import pipeline2  # noqa: F401
 
 # Gate-window priority (see module docstring). Round-4 rotation policy
 # (ADVICE r2, applied every round): queries whose code or oracle changed
@@ -29,6 +30,13 @@ from renkodf_spark.queries import pipeline  # noqa: F401
 # green row dated within the last two rounds. Names not listed keep
 # their module registration order after these.
 _PRIORITY = [
+    # -- new this round: corpus-curation apply stage (dedup filter,
+    #    chunking, PII redaction, hash split, quota sampling)
+    "corpus_dedup_filter",
+    "corpus_chunks",
+    "pii_redaction",
+    "train_test_split",
+    "lang_quota_sample",
     # -- changed this round: new invariant/tolerance oracles (VERDICT r3
     #    item 3), the b25 fold oracle (item 9), conditional repartition +
     #    shared pairs + opt-in cap (items 1-2 / ADVICE), time_bars

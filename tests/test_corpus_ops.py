@@ -1,0 +1,148 @@
+"""Unit tests for the corpus-curation operators (operators/corpus.py):
+dedup filtering, chunking, PII redaction, hash splits, quota sampling.
+
+The properties pinned here are the ones the gate's value-hash compare
+can't see: boundary behavior (short docs, empty text), determinism
+across partition layouts, and quota/size invariants.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from renkodf_spark.operators import corpus
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ----------------------------------------------------------- dedup_filter
+
+
+def test_dedup_filter_keeps_canonical_with_cluster_size(spark):
+    docs = _docs_df(spark, [(i, f"doc {i}") for i in range(6)])
+    # clusters: {0,1,2} -> 0, {3} singleton, {4,5} -> 4
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3), (4, 4), (5, 4)], "id long, cluster_id long"
+    )
+    out = corpus.dedup_filter(docs, labels).orderBy("doc_id").collect()
+    assert [(r.doc_id, r.cluster_size) for r in out] == [(0, 3), (3, 1), (4, 2)]
+    # all original columns survive the filter
+    assert out[0].text == "doc 0"
+
+
+# -------------------------------------------------------------- chunking
+
+
+def test_chunk_boundaries_and_overlap(spark):
+    words = " ".join(f"w{i}" for i in range(10))
+    out = (
+        corpus.chunk_documents(_docs_df(spark, [(1, words)]), chunk_size=4, stride=3)
+        .orderBy("chunk_id")
+        .collect()
+    )
+    # starts 0,3,6,9 over 10 tokens
+    assert [(r.chunk_id, r.n_tokens, r.chunk_text) for r in out] == [
+        (0, 4, "w0 w1 w2 w3"),
+        (1, 4, "w3 w4 w5 w6"),
+        (2, 4, "w6 w7 w8 w9"),
+        (3, 1, "w9"),
+    ]
+
+
+def test_chunk_short_and_empty_doc_emit_one_chunk(spark):
+    out = corpus.chunk_documents(
+        _docs_df(spark, [(1, "just three words"), (2, "")]), chunk_size=64, stride=48
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(out) == 2
+    assert by_id[1].n_tokens == 3 and by_id[1].chunk_text == "just three words"
+    # split('') yields [''] — one empty-token chunk, never zero rows
+    assert by_id[2].n_tokens == 1 and by_id[2].chunk_text == ""
+
+
+def test_chunk_rejects_nonpositive_params(spark):
+    df = _docs_df(spark, [(1, "a b c")])
+    with pytest.raises(ValueError):
+        corpus.chunk_documents(df, chunk_size=0, stride=3)
+    with pytest.raises(ValueError):
+        corpus.chunk_documents(df, chunk_size=4, stride=0)
+
+
+# -------------------------------------------------------------- PII
+
+
+def test_redact_pii_counts_and_text(spark):
+    df = _docs_df(
+        spark,
+        [
+            (1, "mail bob.smith+x@corp.example.org or 192.168.0.1 call 555-123-4567"),
+            (2, "no pii here at all"),
+            (3, "two mails a@b.io c@d.net and 10.0.0.255"),
+        ],
+    )
+    out = {r.doc_id: r for r in corpus.redact_pii(df).collect()}
+    assert (out[1].n_email, out[1].n_ipv4, out[1].n_phone) == (1, 1, 1)
+    assert (out[2].n_email, out[2].n_ipv4, out[2].n_phone) == (0, 0, 0)
+    assert (out[3].n_email, out[3].n_ipv4, out[3].n_phone) == (2, 1, 0)
+    redacted = df.select("doc_id", corpus.redacted_text().alias("t")).collect()
+    txt = {r.doc_id: r.t for r in redacted}
+    assert txt[1] == "mail <EMAIL> or <IPV4> call <PHONE>"
+    assert txt[2] == "no pii here at all"
+    assert txt[3] == "two mails <EMAIL> <EMAIL> and <IPV4>"
+
+
+def test_redact_version_string_not_an_ip(spark):
+    # 4-part dotted numbers with a >3-digit part must not match ipv4
+    df = _docs_df(spark, [(1, "release 1.2.3.4 vs build 10.20.300.4000")])
+    r = corpus.redact_pii(df).collect()[0]
+    assert r.n_ipv4 == 1  # only 1.2.3.4
+
+
+# ---------------------------------------------------------- hash_split
+
+
+def test_hash_split_deterministic_across_layouts(spark):
+    docs = _docs_df(spark, [(i, f"d{i}") for i in range(200)])
+    a = corpus.hash_split(docs.repartition(1)).select("doc_id", "bucket", "split")
+    b = corpus.hash_split(docs.repartition(7)).select("doc_id", "bucket", "split")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    frac = {r.split: r.n for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    # 90/5/5 within loose tolerance on 200 ids
+    assert frac["train"] > 150 and frac["valid"] > 0 and frac["test"] > 0
+    assert sum(frac.values()) == 200
+
+
+def test_hash_split_rejects_bad_cuts(spark):
+    docs = _docs_df(spark, [(1, "x")])
+    with pytest.raises(ValueError):
+        corpus.hash_split(docs, cuts={"train": 50, "test": 80})  # != buckets
+
+
+def test_hash_split_salt_changes_assignment(spark):
+    docs = _docs_df(spark, [(i, f"d{i}") for i in range(100)])
+    a = corpus.hash_split(docs, salt="s1").select("doc_id", "bucket")
+    b = corpus.hash_split(docs, salt="s2").select("doc_id", "bucket")
+    assert a.exceptAll(b).count() > 0  # different salt, different buckets
+
+
+# -------------------------------------------------------- quota_sample
+
+
+def test_quota_sample_quota_and_determinism(spark):
+    rows = [(i, "g" + str(i % 3)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = corpus.quota_sample(df, "grp", per_group=10)
+    sizes = {r.grp: r.n for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"g0": 10, "g1": 10, "g2": 10}
+    # identical selection on a different partition layout
+    out2 = corpus.quota_sample(df.repartition(9), "grp", per_group=10)
+    assert out.select("doc_id").exceptAll(out2.select("doc_id")).count() == 0
+
+
+def test_quota_sample_small_group_kept_whole(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "doc_id long, grp string")
+    out = corpus.quota_sample(df, "grp", per_group=10)
+    assert out.count() == 3
+    ranks = {r.doc_id: r.sample_rank for r in out.collect()}
+    assert ranks[3] == 1

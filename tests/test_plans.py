@@ -126,3 +126,47 @@ def test_dedup_input_repartition_is_conditional(spark):
         forced_narrow = n_exchanges(build(narrow, repartition_input=True))
         assert forced_narrow > base_narrow
         assert n_exchanges(build(narrow)) == forced_narrow, "auto skipped a narrow input"
+
+
+def test_corpus_narrow_ops_have_no_shuffle(spark, sf_dir):
+    """Chunking, PII redaction, and hash splits are per-row transforms:
+    their physical plans must contain no Exchange (zero-shuffle at any
+    scale) and no Python nodes (whole-stage codegen throughout)."""
+    from renkodf_spark.operators import corpus
+    from renkodf_spark.plans import assert_jvm_only
+
+    docs = load_table(spark, sf_dir, "documents")
+    for df in (
+        corpus.chunk_documents(docs),
+        corpus.redact_pii(docs),
+        corpus.hash_split(docs),
+    ):
+        assert "Exchange" not in _executed(df)
+        assert_jvm_only(df, "corpus narrow op")
+
+
+def test_quota_sample_single_shuffle(spark, sf_dir):
+    """Quota sampling is one shuffle on the group key + one rank
+    window — no join, no extra exchange."""
+    from renkodf_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _executed(corpus.quota_sample(docs, "lang", per_group=5))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_dedup_filter_shuffles_labels_not_documents(spark, sf_dir):
+    """The corpus text may be shuffled at most once (the keeper join);
+    the size aggregation must run over the narrow label relation."""
+    from renkodf_spark.operators import corpus, dedup
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = docs.select(
+        F.col("doc_id").alias("id"), (F.col("doc_id") % 50).alias("cluster_id")
+    )
+    plan = _executed(corpus.dedup_filter(docs, labels))
+    # text reaches exactly one exchange boundary; with AQE the keeper
+    # side usually broadcasts, making the text-side join shuffle-free
+    assert plan.count("text") <= plan.count("Exchange") + plan.count("Broadcast")

@@ -101,6 +101,133 @@ def label_blocked_pairs(
     )
 
 
+def embedding_centroids(
+    emb: DataFrame,
+    *,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-group element-wise mean vector — the IVF training step
+    (cell centroids from a labeled/clustered sample). Returns
+    ``(cell, centroid: array<double>, n_vectors)``.
+
+    Scale: expressed as ``dim`` scalar ``avg(element_at(v, i))``
+    aggregates, so Spark computes map-side partial sums and shuffles
+    only ``cells x dim`` partials — never the vectors themselves. The
+    alternative (explode to (row, dim) pairs) shuffles N x dim rows;
+    don't."""
+    v = F.col(vec_col).cast("array<double>")
+    means = [F.avg(F.element_at(v, i + 1)).alias(f"__m{i}") for i in range(dim)]
+    return (
+        emb.groupBy(F.col(group_col).alias("cell"))
+        .agg(*means, F.count(F.lit(1)).alias("n_vectors"))
+        .select(
+            "cell",
+            F.array(*[F.col(f"__m{i}") for i in range(dim)]).alias("centroid"),
+            "n_vectors",
+        )
+    )
+
+
+def nearest_centroid(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine — the IVF
+    cell-routing step. Returns ``(id, vec, cell, cell_cos)``.
+
+    The argmax runs on cosine ROUNDED to ``round_digits`` (ties break
+    to the lexicographically smallest cell), which makes the
+    assignment reproducible across engines and partial-aggregation
+    orders: distributed float sums differ in the last ulp, and an
+    unrounded argmax would flip on near-ties.
+
+    Scale: the centroid table collapses to a single broadcast row
+    (an array of (cell, centroid) structs — cells x dim doubles);
+    the corpus then streams through one narrow pass where the argmax
+    is a per-row ``array_sort(transform(...))[0]`` — no groupBy, no
+    window, zero shuffle of the corpus."""
+    cents_row = centroids.agg(
+        F.collect_list(
+            F.struct(F.col("cell"), F.col("centroid").cast("array<double>").alias("centroid"))
+        ).alias("__cents")
+    )
+    v = F.col(vec_col).cast("array<double>")
+    # per-centroid (negated rounded cosine, cell); struct sort order =
+    # field order, so [0] is (highest cos, then smallest cell). The
+    # 0.0 - x form (not unary minus) folds -0.0 and +0.0 to one key:
+    # a cosine that rounds to zero must tie-break by cell identically
+    # in Spark and in a SQL engine where -0.0 == 0.0.
+    ranked = F.array_sort(
+        F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                (F.lit(0.0) - F.round(cosine(F.col("vec"), c["centroid"]), round_digits)).alias(
+                    "negcos"
+                ),
+                c["cell"].alias("cell"),
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), v.alias("vec"))
+        .crossJoin(F.broadcast(cents_row))
+        .withColumn("__best", ranked[0])
+        .select(
+            "id",
+            "vec",
+            F.col("__best.cell").alias("cell"),
+            (-F.col("__best.negcos")).alias("cell_cos"),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: route corpus and query vectors to their
+    nearest centroid cell (:func:`nearest_centroid`), then brute-force
+    cosine only within the query's cell (n_probe=1). Recall < 1 by
+    construction; together with :func:`lsh_bucket_topk` this is the
+    second declared ANN scale path — cell sizes are data-adapted
+    (centroids learned from the corpus) where LSH buckets are oblivious.
+
+    Scale: two narrow assignment passes + one equi-join on ``cell``
+    (the corpus shuffles once, keyed by cell) + a per-query top-k
+    window keyed by query id."""
+    from pyspark.sql.window import Window
+
+    cc = nearest_centroid(corpus, centroids, id_col=id_col, vec_col=vec_col).select(
+        F.col("id").alias("neighbor_id"), F.col("vec").alias("cvec"), "cell"
+    )
+    qc = nearest_centroid(queries, centroids, id_col=id_col, vec_col=vec_col).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "cell"
+    )
+    scored = (
+        cc.join(F.broadcast(qc), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", round_digits).alias("cos_sim"))
+    )
+
+
 def rp_planes(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: component (p, d) =
     md5(f"{p}:{d}") scaled to [-0.5, 0.5). Plain constants, so both the

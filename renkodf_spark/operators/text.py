@@ -88,3 +88,86 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         )
     )
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+def repetition_signals(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_ns: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Intra-document repetition features (the Gopher/RefinedWeb-style
+    repetition filters, token-based): per doc and per n in ``ngram_ns``,
+    the duplicate-n-gram fraction (1 - distinct/total occurrences) and
+    the fraction of the document's characters covered by its single most
+    frequent n-gram (``count * len(gram) / len(text)``; ties break to
+    the lexicographically smallest gram so the argmax is deterministic
+    cross-engine). Output: one row per (doc, n).
+
+    Scale shape: overlapping (non-distinct) shingles explode to
+    (doc, n, gram); the occurrence count is a map-side-combinable
+    groupBy on that key, then the per-doc reduction is a second
+    aggregation keyed by (doc, n). Two shuffles, both on keys whose
+    cardinality grows with the corpus — no window over all docs, no
+    driver state. Empty/short docs (< n tokens) yield no shingles and
+    are re-attached with zero totals via a left join against the
+    (narrow) id relation."""
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    # closure factory, NOT `lambda i, n=n: ...`: F.transform dispatches
+    # on lambda arity, and a 2-parameter lambda is an (element, index)
+    # lambda — the keyword default would silently become the index
+    def _gram_at(n):
+        return lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+
+    grams = []
+    for n in ngram_ns:
+        idx = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+        ).otherwise(F.array().cast("array<int>"))
+        grams.append(F.struct(F.lit(n).alias("n"), F.transform(idx, _gram_at(n)).alias("grams")))
+    exploded = (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array(*grams)).alias("g"))
+        .select("id", F.col("g.n").alias("n"), F.explode("g.grams").alias("gram"))
+    )
+    counts = exploded.groupBy("id", "n", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("id", "n").orderBy(F.desc("cnt"), F.asc("gram"))
+    per_doc = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .groupBy("id", "n")
+        .agg(
+            F.sum("cnt").alias("total_ngrams"),
+            F.count(F.lit(1)).alias("distinct_ngrams"),
+            F.max(F.when(F.col("rk") == 1, F.col("gram"))).alias("top_gram"),
+            F.max(F.when(F.col("rk") == 1, F.col("cnt"))).alias("top_count"),
+        )
+    )
+    ids = df.select(
+        F.col(id_col).alias("id"), F.length(F.col(text_col)).alias("__chars")
+    ).crossJoin(F.broadcast(
+        df.sparkSession.range(1).select(
+            F.explode(F.array(*[F.lit(n) for n in ngram_ns])).alias("n")
+        )
+    ))
+    return (
+        ids.join(per_doc, ["id", "n"], "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n",
+            F.coalesce("total_ngrams", F.lit(0)).alias("total_ngrams"),
+            F.coalesce("distinct_ngrams", F.lit(0)).alias("distinct_ngrams"),
+            F.round(
+                F.lit(1.0)
+                - F.try_divide(F.col("distinct_ngrams"), F.col("total_ngrams")),
+                6,
+            ).alias("dup_ngram_frac"),
+            "top_gram",
+            "top_count",
+            F.round(
+                F.try_divide(F.col("top_count") * F.length("top_gram"), F.col("__chars")),
+                6,
+            ).alias("top_gram_char_frac"),
+        )
+    )

@@ -11,12 +11,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from renkodf_spark.operators import corpus, dedup, text
+from renkodf_spark.operators import corpus, dedup, similarity, text
 from renkodf_spark.queries.pipeline import (
     _LANG_CASE,
     _LANG_SCORES,
     _PAIRS_CTES,
     _docs,
+    _emb,
     _shared_pairs,
 )
 from renkodf_spark.queries.registry import query
@@ -192,6 +193,148 @@ ranked AS (
   FROM langs)
 SELECT doc_id, pred_lang, sample_rank FROM ranked WHERE sample_rank <= {_QUOTA}
 """
+
+
+# ------------------------------------------------------- repetition filters
+
+_REP_NS = (2, 3)
+
+_REPETITION_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, len(text) AS chars, string_split_regex(trim(text), '\s+') AS t
+  FROM documents),
+ns AS (SELECT unnest([{", ".join(str(n) for n in _REP_NS)}]) AS n),
+st AS (
+  SELECT doc_id, n, t, unnest(range(0, len(t) - n + 1)) AS s
+  FROM toks CROSS JOIN ns),
+sh AS (SELECT doc_id, n, array_to_string(t[s+1 : s+n], ' ') AS gram FROM st),
+counts AS (SELECT doc_id, n, gram, COUNT(*) AS cnt FROM sh GROUP BY ALL),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, gram) AS rk
+  FROM counts),
+per AS (
+  SELECT doc_id, n, SUM(cnt)::BIGINT AS total_ngrams, COUNT(*) AS distinct_ngrams,
+         MAX(CASE WHEN rk = 1 THEN gram END) AS top_gram,
+         MAX(CASE WHEN rk = 1 THEN cnt END) AS top_count
+  FROM ranked GROUP BY doc_id, n),
+base AS (SELECT doc_id, len(text) AS chars, n FROM documents CROSS JOIN ns)
+SELECT b.doc_id, b.n,
+       COALESCE(p.total_ngrams, 0) AS total_ngrams,
+       COALESCE(p.distinct_ngrams, 0) AS distinct_ngrams,
+       ROUND(1.0 - p.distinct_ngrams / p.total_ngrams, 6) AS dup_ngram_frac,
+       p.top_gram, p.top_count,
+       ROUND(p.top_count * len(p.top_gram) / b.chars, 6) AS top_gram_char_frac
+FROM base b LEFT JOIN per p USING (doc_id, n)
+"""
+
+
+@query(
+    "text_repetition",
+    oracle=_REPETITION_ORACLE,
+    doc="Gopher-style intra-doc repetition filters: duplicate-n-gram "
+    "fraction and most-frequent-n-gram character coverage, per doc "
+    "per n in (2, 3); the argmax gram tie-breaks lexicographically "
+    "so both engines pick the same one.",
+)
+def text_repetition(spark, sf_dir):
+    return text.repetition_signals(_docs(spark, sf_dir), ngram_ns=_REP_NS)
+
+
+# ------------------------------------------------------------ IVF ANN
+
+_IVF_DIM = 64
+
+# Element-wise centroid means per label cell, replayed positionally:
+# DuckDB averages embedding[i] (1-based) per (cell, i); Spark averages
+# element_at(vec, i+1). Distributed double sums differ from DuckDB's in
+# the last ulp, so every exported/compared value is ROUNDed, and the
+# `x + 0.0` folds a -0.0 round result onto +0.0 on both engines.
+_CENTROID_CTES = f"""
+WITH pos AS (SELECT unnest(range(1, {_IVF_DIM + 1})) AS i),
+m AS (
+  SELECT label AS cell, i, AVG(embedding[i]::DOUBLE) AS mval
+  FROM embeddings CROSS JOIN pos GROUP BY 1, 2)
+"""
+
+_IVF_CENTROIDS_ORACLE = (
+    _CENTROID_CTES
+    + """,
+n AS (SELECT label AS cell, COUNT(*) AS n_vectors FROM embeddings GROUP BY 1)
+SELECT m.cell, (m.i - 1)::INT AS dim_idx, ROUND(m.mval, 6) + 0.0 AS centroid_val, n.n_vectors
+FROM m JOIN n USING (cell)
+"""
+)
+
+
+@query(
+    "ivf_centroids",
+    oracle=_IVF_CENTROIDS_ORACLE,
+    doc="IVF training step: per-label-cell element-wise mean vectors "
+    "(exported one row per (cell, dim) with rounded values — the "
+    "cross-engine-safe projection of an array<double> column).",
+)
+def ivf_centroids(spark, sf_dir):
+    cents = similarity.embedding_centroids(_emb(spark, sf_dir), dim=_IVF_DIM)
+    return cents.select(
+        "cell",
+        F.posexplode("centroid").alias("dim_idx", "__v"),
+        "n_vectors",
+    ).select(
+        "cell",
+        "dim_idx",
+        (F.round("__v", 6) + F.lit(0.0)).alias("centroid_val"),
+        "n_vectors",
+    )
+
+
+# Cell assignment = argmax over cells of ROUND(cos(vec, centroid), 6),
+# ties to the smallest cell — the rounding makes the argmax stable
+# under last-ulp centroid differences, so both engines route every
+# vector identically (similarity.nearest_centroid docstring).
+_IVF_TOPK_ORACLE = (
+    _CENTROID_CTES
+    + """,
+cents AS (SELECT cell, LIST(mval ORDER BY i) AS cv FROM m GROUP BY cell),
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assign AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY ROUND(list_dot_product(v, cv)
+                          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+                    cell) AS rk
+  FROM vecs CROSS JOIN cents),
+cellof AS (SELECT vec_id, cell FROM assign WHERE rk = 1),
+q AS (SELECT v.vec_id AS query_id, v.v AS qv, c.cell
+      FROM vecs v JOIN cellof c USING (vec_id) WHERE v.vec_id < 5),
+nb AS (SELECT v.vec_id AS neighbor_id, v.v AS nv, c.cell
+       FROM vecs v JOIN cellof c USING (vec_id)),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, nv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS cos
+  FROM q JOIN nb USING (cell) WHERE neighbor_id <> query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cos_sim FROM ranked WHERE rank <= 5
+"""
+)
+
+
+@query(
+    "similarity_ivf_topk",
+    oracle=_IVF_TOPK_ORACLE,
+    doc="IVF approximate top-5 (n_probe=1): route corpus + queries to "
+    "their nearest label-centroid cell, brute-force only within the "
+    "query's cell — the data-adapted ANN path beside the oblivious "
+    "LSH-bucket one.",
+)
+def similarity_ivf_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cents = similarity.embedding_centroids(emb, dim=_IVF_DIM).cache()
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), cents, k=5)
 
 
 @query(

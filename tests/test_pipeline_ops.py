@@ -444,3 +444,109 @@ def test_hll_sketches_merge_without_rescan(spark):
         ).collect()
     }
     assert direct == merged  # identical sketches -> identical estimates
+
+
+# ---------------------------------------------------------------- IVF ANN
+
+
+def test_embedding_centroids_match_numpy(spark, emb_df):
+    out = {
+        r["cell"]: (r["centroid"], r["n_vectors"])
+        for r in similarity.embedding_centroids(emb_df, dim=4).collect()
+    }
+    assert set(out) == {"a", "b"}
+    for lbl in ("a", "b"):
+        vs = np.array([v for i, v, l in VECS if l == lbl])
+        cent, n = out[lbl]
+        assert n == len(vs)
+        assert np.allclose(cent, vs.mean(axis=0))
+
+
+def np_ivf_assign(vecs, cents, round_digits=6):
+    """Replay nearest_centroid's rounded argmax (ties -> smallest cell)."""
+    out = {}
+    for vid, v, _ in vecs:
+        keyed = sorted(
+            (-round(np_cos(v, c), round_digits), cell) for cell, c in cents.items()
+        )
+        out[vid] = keyed[0][1]
+    return out
+
+
+def test_nearest_centroid_routing_layout_independent(spark, emb_df):
+    cents_df = similarity.embedding_centroids(emb_df, dim=4)
+    cents = {
+        r["cell"]: np.array(r["centroid"]) for r in cents_df.collect()
+    }
+    expect = np_ivf_assign(VECS, cents)
+    got = {}
+    for nparts in (1, 4):
+        assigned = similarity.nearest_centroid(
+            emb_df.repartition(nparts), cents_df
+        ).collect()
+        got[nparts] = {r["id"]: r["cell"] for r in assigned}
+        assert got[nparts] == expect, f"nparts={nparts}"
+    assert got[1] == got[4]
+
+
+def test_nearest_centroid_plan_corpus_never_shuffles(spark, emb_df):
+    """The corpus side of the assignment must stream: with a literal
+    centroid table the whole plan is one global-agg exchange (packing
+    centroids into the single broadcast row) + the broadcast itself —
+    the corpus reaches its argmax through zero data exchanges."""
+    from renkodf_spark.plans.audit import plan_summary
+
+    cents_df = spark.createDataFrame(
+        [("a", [1.0, 0.0, 0.0, 0.0]), ("b", [0.0, 0.0, 1.0, 0.5])],
+        "cell string, centroid array<double>",
+    )
+    s = plan_summary(similarity.nearest_centroid(emb_df, cents_df))
+    assert s.exchanges == 2 and s.nested_loop_joins == 1 and s.python_nodes == 0, str(s)
+
+
+def test_ivf_topk_within_cell_matches_bruteforce(spark, emb_df):
+    cents_df = similarity.embedding_centroids(emb_df, dim=4)
+    cents = {r["cell"]: np.array(r["centroid"]) for r in cents_df.collect()}
+    cell_of = np_ivf_assign(VECS, cents)
+    out = similarity.ivf_topk(emb_df, emb_df, cents_df, k=3).collect()
+    # expected: per query, brute-force cosine over same-cell neighbors
+    expect = []
+    for qid, qv, _ in VECS:
+        same = sorted(
+            (-round(np_cos(qv, v), 10), nid)
+            for nid, v, _ in VECS
+            if nid != qid and cell_of[nid] == cell_of[qid]
+        )
+        expect += [
+            (qid, nid, rank + 1, round(-negc, 4))
+            for rank, (negc, nid) in enumerate(same[:3])
+        ]
+    got = sorted((r["query_id"], r["neighbor_id"], r["rank"], r["cos_sim"]) for r in out)
+    assert got == sorted(expect)
+
+
+# ------------------------------------------------------ repetition signals
+
+
+def test_repetition_signals_known_repeats(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x"), (3, "")], "doc_id long, text string"
+    )
+    out = {
+        (r["doc_id"], r["n"]): r
+        for r in text.repetition_signals(df, ngram_ns=(2, 3)).collect()
+    }
+    assert set(out) == {(1, 2), (1, 3), (2, 2), (2, 3), (3, 2), (3, 3)}
+    r = out[(1, 2)]  # grams: "a b" x3, "b a" x2
+    assert (r["total_ngrams"], r["distinct_ngrams"]) == (5, 2)
+    assert r["dup_ngram_frac"] == round(1 - 2 / 5, 6)
+    assert (r["top_gram"], r["top_count"]) == ("a b", 3)
+    assert r["top_gram_char_frac"] == round(3 * 3 / 11, 6)
+    r = out[(1, 3)]  # "a b a" x2 ties "b a b" x2 -> lexicographic min
+    assert (r["top_gram"], r["top_count"]) == ("a b a", 2)
+    assert r["dup_ngram_frac"] == 0.5
+    for doc in (2, 3):  # too short for any n-gram: zero totals, null fracs
+        for n in (2, 3):
+            r = out[(doc, n)]
+            assert (r["total_ngrams"], r["distinct_ngrams"]) == (0, 0)
+            assert r["dup_ngram_frac"] is None and r["top_gram"] is None

@@ -232,3 +232,68 @@ def quota_sample(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= per_group)
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    tokens_col: str = "n_tokens",
+    doc_col: str = "doc_id",
+    seq_col: str = "chunk_id",
+    budget: int = 256,
+    shards: int = 8,
+    salt: str = "pack",
+) -> DataFrame:
+    """Concat-and-split sample packing: lay chunks end-to-end in a
+    deterministic order and cut every ``budget`` tokens — the standard
+    fixed-context batch-packing step (each bin becomes one training
+    sequence). A chunk is labeled with the bin its first token lands
+    in, its token offset inside that bin, and whether it spans a bin
+    boundary (``spans_bins`` — the consumer decides to split or pad).
+
+    Packing is sequential by nature, so it runs per *shard*: docs are
+    routed to ``shards`` deterministic salted-hash shards (whole docs,
+    so chunks stay contiguous), and the cumulative-token window runs
+    per shard. That is the scalable shape — thousands of independent
+    shard windows at cluster scale instead of one global
+    single-partition cumsum — and the assignment is a pure function of
+    (salt, doc ids, chunk order), stable across runs and layouts.
+
+    All arithmetic is integer (SUM / DIV / %), so an external SQL
+    engine replays it exactly. Returns the input columns plus
+    ``(shard, bin_id, bin_offset, spans_bins)``.
+    """
+    from pyspark.sql.window import Window
+
+    if budget <= 0 or shards <= 0:
+        raise ValueError(f"budget and shards must be positive, got {budget}/{shards}")
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(doc_col).cast("string"))), 1, 12),
+            16,
+            10,
+        ).cast("long")
+        % shards
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(doc_col, seq_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.col("__rend") - F.col(tokens_col)
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("__rend", F.sum(tokens_col).over(w))
+        .select(
+            *df.columns,
+            "shard",
+            start.cast("long").alias("__start"),
+        )
+        .select(
+            *df.columns,
+            "shard",
+            F.expr(f"__start DIV {budget}").alias("bin_id"),
+            (F.col("__start") % budget).alias("bin_offset"),
+            ((F.col("__start") % budget + F.col(tokens_col)) > budget).alias("spans_bins"),
+        )
+    )

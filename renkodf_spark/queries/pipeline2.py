@@ -337,6 +337,87 @@ def similarity_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), cents, k=5)
 
 
+# --------------------------------------------------------- sequence packing
+
+_PACK_BUDGET = 128
+_PACK_SHARDS = 4
+
+_PACK_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+st AS (SELECT doc_id, t, unnest(range(0, len(t), {_CHUNK_STRIDE})) AS s FROM toks),
+chunks AS (
+  SELECT doc_id, (s // {_CHUNK_STRIDE}) AS chunk_id,
+         len(t[s+1 : s+{_CHUNK_SIZE}]) AS n_tokens
+  FROM st),
+sh AS (
+  SELECT *, ('0x' || substr(md5('pack:' || doc_id::VARCHAR), 1, 12))::BIGINT % {_PACK_SHARDS} AS shard
+  FROM chunks),
+cum AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_id
+                                ROWS UNBOUNDED PRECEDING) AS rend
+  FROM sh)
+SELECT doc_id, chunk_id, shard, n_tokens,
+       ((rend - n_tokens) // {_PACK_BUDGET})::BIGINT AS bin_id,
+       ((rend - n_tokens) % {_PACK_BUDGET})::BIGINT AS bin_offset,
+       ((rend - n_tokens) % {_PACK_BUDGET} + n_tokens) > {_PACK_BUDGET} AS spans_bins
+FROM cum
+"""
+
+
+@query(
+    "sequence_packing",
+    oracle=_PACK_ORACLE,
+    doc=f"concat-and-split sample packing: chunks laid end-to-end per "
+    f"salted doc-hash shard, cut every {_PACK_BUDGET} tokens; pure "
+    "integer arithmetic so the bin/offset/straddle labels replay "
+    "exactly.",
+)
+def sequence_packing(spark, sf_dir):
+    chunks = corpus.chunk_documents(
+        _docs(spark, sf_dir), chunk_size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+    ).drop("chunk_text")
+    return corpus.pack_sequences(chunks, budget=_PACK_BUDGET, shards=_PACK_SHARDS)
+
+
+# ------------------------------------------------------ int8 quantized ANN
+
+_QTOPK_ORACLE = """
+WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(greatest(least(x, 1.0), -1.0) * 127) AS INT)) AS qv
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, qv::DOUBLE[] AS qvec FROM qz WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, qv::DOUBLE[] AS cvec FROM qz),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qvec, cvec)
+           / (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(cvec, cvec))) AS cos
+  FROM c, q WHERE neighbor_id <> query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cos_sim FROM ranked WHERE rank <= 5
+"""
+
+
+@query(
+    "quantized_cosine_topk",
+    oracle=_QTOPK_ORACLE,
+    doc="top-5 cosine over int8-quantized embeddings — integer-valued "
+    "dots make every similarity EXACT in double arithmetic (no fold-"
+    "order sensitivity at all), trading ~4x storage for ~1e-2 cosine "
+    "error vs float.",
+)
+def quantized_cosine_topk(spark, sf_dir):
+    qz = similarity.quantize_embeddings(_emb(spark, sf_dir))
+    return similarity.cosine_topk(
+        qz, qz.filter(F.col("id") < 5), id_col="id", vec_col="qvec", k=5
+    )
+
+
 @query(
     "lang_quota_sample",
     oracle=_QUOTA_ORACLE,

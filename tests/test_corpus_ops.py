@@ -146,3 +146,55 @@ def test_quota_sample_small_group_kept_whole(spark):
     assert out.count() == 3
     ranks = {r.doc_id: r.sample_rank for r in out.collect()}
     assert ranks[3] == 1
+
+
+# ------------------------------------------------------- sequence packing
+
+
+def test_pack_sequences_bins_and_straddles(spark):
+    # one shard (shards=1) so the packing order is fully predictable
+    chunks = spark.createDataFrame(
+        [(1, 0, 60), (1, 1, 60), (2, 0, 100), (2, 1, 30)],
+        "doc_id long, chunk_id long, n_tokens long",
+    )
+    out = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in corpus.pack_sequences(chunks, budget=128, shards=1).collect()
+    }
+    # cumulative starts: 0, 60, 120, 220
+    assert (out[(1, 0)]["bin_id"], out[(1, 0)]["bin_offset"]) == (0, 0)
+    assert (out[(1, 1)]["bin_id"], out[(1, 1)]["bin_offset"]) == (0, 60)
+    assert (out[(2, 0)]["bin_id"], out[(2, 0)]["bin_offset"]) == (0, 120)
+    assert (out[(2, 1)]["bin_id"], out[(2, 1)]["bin_offset"]) == (1, 92)
+    # 60+60 fits bin 0 exactly up to 120; chunk (2,0) starts at offset
+    # 120 with 100 tokens -> crosses into bin 1; (2,1) fits
+    assert not out[(1, 0)]["spans_bins"] and not out[(1, 1)]["spans_bins"]
+    assert out[(2, 0)]["spans_bins"] and not out[(2, 1)]["spans_bins"]
+
+
+def test_pack_sequences_layout_independent(spark):
+    import hashlib
+
+    docs = [(d, c, 10 + (d * 7 + c) % 23) for d in range(20) for c in range(3)]
+    df = spark.createDataFrame(docs, "doc_id long, chunk_id long, n_tokens long")
+    runs = []
+    for nparts in (1, 16):
+        rows = corpus.pack_sequences(
+            df.repartition(nparts), budget=64, shards=4
+        ).collect()
+        runs.append(sorted((r["doc_id"], r["chunk_id"], r["shard"], r["bin_id"], r["bin_offset"]) for r in rows))
+    assert runs[0] == runs[1]
+    # shard is the salted doc hash, independent of chunk layout
+    for r in runs[0]:
+        expect = int(hashlib.md5(f"pack:{r[0]}".encode()).hexdigest()[:12], 16) % 4
+        assert r[2] == expect
+
+
+def test_pack_sequences_validation(spark):
+    df = spark.createDataFrame([(1, 0, 5)], "doc_id long, chunk_id long, n_tokens long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        corpus.pack_sequences(df, budget=0)
+    with _pytest.raises(ValueError):
+        corpus.pack_sequences(df, shards=-1)

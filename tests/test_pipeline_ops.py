@@ -550,3 +550,20 @@ def test_repetition_signals_known_repeats(spark):
             r = out[(doc, n)]
             assert (r["total_ngrams"], r["distinct_ngrams"]) == (0, 0)
             assert r["dup_ngram_frac"] is None and r["top_gram"] is None
+
+
+# ------------------------------------------------------- int8 quantization
+
+
+def test_quantize_embeddings_matches_numpy(spark, emb_df):
+    out = {r["id"]: r["qvec"] for r in similarity.quantize_embeddings(emb_df).collect()}
+    for vid, v, _ in VECS:
+        expect = [int(np.floor(np.clip(x, -1, 1) * 127 + 0.5)) if x >= 0
+                  else -int(np.floor(-np.clip(x, -1, 1) * 127 + 0.5)) for x in v]
+        assert out[vid] == expect, f"vec {vid}"
+    # clamping: out-of-range components saturate at +-127
+    big = spark.createDataFrame(
+        [(9, [2.0, -3.0, 0.5, 0.0], "z")],
+        "vec_id long, embedding array<double>, label string",
+    )
+    assert similarity.quantize_embeddings(big).collect()[0]["qvec"] == [127, -127, 64, 0]

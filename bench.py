@@ -37,8 +37,10 @@ HEADLINE = [
     # added round 3 (new first-class operators)
     "dedup_cluster_labels",
     "multimodal_real_headers",
-    # added round 4 (mergeable-sketch rollup)
+    # added round 4 (mergeable-sketch rollup, IVF ANN, sample packing)
     "hll_sketch_rollup",
+    "similarity_ivf_topk",
+    "sequence_packing",
 ]
 
 
@@ -131,11 +133,19 @@ def scale_block(spark, rep: int) -> dict:
             F.concat_ws(" ", F.col("text"), F.concat(F.lit("rep"), F.col("rep"))).alias("text"),
         )
     )
-    t0 = time.perf_counter()
     # explicit cap = the declared adversarial-scale posture (operator
-    # default is None since ADVICE r3); keeps r3-comparable numbers
-    out["dedup_minhash_lsh_rows"] = materialize(minhash_lsh_pairs(docs, max_bucket_size=1000))
-    out["dedup_minhash_lsh_sec"] = round(time.perf_counter() - t0, 3)
+    # default is None since ADVICE r3); keeps r3-comparable numbers.
+    # best-of-2 like the headline: this entry swung 6x under co-tenant
+    # load spikes (r4 postmortem in NOTES.md) while its steady state is
+    # stable, and a single sample reads as a phantom regression.
+    best = None
+    for _ in range(2):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        out["dedup_minhash_lsh_rows"] = materialize(minhash_lsh_pairs(docs, max_bucket_size=1000))
+        el = time.perf_counter() - t0
+        best = el if best is None else min(best, el)
+    out["dedup_minhash_lsh_sec"] = round(best, 3)
     out["docs_rows"] = docs.count()
 
     # Hot-symbol skew (VERDICT r3 item 7): one symbol carries ~50% of
@@ -251,6 +261,10 @@ def main():
             "agg": "min",
             "materialize": "full_width_row_hash",
         },
+        # co-tenancy context: this box's load swings 6x+ (NOTES.md
+        # postmortem); a high load average here means absolute numbers
+        # are inflated and only intra-run ratios are meaningful
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
     if scale is not None:
         payload["scale"] = scale

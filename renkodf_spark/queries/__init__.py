@@ -30,6 +30,13 @@ from renkodf_spark.queries import pipeline2  # noqa: F401
 # green row dated within the last two rounds. Names not listed keep
 # their module registration order after these.
 _PRIORITY = [
+    # -- new this round, phase 2: IVF ANN, repetition filters, sample
+    #    packing, int8 quantized similarity (never had a gate row)
+    "ivf_centroids",
+    "similarity_ivf_topk",
+    "text_repetition",
+    "sequence_packing",
+    "quantized_cosine_topk",
     # -- new this round: corpus-curation apply stage (dedup filter,
     #    chunking, PII redaction, hash split, quota sampling)
     "corpus_dedup_filter",

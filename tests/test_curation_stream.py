@@ -1,0 +1,109 @@
+"""Streaming corpus curation: exact-dedup with bounded state and the
+stateless quality gate, driven from a file source in micro-batches
+(duplicates split ACROSS batches, so the dedup state must persist
+between triggers — the property a per-batch distinct would miss).
+"""
+
+import os
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from renkodf_spark.streaming.curation_stream import dedup_stream, quality_gate
+
+SCHEMA = "doc_id long, event_time timestamp, text string"
+
+
+def _write_batch(path: str, name: str, rows: list[tuple]):
+    pdf = pd.DataFrame(rows, columns=["doc_id", "event_time", "text"])
+    pdf["event_time"] = pd.to_datetime(pdf["event_time"]).astype("datetime64[us]")
+    pdf.to_parquet(os.path.join(path, name))
+
+
+def _drain(spark, q, table: str, expect: int, deadline_s: int = 40) -> int:
+    deadline = time.time() + deadline_s
+    n = 0
+    while time.time() < deadline:
+        n = spark.sql(f"SELECT count(*) c FROM {table}").first()["c"]
+        if n >= expect and not q.status["isDataAvailable"]:
+            break
+        time.sleep(0.5)
+    return n
+
+
+def test_dedup_stream_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_batch(
+        src,
+        "b1.parquet",
+        [
+            (1, "2024-01-01 00:00:00", "alpha beta gamma"),
+            (2, "2024-01-01 00:00:01", "delta epsilon zeta"),
+            (3, "2024-01-01 00:00:02", "alpha beta gamma"),  # in-batch dup of 1
+        ],
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        dedup_stream(stream, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_docs")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        assert _drain(spark, q, "dedup_docs", 2) == 2
+        # second file, later trigger: one cross-batch dup + one new doc
+        _write_batch(
+            src,
+            "b2.parquet",
+            [
+                (4, "2024-01-01 00:10:00", "alpha beta gamma"),  # dup of 1
+                (5, "2024-01-01 00:10:01", "eta theta iota"),
+            ],
+        )
+        assert _drain(spark, q, "dedup_docs", 3) == 3
+    finally:
+        q.stop()
+    kept = {
+        r["content_hash"]: r["doc_id"]
+        for r in spark.sql("SELECT content_hash, doc_id FROM dedup_docs").collect()
+    }
+    assert len(kept) == 3  # three distinct texts survived, each exactly once
+    assert 4 not in kept.values()  # the cross-batch duplicate was dropped
+
+
+def test_quality_gate_stateless(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_batch(
+        src,
+        "b1.parquet",
+        [
+            (1, "2024-01-01 00:00:00", "one two three four five six"),
+            (2, "2024-01-01 00:00:01", "too short"),
+            (3, "2024-01-01 00:00:02", "w. x, y; z: a! b? c. d, e; f: g!"),
+        ],
+    )
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (
+        quality_gate(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("quality_docs")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        n = _drain(spark, q, "quality_docs", 1)
+    finally:
+        q.stop()
+    ids = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM quality_docs").collect()}
+    assert n == 1 and ids == {1}  # 2: < 5 words; 3: punct-heavy

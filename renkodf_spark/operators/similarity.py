@@ -130,6 +130,61 @@ def embedding_centroids(
     )
 
 
+def _probe_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_probe: int,
+    round_digits: int,
+) -> DataFrame:
+    """Route each vector to its ``n_probe`` nearest centroid cells.
+    Returns ``(id, vec, cell, cell_cos, probe_rank)`` — one row per
+    (vector, probed cell), probe_rank 1 = nearest.
+
+    Scale: the centroid table collapses to a single broadcast row
+    (an array of (cell, centroid) structs — cells x dim doubles);
+    the vectors stream through one narrow pass where the ranking
+    is a per-row ``array_sort`` of a struct transform — no groupBy,
+    no window, zero shuffle. The posexplode multiplies rows by
+    ``n_probe`` (1 for plain assignment)."""
+    cents_row = centroids.agg(
+        F.collect_list(
+            F.struct(F.col("cell"), F.col("centroid").cast("array<double>").alias("centroid"))
+        ).alias("__cents")
+    )
+    v = F.col(vec_col).cast("array<double>")
+    # per-centroid (negated rounded cosine, cell); struct sort order =
+    # field order, so position 0 is (highest cos, then smallest cell).
+    # The 0.0 - x form (not unary minus) folds -0.0 and +0.0 to one
+    # key: a cosine that rounds to zero must tie-break by cell
+    # identically in Spark and in a SQL engine where -0.0 == 0.0.
+    ranked = F.array_sort(
+        F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                (F.lit(0.0) - F.round(cosine(F.col("vec"), c["centroid"]), round_digits)).alias(
+                    "negcos"
+                ),
+                c["cell"].alias("cell"),
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), v.alias("vec"))
+        .crossJoin(F.broadcast(cents_row))
+        .select("id", "vec", F.posexplode(F.slice(ranked, 1, n_probe)).alias("__p", "__probe"))
+        .select(
+            "id",
+            "vec",
+            F.col("__probe.cell").alias("cell"),
+            (-F.col("__probe.negcos")).alias("cell_cos"),
+            (F.col("__p") + 1).alias("probe_rank"),
+        )
+    )
+
+
 def nearest_centroid(
     df: DataFrame,
     centroids: DataFrame,
@@ -147,44 +202,11 @@ def nearest_centroid(
     orders: distributed float sums differ in the last ulp, and an
     unrounded argmax would flip on near-ties.
 
-    Scale: the centroid table collapses to a single broadcast row
-    (an array of (cell, centroid) structs — cells x dim doubles);
-    the corpus then streams through one narrow pass where the argmax
-    is a per-row ``array_sort(transform(...))[0]`` — no groupBy, no
-    window, zero shuffle of the corpus."""
-    cents_row = centroids.agg(
-        F.collect_list(
-            F.struct(F.col("cell"), F.col("centroid").cast("array<double>").alias("centroid"))
-        ).alias("__cents")
-    )
-    v = F.col(vec_col).cast("array<double>")
-    # per-centroid (negated rounded cosine, cell); struct sort order =
-    # field order, so [0] is (highest cos, then smallest cell). The
-    # 0.0 - x form (not unary minus) folds -0.0 and +0.0 to one key:
-    # a cosine that rounds to zero must tie-break by cell identically
-    # in Spark and in a SQL engine where -0.0 == 0.0.
-    ranked = F.array_sort(
-        F.transform(
-            F.col("__cents"),
-            lambda c: F.struct(
-                (F.lit(0.0) - F.round(cosine(F.col("vec"), c["centroid"]), round_digits)).alias(
-                    "negcos"
-                ),
-                c["cell"].alias("cell"),
-            ),
-        )
-    )
-    return (
-        df.select(F.col(id_col).alias("id"), v.alias("vec"))
-        .crossJoin(F.broadcast(cents_row))
-        .withColumn("__best", ranked[0])
-        .select(
-            "id",
-            "vec",
-            F.col("__best.cell").alias("cell"),
-            (-F.col("__best.negcos")).alias("cell_cos"),
-        )
-    )
+    Scale: see :func:`_probe_cells` — one broadcast row of centroids,
+    zero shuffle of the vectors."""
+    return _probe_cells(
+        df, centroids, id_col=id_col, vec_col=vec_col, n_probe=1, round_digits=round_digits
+    ).drop("probe_rank")
 
 
 def ivf_topk(
@@ -195,26 +217,32 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    n_probe: int = 1,
     round_digits: int = 4,
 ) -> DataFrame:
-    """IVF approximate top-k: route corpus and query vectors to their
-    nearest centroid cell (:func:`nearest_centroid`), then brute-force
-    cosine only within the query's cell (n_probe=1). Recall < 1 by
-    construction; together with :func:`lsh_bucket_topk` this is the
-    second declared ANN scale path — cell sizes are data-adapted
-    (centroids learned from the corpus) where LSH buckets are oblivious.
+    """IVF approximate top-k: route every corpus vector to its single
+    nearest centroid cell, each query to its ``n_probe`` nearest cells,
+    then brute-force cosine only inside the probed cells. Recall < 1 by
+    construction and rises with ``n_probe`` (cost rises linearly with
+    the probed corpus fraction); together with :func:`lsh_bucket_topk`
+    this is the second declared ANN scale path — cell sizes are
+    data-adapted (centroids learned from the corpus) where LSH buckets
+    are oblivious.
 
     Scale: two narrow assignment passes + one equi-join on ``cell``
-    (the corpus shuffles once, keyed by cell) + a per-query top-k
-    window keyed by query id."""
+    (the corpus shuffles once, keyed by cell; the query side is
+    |queries| x n_probe rows, broadcast) + a per-query top-k window
+    keyed by query id. No (query, neighbor) pair can repeat: each
+    corpus vector lives in exactly one cell and the probed cells are
+    distinct."""
     from pyspark.sql.window import Window
 
     cc = nearest_centroid(corpus, centroids, id_col=id_col, vec_col=vec_col).select(
         F.col("id").alias("neighbor_id"), F.col("vec").alias("cvec"), "cell"
     )
-    qc = nearest_centroid(queries, centroids, id_col=id_col, vec_col=vec_col).select(
-        F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "cell"
-    )
+    qc = _probe_cells(
+        queries, centroids, id_col=id_col, vec_col=vec_col, n_probe=n_probe, round_digits=6
+    ).select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "cell")
     scored = (
         cc.join(F.broadcast(qc), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -34,6 +34,7 @@ _PRIORITY = [
     #    packing, int8 quantized similarity (never had a gate row)
     "ivf_centroids",
     "similarity_ivf_topk",
+    "similarity_ivf_probe2_topk",
     "text_repetition",
     "sequence_packing",
     "quantized_cosine_topk",

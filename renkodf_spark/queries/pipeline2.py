@@ -323,6 +323,52 @@ SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cos_sim FROM ranked WHERE r
 )
 
 
+_IVF_PROBE2_ORACLE = (
+    _CENTROID_CTES
+    + """,
+cents AS (SELECT cell, LIST(mval ORDER BY i) AS cv FROM m GROUP BY cell),
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assign AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY ROUND(list_dot_product(v, cv)
+                          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+                    cell) AS rk
+  FROM vecs CROSS JOIN cents),
+q AS (SELECT v.vec_id AS query_id, v.v AS qv, c.cell
+      FROM vecs v JOIN assign c USING (vec_id) WHERE v.vec_id < 5 AND c.rk <= 2),
+nb AS (SELECT v.vec_id AS neighbor_id, v.v AS nv, c.cell
+       FROM vecs v JOIN assign c USING (vec_id) WHERE c.rk = 1),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, nv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS cos
+  FROM q JOIN nb USING (cell) WHERE neighbor_id <> query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cos_sim FROM ranked WHERE rank <= 5
+"""
+)
+
+
+@query(
+    "similarity_ivf_probe2_topk",
+    oracle=_IVF_PROBE2_ORACLE,
+    doc="IVF top-5 with n_probe=2: queries search their two nearest "
+    "cells — the recall/cost dial (probed corpus fraction doubles, "
+    "recall rises toward exact).",
+)
+def similarity_ivf_probe2_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cents = similarity.embedding_centroids(emb, dim=_IVF_DIM).cache()
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), cents, k=5, n_probe=2
+    )
+
+
 @query(
     "similarity_ivf_topk",
     oracle=_IVF_TOPK_ORACLE,

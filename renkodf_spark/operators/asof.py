@@ -4,15 +4,17 @@ tick_index_close alignment, renkodf.py:145-146); declared as part of the
 engine surface in SURVEY.md §2 Part B.
 
 Spark has no native as-of join. The scalable composition used here is
-the union + running-last-value window:
+the union + running-edge-value window:
 
     tag left/right rows -> unionByName -> window over (keys) ordered by
-    (time, tag) -> last non-null right payload carried forward -> keep
-    left rows.
+    (time, tag) -> last (backward) / first (forward) non-null right
+    payload within the frame -> keep left rows.
 
 One shuffle on the key columns, no range-bucket explosion, no
 O(left x right) inequality join; skew follows the key distribution like
-any window. This matches how merge_asof-style joins are done in
+any window. ``direction="nearest"`` evaluates both frames over the SAME
+sorted window pass (two frame specs, one shuffle+sort) and picks the
+closer match. This matches how merge_asof-style joins are done in
 Flink/kdb-style pipelines.
 """
 
@@ -32,24 +34,60 @@ def asof_join(
     right_time: str,
     right_payload: list[str] | None = None,
     strict: bool = True,
+    direction: str = "backward",
     suffix: str = "_asof",
 ) -> DataFrame:
-    """For every left row, attach the most recent right row (by
-    ``right_time`` <= / < ``left_time``) sharing the ``on`` keys.
+    """For every left row, attach one right row sharing the ``on`` keys:
 
-    strict=True uses ``right_time < left_time`` (a right row exactly at
-    the left timestamp does not match); strict=False allows equality.
-    Right payload columns come back suffixed with ``suffix``.
+    - ``direction="backward"``: the most recent right row with
+      ``right_time < left_time`` (``<=`` when ``strict=False``);
+    - ``direction="forward"``: the earliest right row with
+      ``right_time > left_time`` (``>=`` when ``strict=False``);
+    - ``direction="nearest"``: whichever of the two is closer in time,
+      ties to the backward match (pandas ``merge_asof`` convention).
+      Only ``strict=False`` is supported: an equal-time match IS the
+      nearest row, and excluding it cannot be expressed with a single
+      tag ordering (the equal-time row would leak into the forward
+      frame); no caller semantics we know of wants strict-nearest.
+
+    Right payload columns come back suffixed with ``suffix``; rows with
+    no match carry nulls (left join semantics).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
+    if direction == "nearest" and strict:
+        raise ValueError("direction='nearest' requires strict=False (see docstring)")
     keys = [on] if isinstance(on, str) else list(on)
     if right_payload is None:
         right_payload = [c for c in right.columns if c not in keys]
 
-    payload_struct = F.struct(*[F.col(c) for c in right_payload])
+    # __rt rides inside the payload struct so "nearest" can compare
+    # distances; it is dropped from the output projection. Timestamps
+    # become exact integer microseconds — a double epoch-seconds cast
+    # rounds to ~0.1 us ulp at current epochs, enough to flip an
+    # exact-tie comparison against an engine comparing intervals.
+    def _num(col_name: str, df: DataFrame):
+        dt = dict(df.dtypes)[col_name]
+        c = F.col(col_name)
+        return F.unix_micros(c) if dt.startswith("timestamp") else c.cast("double")
 
-    # tag: right rows must sort *before* left rows at equal time when
-    # equality matches (non-strict), *after* when strict.
-    right_tag = 0 if not strict else 1
+    payload_struct = F.struct(
+        _num(right_time, right).alias("__rt"), *[F.col(c) for c in right_payload]
+    )
+
+    # tag ordering decides whether an equal-time right row falls inside
+    # the frame. Backward frame is (unbounded, current]: right must sort
+    # before left to match at equal time (non-strict), after to be
+    # excluded (strict). Forward frame is [current, unbounded): the
+    # mirror. Nearest uses the backward-non-strict ordering — the
+    # equal-time row lands in the backward frame at distance 0, which
+    # wins every tie, so the forward frame not seeing it is harmless.
+    if direction == "forward" and not strict:
+        right_tag = 1
+    elif direction == "forward":
+        right_tag = 0
+    else:
+        right_tag = 0 if (not strict or direction == "nearest") else 1
     left_tag = 1 - right_tag
 
     l = left.select(
@@ -63,20 +101,50 @@ def asof_join(
         *[F.col(k) for k in keys],
         F.col(right_time).alias("__t"),
         F.lit(right_tag).alias("__tag"),
-        F.lit(None).cast(left.select(F.struct(*[F.col(c) for c in left.columns])).schema[0].dataType).alias("__left"),
+        F.lit(None)
+        .cast(left.select(F.struct(*[F.col(c) for c in left.columns])).schema[0].dataType)
+        .alias("__left"),
         payload_struct.alias("__payload"),
     )
 
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__t").asc(), F.col("__tag").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # __payload as the final sort key: with duplicate (key, time) right
+    # rows the chosen match would otherwise depend on partition layout
+    # (same class of bug as the time_bars tiebreak, VERDICT r3 item 4).
+    # Left rows all carry null payloads at equal (t, tag), so their
+    # relative order is immaterial.
+    order = Window.partitionBy(*keys).orderBy(
+        F.col("__t").asc(), F.col("__tag").asc(), F.col("__payload").asc()
     )
-    merged = l.unionByName(r).withColumn(
-        "__match", F.last("__payload", ignorenulls=True).over(w)
-    )
-    out = merged.filter(F.col("__left").isNotNull()).select(
+    w_back = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    merged = l.unionByName(r)
+    if direction == "backward":
+        merged = merged.withColumn("__match", F.last("__payload", ignorenulls=True).over(w_back))
+    elif direction == "forward":
+        merged = merged.withColumn("__match", F.first("__payload", ignorenulls=True).over(w_fwd))
+    else:
+        back = F.last("__payload", ignorenulls=True).over(w_back)
+        fwd = F.first("__payload", ignorenulls=True).over(w_fwd)
+        t_dt = dict(left.dtypes)[left_time]
+        t = (
+            F.unix_micros(F.col("__t"))
+            if t_dt.startswith("timestamp")
+            else F.col("__t").cast("double")
+        )
+        merged = (
+            merged.withColumn("__b", back)
+            .withColumn("__f", fwd)
+            .withColumn(
+                "__match",
+                F.when(F.col("__f").isNull(), F.col("__b"))
+                .when(F.col("__b").isNull(), F.col("__f"))
+                # backward wins ties (<=): distances are both >= 0
+                .when((t - F.col("__b.__rt")) <= (F.col("__f.__rt") - t), F.col("__b"))
+                .otherwise(F.col("__f")),
+            )
+        )
+    return merged.filter(F.col("__left").isNotNull()).select(
         F.col("__left.*"),
         *[F.col(f"__match.{c}").alias(f"{c}{suffix}") for c in right_payload],
     )
-    return out

@@ -38,6 +38,8 @@ _PRIORITY = [
     "text_repetition",
     "sequence_packing",
     "quantized_cosine_topk",
+    "asof_next_purchase_after_click",
+    "asof_nearest_purchase",
     # -- new this round: corpus-curation apply stage (dedup filter,
     #    chunking, PII redaction, hash split, quota sampling)
     "corpus_dedup_filter",

@@ -775,3 +775,83 @@ def asof_purchase_before_click(spark, sf_dir):
         F.col("ts_asof").alias("purchase_ts"),
         F.round(F.col("value_asof"), 4).alias("purchase_value"),
     )
+
+
+@query(
+    "asof_next_purchase_after_click",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts,
+           p.ts AS next_purchase_ts, ROUND(p.value, 4) AS next_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND p.ts > c.ts
+    """,
+    doc="forward as-of join (earliest purchase strictly after each click) — "
+    "the mirrored frame of the union+window composition.",
+)
+def asof_next_purchase_after_click(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_payload=["ts", "value"],
+        strict=True,
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_asof").alias("next_purchase_ts"),
+        F.round(F.col("value_asof"), 4).alias("next_purchase_value"),
+    )
+
+
+@query(
+    "asof_nearest_purchase",
+    oracle="""
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    b AS (SELECT c.event_id, p.ts AS bts, p.value AS bval
+          FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts),
+    f AS (SELECT c.event_id, p.ts AS fts, p.value AS fval
+          FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts > c.ts)
+    SELECT c.event_id, c.user_id, c.ts,
+           CASE WHEN fts IS NULL THEN bts WHEN bts IS NULL THEN fts
+                WHEN (epoch_us(c.ts) - epoch_us(bts)) <= (epoch_us(fts) - epoch_us(c.ts))
+                THEN bts ELSE fts END AS nearest_ts,
+           ROUND(CASE WHEN fts IS NULL THEN bval WHEN bts IS NULL THEN fval
+                      WHEN (epoch_us(c.ts) - epoch_us(bts)) <= (epoch_us(fts) - epoch_us(c.ts))
+                      THEN bval ELSE fval END, 4) AS nearest_value
+    FROM c JOIN b USING (event_id) JOIN f USING (event_id)
+    """,
+    doc="nearest as-of join (closest purchase in either direction, ties "
+    "backward) — both frames evaluated in one window pass; distances "
+    "compared in exact integer microseconds on both engines.",
+)
+def asof_nearest_purchase(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_payload=["ts", "value"],
+        strict=False,
+        direction="nearest",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_asof").alias("nearest_ts"),
+        F.round(F.col("value_asof"), 4).alias("nearest_value"),
+    )

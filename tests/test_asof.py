@@ -144,3 +144,71 @@ def test_time_bars_deterministic_with_ts_ties(spark):
     assert a["open"] == 11.0 and a["close"] == 12.0  # arrival-order ties
     b = outs[0][outs[0]["symbol"] == "B"].iloc[0]
     assert b["open"] == 7.0 and b["close"] == 8.0
+
+
+def test_asof_join_forward_and_nearest_match_merge_asof(spark):
+    left_pdf, right_pdf = _data(seed=11)
+    right_pdf = right_pdf.drop_duplicates(["k", "t"])
+    left = spark.createDataFrame(left_pdf)
+    right = spark.createDataFrame(right_pdf)
+
+    cases = [("forward", True), ("forward", False), ("nearest", False)]
+    for direction, strict in cases:
+        got = (
+            asof_join(
+                left,
+                right,
+                on="k",
+                left_time="t",
+                right_time="t",
+                right_payload=["t", "payload"],
+                strict=strict,
+                direction=direction,
+            )
+            .orderBy("lid")
+            .toPandas()
+        )
+        want = pd.merge_asof(
+            left_pdf.sort_values("t", kind="mergesort"),
+            right_pdf.sort_values("t", kind="mergesort").rename(columns={"t": "rt"}),
+            left_on="t",
+            right_on="rt",
+            by="k",
+            allow_exact_matches=not strict,
+            direction=direction,
+        ).sort_values("lid").reset_index(drop=True)
+        np.testing.assert_array_equal(
+            got["t_asof"].to_numpy().astype("datetime64[us]"),
+            want["rt"].to_numpy().astype("datetime64[us]"),
+            err_msg=f"{direction} strict={strict} matched time",
+        )
+        np.testing.assert_array_equal(
+            np.nan_to_num(got["payload_asof"].to_numpy(), nan=-999.0),
+            np.nan_to_num(want["payload"].to_numpy(), nan=-999.0),
+            err_msg=f"{direction} strict={strict} payload",
+        )
+
+
+def test_asof_nearest_tie_goes_backward(spark):
+    left = spark.createDataFrame(pd.DataFrame({"k": [1], "t": [10.0], "lid": [0]}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "t": [5.0, 15.0], "v": ["back", "fwd"]})
+    )
+    got = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        right_payload=["v"], strict=False, direction="nearest",
+    ).collect()
+    assert got[0]["v_asof"] == "back"  # equidistant: pandas convention
+
+
+def test_asof_invalid_direction_combos(spark):
+    import pytest as _pytest
+
+    left = spark.createDataFrame(pd.DataFrame({"k": [1], "t": [1.0], "lid": [0]}))
+    with _pytest.raises(ValueError):
+        asof_join(left, left, on="k", left_time="t", right_time="t", direction="sideways")
+    with _pytest.raises(ValueError):
+        asof_join(
+            left, left, on="k", left_time="t", right_time="t",
+            direction="nearest", strict=True,
+        )

@@ -40,6 +40,8 @@ _PRIORITY = [
     "quantized_cosine_topk",
     "asof_next_purchase_after_click",
     "asof_nearest_purchase",
+    "ivf_cell_stats",
+    "salted_event_type_stats",
     # -- new this round: corpus-curation apply stage (dedup filter,
     #    chunking, PII redaction, hash split, quota sampling)
     "corpus_dedup_filter",
@@ -60,6 +62,9 @@ _PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_cluster_labels",
     "time_bars_hourly",
+    # changed again late round 4: window ordering gained the payload
+    # tiebreak when asof.py grew direction= — re-prove the backward path
+    "asof_purchase_before_click",
     "multimodal_image_meta",
     "multimodal_real_headers",
     # -- 16 queries whose only recent green rows are from round 2
@@ -96,7 +101,6 @@ _PRIORITY = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
-    "asof_purchase_before_click",
     "tumbling_event_windows",
     "session_window_events",
     "user_sessions",

@@ -323,6 +323,46 @@ SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cos_sim FROM ranked WHERE r
 )
 
 
+_IVF_CELL_STATS_ORACLE = (
+    _CENTROID_CTES
+    + """,
+cents AS (SELECT cell, LIST(mval ORDER BY i) AS cv FROM m GROUP BY cell),
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assign AS (
+  SELECT vec_id, cell,
+         ROUND(list_dot_product(v, cv)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS rcos,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY ROUND(list_dot_product(v, cv)
+                          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+                    cell) AS rk
+  FROM vecs CROSS JOIN cents)
+SELECT cell, COUNT(*) AS n_assigned,
+       MIN(rcos) AS min_cos, MAX(rcos) AS max_cos
+FROM assign WHERE rk = 1 GROUP BY cell
+"""
+)
+
+
+@query(
+    "ivf_cell_stats",
+    oracle=_IVF_CELL_STATS_ORACLE,
+    doc="IVF observability (the lsh_bucket_stats counterpart): per-cell "
+    "assigned-vector count and routing-cosine range — the numbers a "
+    "caller reads before choosing n_probe / re-training centroids.",
+)
+def ivf_cell_stats(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cents = similarity.embedding_centroids(emb, dim=_IVF_DIM)
+    routed = similarity.nearest_centroid(emb, cents)
+    return routed.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.min("cell_cos").alias("min_cos"),
+        F.max("cell_cos").alias("max_cos"),
+    )
+
+
 _IVF_PROBE2_ORACLE = (
     _CENTROID_CTES
     + """,

@@ -855,3 +855,42 @@ def asof_nearest_purchase(spark, sf_dir):
         F.col("ts_asof").alias("nearest_ts"),
         F.round(F.col("value_asof"), 4).alias("nearest_value"),
     )
+
+
+# ------------------------------------------------------- salted aggregation
+
+@query(
+    "salted_event_type_stats",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           SUM(FLOOR(value * 100)::BIGINT)::BIGINT AS total_cents,
+           ROUND(MIN(value), 4) AS min_value, ROUND(MAX(value), 4) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    doc="two-stage salted aggregation over the hot-key axis "
+    "(functions/skew.py): identical results to a plain groupBy — the "
+    "salt changes the shuffle layout, never the algebra. Sums run in "
+    "integer cents so re-association cannot move a ulp.",
+)
+def salted_event_type_stats(spark, sf_dir):
+    from renkodf_spark.functions.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_cents", F.floor(F.col("value") * 100).cast("long")
+    )
+    return salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": ("count", "*"),
+            "total_cents": ("sum", "value_cents"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+    ).select(
+        "event_type",
+        "n",
+        "total_cents",
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+    )

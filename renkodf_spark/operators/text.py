@@ -171,3 +171,53 @@ def repetition_signals(
             ).alias("top_gram_char_frac"),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document (sklearn-style smoothed IDF:
+    ``ln((N + 1) / (df + 1)) + 1``). Output: one row per (doc, rank)
+    with the term, its in-doc count, its document frequency, and the
+    rounded score.
+
+    Ranking runs on ``ROUND(score, 6)`` with ties to the
+    lexicographically smallest term — ``ln`` can differ by an ulp
+    between libm implementations, and an unrounded rank would flip on
+    near-ties (same contract as the IVF routing argmax).
+
+    Scale shape: explode → one (doc, term) count shuffle; document
+    frequency is a second aggregation over the distinct pairs (a
+    map-side-combinable count keyed by term — never the corpus text);
+    the corpus-size scalar N joins back as a broadcast single row, and
+    the final top-k is a window keyed by doc. No driver-side state.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    pairs = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
+    tf = pairs.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    from pyspark.sql.window import Window
+
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * (F.log((F.col("__n") + 1) / (F.col("df") + 1)) + 1), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col), "rank", "term", "tf", "df", "score"
+        )
+    )

@@ -42,6 +42,7 @@ _PRIORITY = [
     "asof_nearest_purchase",
     "ivf_cell_stats",
     "salted_event_type_stats",
+    "tfidf_top_terms",
     # -- new this round: corpus-curation apply stage (dedup filter,
     #    chunking, PII redaction, hash split, quota sampling)
     "corpus_dedup_filter",

@@ -240,6 +240,38 @@ def text_repetition(spark, sf_dir):
     return text.repetition_signals(_docs(spark, sf_dir), ngram_ns=_REP_NS)
 
 
+# ------------------------------------------------------------- TF-IDF
+
+_TFIDF_K = 3
+
+_TFIDF_ORACLE = rf"""
+WITH pairs AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM pairs GROUP BY ALL),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         ROUND(tf * (ln((n + 1) / (df + 1)) + 1), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM scored)
+SELECT doc_id, rank, term, tf, df, score FROM ranked WHERE rank <= {_TFIDF_K}
+"""
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=_TFIDF_ORACLE,
+    doc=f"top-{_TFIDF_K} TF-IDF terms per doc (smoothed IDF); ranking on "
+    "ROUND(score, 6) with lexicographic ties — ln() can differ by an "
+    "ulp between libm implementations.",
+)
+def tfidf_top_terms(spark, sf_dir):
+    return text.tfidf_top_terms(_docs(spark, sf_dir), k=_TFIDF_K)
+
+
 # ------------------------------------------------------------ IVF ANN
 
 _IVF_DIM = 64

@@ -590,3 +590,26 @@ def test_ivf_topk_n_probe_recall(spark, emb_df):
     }
     # probe-1 searches a subset of cells, so it can't return MORE rows
     assert len(p1) <= len(full_probe)
+
+
+# ----------------------------------------------------------------- TF-IDF
+
+
+def test_tfidf_top_terms_matches_math(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "apple")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"], r["score"])
+        for r in text.tfidf_top_terms(df, k=2).collect()
+    }
+    idf = lambda dfreq: math.log(4 / (dfreq + 1)) + 1  # N=3, smoothed
+    assert out[(1, 1)] == ("apple", 2, 2, round(2 * idf(2), 6))
+    assert out[(1, 2)] == ("banana", 1, 2, round(1 * idf(2), 6))
+    assert out[(2, 1)] == ("cherry", 1, 1, round(1 * idf(1), 6))  # rarer wins
+    assert out[(2, 2)] == ("banana", 1, 2, round(1 * idf(2), 6))
+    assert out[(3, 1)] == ("apple", 1, 2, round(1 * idf(2), 6))
+    assert (3, 2) not in out  # only one term in doc 3

@@ -393,6 +393,49 @@ def ngram_jaccard_pairs(
     return out
 
 
+def edit_distance_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact character-level verification of candidate (id_a, id_b)
+    pairs: Levenshtein distance plus a length-normalized similarity
+    ``1 - dist / max(len_a, len_b)`` (1.0 = identical, 0.0 = disjoint;
+    two empty texts define as 1.0). The complement to
+    :func:`ngram_jaccard_pairs` — token-set overlap misses pure
+    character edits (typos, OCR noise) that edit distance catches.
+
+    All JVM-side (``F.levenshtein``), integer-valued distance — exact
+    cross-engine. Scale: the texts join to the (small) candidate list;
+    per-pair cost is O(len_a x len_b), so this is a verify stage for
+    bounded candidate sets, never an all-pairs pass."""
+    t = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    out = (
+        pairs.join(t.withColumnRenamed("id", "id_a").withColumnRenamed("t", "t_a"), "id_a")
+        .join(t.withColumnRenamed("id", "id_b").withColumnRenamed("t", "t_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("t_a", "t_b").alias("edit_dist"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0)
+                    - F.try_divide(
+                        F.levenshtein("t_a", "t_b"),
+                        F.greatest(F.length("t_a"), F.length("t_b")),
+                    ),
+                    F.lit(1.0),  # both texts empty: max length 0
+                ),
+                round_digits,
+            ).alias("edit_sim"),
+        )
+    )
+    return out
+
+
 def simhash(
     df: DataFrame,
     *,

@@ -43,6 +43,7 @@ _PRIORITY = [
     "ivf_cell_stats",
     "salted_event_type_stats",
     "tfidf_top_terms",
+    "dedup_edit_distance",
     # -- new this round: corpus-curation apply stage (dedup filter,
     #    chunking, PII redaction, hash split, quota sampling)
     "corpus_dedup_filter",

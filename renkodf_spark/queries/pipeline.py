@@ -162,6 +162,29 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs, _shared_pairs(spark, sf_dir), shingle_n=SHINGLE_N)
 
 
+_EDIT_ORACLE = f"""
+{_PAIRS_CTES}
+SELECT p.id_a, p.id_b,
+       levenshtein(da.text, db.text) AS edit_dist,
+       ROUND(COALESCE(1.0 - levenshtein(da.text, db.text)::DOUBLE
+                      / greatest(len(da.text), len(db.text)), 1.0), 4) AS edit_sim
+FROM pairs p JOIN documents da ON da.doc_id = p.id_a
+             JOIN documents db ON db.doc_id = p.id_b
+"""
+
+
+@query(
+    "dedup_edit_distance",
+    oracle=_EDIT_ORACLE,
+    doc="character-level Levenshtein verification of the LSH candidate "
+    "pairs (integer distance - exact cross-engine; normalized "
+    "similarity rounded).",
+)
+def dedup_edit_distance(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return dedup.edit_distance_verify(docs, _shared_pairs(spark, sf_dir))
+
+
 # connected components as a recursive min-label walk: walk(id, node)
 # enumerates every node reachable from id through the symmetric pair
 # graph; cluster_id = MIN(reachable node). Components from LSH pairs are

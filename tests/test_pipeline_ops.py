@@ -613,3 +613,18 @@ def test_tfidf_top_terms_matches_math(spark):
     assert out[(2, 2)] == ("banana", 1, 2, round(1 * idf(2), 6))
     assert out[(3, 1)] == ("apple", 1, 2, round(1 * idf(2), 6))
     assert (3, 2) not in out  # only one term in doc 3
+
+
+def test_edit_distance_verify(spark, docs_df):
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 6), (4, 5)], "id_a long, id_b long"
+    )
+    out = {
+        (r["id_a"], r["id_b"]): (r["edit_dist"], r["edit_sim"])
+        for r in dedup.edit_distance_verify(docs_df, pairs).collect()
+    }
+    # D1 vs D2 differ only in 'dog' -> 'cat': distance 3
+    assert out[(1, 2)] == (3, round(1 - 3 / len(D1), 4))
+    assert out[(1, 6)] == (0, 1.0)  # exact duplicates
+    # D4='too short' vs D5='': distance = len(D4), similarity 0
+    assert out[(4, 5)] == (len(D4), 0.0)

@@ -393,6 +393,73 @@ def ngram_jaccard_pairs(
     return out
 
 
+def band_table(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    repartition_input: bool | str = "auto",
+) -> DataFrame:
+    """The persistable LSH band index: ``(id, band, key)`` rows, one per
+    doc per band, uncapped. This is the table a production pipeline
+    writes once per corpus snapshot and joins every increment against —
+    see :func:`incremental_lsh_pairs`. Partition/bucket it by
+    ``(band, key)`` on write and the increment join is co-located."""
+    return _band_keys(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        shingle_n=shingle_n,
+        max_bucket_size=None,
+        repartition_input=repartition_input,
+    )
+
+
+def incremental_lsh_pairs(
+    new_bands: DataFrame,
+    baseline_bands: DataFrame,
+    *,
+    include_within_new: bool = True,
+) -> DataFrame:
+    """Candidate near-dup pairs touching an increment: new-vs-baseline
+    plus (optionally) new-vs-new, from two :func:`band_table` outputs.
+    Returns distinct ``(id_a, id_b)`` with ``id_a < id_b``.
+
+    This is the production shape of LSH dedup at 100 TB: signatures for
+    the historical corpus are computed ONCE and persisted as a band
+    table; each increment shingles only its own documents and equi-joins
+    the stored index on ``(band, key)`` — the historical text is never
+    re-read, and the join is co-located if the index is bucketed by its
+    key. Equivalent to running :func:`minhash_lsh_pairs` (uncapped) on
+    the full corpus and keeping the pairs with at least one new member.
+    """
+    cross = (
+        new_bands.select("band", "key", F.col("id").alias("new_id"))
+        .join(
+            baseline_bands.select("band", "key", F.col("id").alias("old_id")),
+            ["band", "key"],
+        )
+        .select(
+            F.least("new_id", "old_id").alias("id_a"),
+            F.greatest("new_id", "old_id").alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    if include_within_new:
+        a = new_bands.select("band", "key", F.col("id").alias("id_a"))
+        b = new_bands.select("band", "key", F.col("id").alias("id_b"))
+        within = a.join(b, ["band", "key"]).filter(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b"
+        )
+        cross = cross.unionByName(within)
+    return cross.distinct()
+
+
 def edit_distance_verify(
     df: DataFrame,
     pairs: DataFrame,

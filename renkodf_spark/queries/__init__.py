@@ -44,6 +44,7 @@ _PRIORITY = [
     "salted_event_type_stats",
     "tfidf_top_terms",
     "dedup_edit_distance",
+    "dedup_incremental_lsh",
     # -- new this round: corpus-curation apply stage (dedup filter,
     #    chunking, PII redaction, hash split, quota sampling)
     "corpus_dedup_filter",

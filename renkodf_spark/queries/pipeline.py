@@ -162,6 +162,39 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs, _shared_pairs(spark, sf_dir), shingle_n=SHINGLE_N)
 
 
+_INCR_SPLIT = 250
+
+_INCR_ORACLE = f"""
+{_PAIRS_CTES}
+SELECT id_a, id_b FROM pairs WHERE id_b >= {_INCR_SPLIT}
+"""
+
+
+@query(
+    "dedup_incremental_lsh",
+    oracle=_INCR_ORACLE,
+    doc="incremental LSH dedup: docs >= 250 are 'today's increment', "
+    "docs < 250 the persisted baseline band index — candidate pairs "
+    "touching the increment only. Oracle: full-corpus pairs filtered "
+    "to id_b >= split (id_a < id_b makes that 'at least one new').",
+)
+def dedup_incremental_lsh(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    new_bands = dedup.band_table(
+        docs.filter(F.col("doc_id") >= _INCR_SPLIT),
+        num_hashes=NUM_HASHES,
+        band_size=BAND_SIZE,
+        shingle_n=SHINGLE_N,
+    )
+    baseline_bands = dedup.band_table(
+        docs.filter(F.col("doc_id") < _INCR_SPLIT),
+        num_hashes=NUM_HASHES,
+        band_size=BAND_SIZE,
+        shingle_n=SHINGLE_N,
+    )
+    return dedup.incremental_lsh_pairs(new_bands, baseline_bands)
+
+
 _EDIT_ORACLE = f"""
 {_PAIRS_CTES}
 SELECT p.id_a, p.id_b,

@@ -628,3 +628,25 @@ def test_edit_distance_verify(spark, docs_df):
     assert out[(1, 6)] == (0, 1.0)  # exact duplicates
     # D4='too short' vs D5='': distance = len(D4), similarity 0
     assert out[(4, 5)] == (len(D4), 0.0)
+
+
+def test_incremental_lsh_equals_filtered_full_pairs(spark, docs_df):
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs_df, max_bucket_size=None).collect()
+    }
+    split = 4
+    nb = dedup.band_table(docs_df.filter(F.col("doc_id") >= split))
+    ob = dedup.band_table(docs_df.filter(F.col("doc_id") < split))
+    incr = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.incremental_lsh_pairs(nb, ob).collect()
+    }
+    assert incr == {(a, b) for a, b in full if b >= split}
+    assert (1, 6) in incr  # D6 duplicates D1 across the split boundary
+    # without within-new pairs, only cross-boundary candidates remain
+    cross_only = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.incremental_lsh_pairs(nb, ob, include_within_new=False).collect()
+    }
+    assert cross_only == {(a, b) for a, b in incr if a < split <= b}

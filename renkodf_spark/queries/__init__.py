@@ -45,6 +45,7 @@ _PRIORITY = [
     "tfidf_top_terms",
     "dedup_edit_distance",
     "dedup_incremental_lsh",
+    "ann_recall_report",
     # -- new this round: corpus-curation apply stage (dedup filter,
     #    chunking, PII redaction, hash split, quota sampling)
     "corpus_dedup_filter",

@@ -455,6 +455,82 @@ def similarity_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), cents, k=5)
 
 
+# ---------------------------------------------------------- ANN recall
+
+# the same 20-query set for all three methods; exact top-5 is the truth
+_RECALL_EXACT = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+  FROM c, q WHERE neighbor_id <> query_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5
+"""
+
+
+def _recall_oracle() -> str:
+    from renkodf_spark.queries.pipeline import _LSH_ANN_ORACLE
+
+    ivf20 = _IVF_TOPK_ORACLE.replace("vec_id < 5", "vec_id < 20")
+    return f"""
+WITH exact AS ({_RECALL_EXACT}),
+ivf AS ({ivf20}),
+lsh AS ({_LSH_ANN_ORACLE}),
+m AS (
+  SELECT 'ivf' AS method, COUNT(a.neighbor_id)::BIGINT AS hits, COUNT(*)::BIGINT AS total
+  FROM exact e LEFT JOIN ivf a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  UNION ALL
+  SELECT 'lsh', COUNT(b.neighbor_id)::BIGINT, COUNT(*)::BIGINT
+  FROM exact e LEFT JOIN lsh b ON e.query_id = b.query_id AND e.neighbor_id = b.neighbor_id)
+SELECT method, hits, total, ROUND(hits::DOUBLE / total, 4) AS recall FROM m
+"""
+
+
+@query(
+    "ann_recall_report",
+    oracle=_recall_oracle(),
+    doc="recall@5 of both ANN scale paths (IVF n_probe=1, RP-LSH "
+    "buckets) against exact brute force over the same 20 queries — "
+    "the measured version of the documented 'recall < 1'.",
+)
+def ann_recall_report(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q20 = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(emb, q20, k=5).select("query_id", "neighbor_id")
+    cents = similarity.embedding_centroids(emb, dim=_IVF_DIM).cache()
+    methods = {
+        "ivf": similarity.ivf_topk(emb, q20, cents, k=5),
+        "lsh": similarity.lsh_bucket_topk(emb, q20, k=5),
+    }
+    out = None
+    for name, ann in methods.items():
+        j = exact.join(
+            ann.select("query_id", "neighbor_id").withColumn("__h", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        row = (
+            j.groupBy(F.lit(name).alias("method"))
+            .agg(
+                F.sum(F.coalesce("__h", F.lit(0))).alias("hits"),
+                F.count(F.lit(1)).alias("total"),
+            )
+            .select(
+                "method",
+                "hits",
+                "total",
+                F.round(F.col("hits") / F.col("total"), 4).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 # --------------------------------------------------------- sequence packing
 
 _PACK_BUDGET = 128

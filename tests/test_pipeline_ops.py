@@ -650,3 +650,68 @@ def test_incremental_lsh_equals_filtered_full_pairs(spark, docs_df):
         for r in dedup.incremental_lsh_pairs(nb, ob, include_within_new=False).collect()
     }
     assert cross_only == {(a, b) for a, b in incr if a < split <= b}
+
+
+# ---------------------------------------------------------- empty inputs
+
+
+def test_all_pipeline_operators_handle_empty_inputs(spark):
+    """Every pipeline operator must return an empty, well-schemaed
+    DataFrame on 0-row input — a daily increment can legitimately be
+    empty, and a scheduled pipeline must not crash on it."""
+    from renkodf_spark.operators import corpus
+
+    edocs = spark.createDataFrame([], "doc_id long, text string")
+    eemb = spark.createDataFrame([], "vec_id long, embedding array<double>, label string")
+    epairs = spark.createDataFrame([], "id_a long, id_b long")
+    echunks = spark.createDataFrame([], "doc_id long, chunk_id long, n_tokens long")
+    elabels = spark.createDataFrame([], "id long, cluster_id long")  # cluster_labels schema
+    cents = spark.createDataFrame(
+        [("a", [1.0, 0.0, 0.0, 0.0])], "cell string, centroid array<double>"
+    )
+
+    cases = {
+        "exact_dedup": lambda: dedup.exact_dedup(edocs),
+        "minhash_signatures": lambda: dedup.minhash_signatures(edocs),
+        "minhash_lsh_pairs": lambda: dedup.minhash_lsh_pairs(edocs),
+        "simhash": lambda: dedup.simhash(edocs),
+        "band_table": lambda: dedup.band_table(edocs),
+        "incremental_lsh_pairs": lambda: dedup.incremental_lsh_pairs(
+            dedup.band_table(edocs), dedup.band_table(edocs)
+        ),
+        "ngram_jaccard_pairs": lambda: dedup.ngram_jaccard_pairs(edocs, epairs),
+        "edit_distance_verify": lambda: dedup.edit_distance_verify(edocs, epairs),
+        "cluster_labels": lambda: dedup.cluster_labels(edocs, epairs),
+        "lang_id": lambda: text.lang_id(edocs),
+        "quality_score": lambda: text.quality_score(edocs),
+        "token_counts": lambda: text.token_counts(edocs),
+        "fingerprint": lambda: text.fingerprint(edocs),
+        "repetition_signals": lambda: text.repetition_signals(edocs),
+        "tfidf_top_terms": lambda: text.tfidf_top_terms(edocs),
+        "chunk_documents": lambda: corpus.chunk_documents(edocs),
+        "redact_pii": lambda: corpus.redact_pii(edocs),
+        "hash_split": lambda: corpus.hash_split(edocs),
+        "quota_sample": lambda: corpus.quota_sample(
+            text.lang_id(edocs).select("doc_id", "pred_lang"), "pred_lang", per_group=5
+        ),
+        "pack_sequences": lambda: corpus.pack_sequences(echunks),
+        "dedup_filter": lambda: corpus.dedup_filter(edocs, elabels),
+        "cosine_topk": lambda: similarity.cosine_topk(eemb, eemb),
+        "label_blocked_pairs": lambda: similarity.label_blocked_pairs(eemb),
+        "lsh_bucket_topk": lambda: similarity.lsh_bucket_topk(eemb, eemb, dim=4),
+        "embedding_centroids": lambda: similarity.embedding_centroids(eemb, dim=4),
+        "nearest_centroid": lambda: similarity.nearest_centroid(eemb, cents),
+        "ivf_topk": lambda: similarity.ivf_topk(eemb, eemb, cents),
+        "quantize_embeddings": lambda: similarity.quantize_embeddings(eemb),
+    }
+    failures = {}
+    for name, build in cases.items():
+        try:
+            df = build()
+            assert len(df.columns) > 0
+            assert df.count() == 0, f"{name}: expected 0 rows"
+        except AssertionError as e:
+            failures[name] = str(e)
+        except Exception as e:  # noqa: BLE001 - collecting all failures
+            failures[name] = f"{type(e).__name__}: {e}"
+    assert not failures, failures

@@ -273,3 +273,47 @@ def renko_state_export(spark, sf_dir):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     wide = renko(ticks_from_events(spark, sf_dir), _ORACLE_BRICK)
     return to_rws(wide, _ORACLE_BRICK, use_iloc=-10)
+
+
+@query(
+    "renko_direction_runs",
+    oracle=f"""
+    WITH wide AS ({build_renko_oracle_sql(_ORACLE_BRICK, _TICKS_SQL)}),
+    d AS (
+      SELECT symbol, brick_seq, direction,
+             CASE WHEN LAG(direction) OVER (PARTITION BY symbol ORDER BY brick_seq)
+                  IS DISTINCT FROM direction THEN 1 ELSE 0 END AS flip
+      FROM wide),
+    r AS (
+      SELECT *, SUM(flip) OVER (PARTITION BY symbol ORDER BY brick_seq
+                                ROWS UNBOUNDED PRECEDING)::BIGINT AS run_id
+      FROM d)
+    SELECT symbol, run_id, MIN(direction)::BIGINT AS direction,
+           COUNT(*) AS run_len, MIN(brick_seq)::BIGINT AS start_seq
+    FROM r GROUP BY symbol, run_id
+    """,
+    doc="run-length encoding of brick direction (the renko momentum "
+    "feature: consecutive same-direction brick runs), oracle via "
+    "lag/cumsum over the fold replay.",
+)
+def renko_direction_runs(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    wide = renko(ticks_from_events(spark, sf_dir), _ORACLE_BRICK)
+    w = Window.partitionBy("symbol").orderBy("brick_seq")
+    prev = F.lag("direction").over(w)
+    # two explicit projections (flip, then its running sum) — nesting a
+    # lag inside a windowed sum is version-fragile
+    flipped = wide.select(
+        "symbol", "brick_seq", F.col("direction").cast("long").alias("direction")
+    ).withColumn("flip", F.when(prev.isNull() | (prev != F.col("direction")), 1).otherwise(0))
+    runs = flipped.withColumn(
+        "run_id",
+        F.sum("flip").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return runs.groupBy("symbol", "run_id").agg(
+        F.min("direction").alias("direction"),
+        F.count(F.lit(1)).alias("run_len"),
+        F.min("brick_seq").alias("start_seq"),
+    )

@@ -46,6 +46,7 @@ _PRIORITY = [
     "dedup_edit_distance",
     "dedup_incremental_lsh",
     "ann_recall_report",
+    "ann_recall_planted",
     "renko_direction_runs",
     # -- new this round: corpus-curation apply stage (dedup filter,
     #    chunking, PII redaction, hash split, quota sampling)

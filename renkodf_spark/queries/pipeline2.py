@@ -531,6 +531,105 @@ def ann_recall_report(spark, sf_dir):
     return out
 
 
+# planted-structure recall: the near-orthogonal synthetic embeddings
+# carry no cluster signal (recall 0.16/0.04 above == random baseline),
+# so plant one deterministically: planted_i = 0.3*v_i + 1.0 at the
+# label's axis. Exact double arithmetic (one product + one add, no
+# rounding needed), so both engines build bit-identical vectors; only
+# the centroid averages downstream need the usual rounded-argmax guard.
+_PLANTED_CTE = f"""
+pos AS (SELECT unnest(range(1, {_IVF_DIM + 1})) AS i),
+pl AS (
+  SELECT vec_id, label, i,
+         0.3 * embedding[i]::DOUBLE + (CASE WHEN i - 1 = label THEN 1.0 ELSE 0.0 END) AS x
+  FROM embeddings CROSS JOIN pos),
+planted AS (SELECT vec_id, label, LIST(x ORDER BY i) AS v FROM pl GROUP BY vec_id, label)
+"""
+
+_RECALL_PLANTED_ORACLE = f"""
+WITH {_PLANTED_CTE},
+m AS (SELECT label AS cell, i, AVG(x) AS mval FROM pl GROUP BY 1, 2),
+cents AS (SELECT cell, LIST(mval ORDER BY i) AS cv FROM m GROUP BY cell),
+assign AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY ROUND(list_dot_product(v, cv)
+                          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+                    cell) AS rk
+  FROM planted CROSS JOIN cents),
+cellof AS (SELECT vec_id, cell FROM assign WHERE rk = 1),
+q AS (SELECT p.vec_id AS query_id, p.v AS qv, c.cell
+      FROM planted p JOIN cellof c USING (vec_id) WHERE p.vec_id < 20),
+nb AS (SELECT p.vec_id AS neighbor_id, p.v AS nv, c.cell
+       FROM planted p JOIN cellof c USING (vec_id)),
+ivf_scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, nv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS cos
+  FROM q JOIN nb USING (cell) WHERE neighbor_id <> query_id),
+ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM ivf_scored) WHERE rank <= 5),
+eq AS (SELECT vec_id AS query_id, v AS qv FROM planted WHERE vec_id < 20),
+ec AS (SELECT vec_id AS neighbor_id, v AS cv FROM planted),
+ex_scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+  FROM ec, eq WHERE neighbor_id <> query_id),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM ex_scored) WHERE rank <= 5)
+SELECT 'ivf_planted' AS method, COUNT(a.neighbor_id)::BIGINT AS hits, COUNT(*)::BIGINT AS total,
+       ROUND(COUNT(a.neighbor_id)::DOUBLE / COUNT(*), 4) AS recall
+FROM exact e LEFT JOIN ivf a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+"""
+
+
+@query(
+    "ann_recall_planted",
+    oracle=_RECALL_PLANTED_ORACLE,
+    doc="IVF recall@5 on deterministically CLUSTERED vectors (label-axis "
+    "planting) — the counterpart to ann_recall_report's unstructured "
+    "baseline: same machinery, structured data, high recall.",
+)
+def ann_recall_planted(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    # 2-arg lambda = (element, index) dispatch, used deliberately here
+    planted = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            v,
+            lambda x, i: 0.3 * x + F.when(i == F.col("label"), 1.0).otherwise(0.0),
+        ).alias("embedding"),
+    )
+    q20 = planted.filter(F.col("vec_id") < 20)
+    cents = similarity.embedding_centroids(planted, dim=_IVF_DIM).cache()
+    exact = similarity.cosine_topk(planted, q20, k=5).select("query_id", "neighbor_id")
+    ivf = similarity.ivf_topk(planted, q20, cents, k=5).select("query_id", "neighbor_id")
+    j = exact.join(ivf.withColumn("__h", F.lit(1)), ["query_id", "neighbor_id"], "left")
+    return (
+        j.groupBy(F.lit("ivf_planted").alias("method"))
+        .agg(
+            F.sum(F.coalesce("__h", F.lit(0))).alias("hits"),
+            F.count(F.lit(1)).alias("total"),
+        )
+        .select(
+            "method",
+            "hits",
+            "total",
+            F.round(F.col("hits") / F.col("total"), 4).alias("recall"),
+        )
+    )
+
+
 # --------------------------------------------------------- sequence packing
 
 _PACK_BUDGET = 128

@@ -140,14 +140,20 @@ def redact_pii(
     whole-stage-codegen'd. Pattern syntax is pinned to the
     Java-regex ∩ RE2 subset so the oracle replays identically.
     """
-    counts = [
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)).alias(f"n_{kind}")
-        for kind, pat in PII_PATTERNS.items()
-    ]
+    # counts run SEQUENTIALLY on the progressively-redacted text, so
+    # n_{kind} is the number of spans the redaction pass actually
+    # replaced for that kind: a phone number inside an email local-part
+    # is counted as email (and redacted as email), never double-counted
+    # as a phone the output no longer contains
+    counts = []
+    cur = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        counts.append(F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).alias(f"n_{kind}"))
+        cur = F.regexp_replace(cur, pat, f"<{kind.upper()}>")
     return df.select(
         F.col(id_col),
         *counts,
-        F.md5(redacted_text(text_col)).alias("clean_digest"),
+        F.md5(cur).alias("clean_digest"),
     )
 
 
@@ -193,7 +199,6 @@ def hash_split(
         .cast("long")
         % buckets
     )
-    split = F.lit(None).cast("string")
     expr = None
     for name, hi in sorted(cuts.items(), key=lambda kv: kv[1]):
         cond = F.col("bucket") < hi
@@ -263,8 +268,6 @@ def pack_sequences(
     engine replays it exactly. Returns the input columns plus
     ``(shard, bin_id, bin_offset, spans_bins)``.
     """
-    from pyspark.sql.window import Window
-
     if budget <= 0 or shards <= 0:
         raise ValueError(f"budget and shards must be positive, got {budget}/{shards}")
     shard = (

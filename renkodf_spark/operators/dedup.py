@@ -487,17 +487,23 @@ def edit_distance_verify(
             "id_a",
             "id_b",
             F.levenshtein("t_a", "t_b").alias("edit_dist"),
-            F.round(
-                F.coalesce(
+            # the both-empty special case must be explicit: a blanket
+            # coalesce(.., 1.0) would also certify a NULL text as a
+            # perfect duplicate of anything it was paired with
+            F.when(
+                (F.length("t_a") == 0) & (F.length("t_b") == 0), F.lit(1.0)
+            )
+            .otherwise(
+                F.round(
                     F.lit(1.0)
                     - F.try_divide(
                         F.levenshtein("t_a", "t_b"),
                         F.greatest(F.length("t_a"), F.length("t_b")),
                     ),
-                    F.lit(1.0),  # both texts empty: max length 0
-                ),
-                round_digits,
-            ).alias("edit_sim"),
+                    round_digits,
+                )
+            )
+            .alias("edit_sim"),
         )
     )
     return out

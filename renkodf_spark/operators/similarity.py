@@ -179,7 +179,9 @@ def _probe_cells(
             "id",
             "vec",
             F.col("__probe.cell").alias("cell"),
-            (-F.col("__probe.negcos")).alias("cell_cos"),
+            # 0.0 - x again, not unary minus: negating a +0.0 negcos
+            # would emit -0.0 and break min/max exports cross-engine
+            (F.lit(0.0) - F.col("__probe.negcos")).alias("cell_cos"),
             (F.col("__p") + 1).alias("probe_rank"),
         )
     )

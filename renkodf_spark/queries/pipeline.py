@@ -199,8 +199,9 @@ _EDIT_ORACLE = f"""
 {_PAIRS_CTES}
 SELECT p.id_a, p.id_b,
        levenshtein(da.text, db.text) AS edit_dist,
-       ROUND(COALESCE(1.0 - levenshtein(da.text, db.text)::DOUBLE
-                      / greatest(len(da.text), len(db.text)), 1.0), 4) AS edit_sim
+       CASE WHEN len(da.text) = 0 AND len(db.text) = 0 THEN 1.0
+            ELSE ROUND(1.0 - levenshtein(da.text, db.text)::DOUBLE
+                       / greatest(len(da.text), len(db.text)), 4) END AS edit_sim
 FROM pairs p JOIN documents da ON da.doc_id = p.id_a
              JOIN documents db ON db.doc_id = p.id_b
 """

@@ -98,15 +98,18 @@ def corpus_chunks(spark, sf_dir):
 # Deterministic augmentation so the patterns actually fire: every third
 # doc gets one email + one IPv4 + one phone appended. Both engines build
 # the identical augmented text from doc_id arithmetic.
-_PII_COUNTS_SQL = ",\n       ".join(
-    "len(regexp_extract_all(text, '" + pat + "')) AS n_" + kind
-    for kind, pat in corpus.PII_PATTERNS.items()
-)
+# counts replay the operator's SEQUENTIAL semantics: kind k counts on
+# the text with earlier kinds already replaced (see corpus.redact_pii)
+_PII_COUNT_PARTS = []
 _PII_REDACT_SQL = "text"
 for _kind, _pat in corpus.PII_PATTERNS.items():
+    _PII_COUNT_PARTS.append(
+        "len(regexp_extract_all(" + _PII_REDACT_SQL + ", '" + _pat + "')) AS n_" + _kind
+    )
     _PII_REDACT_SQL = (
         "regexp_replace(" + _PII_REDACT_SQL + ", '" + _pat + "', '<" + _kind.upper() + ">', 'g')"
     )
+_PII_COUNTS_SQL = ",\n       ".join(_PII_COUNT_PARTS)
 
 _PII_ORACLE = """
 WITH aug AS (

@@ -37,12 +37,20 @@ def dedup_stream(
     """Drop exact-content duplicates from a streaming document source.
 
     Keys state on ``md5(text)`` (16 bytes/doc, not the text itself) and
-    bounds it with ``withWatermark(time_col, watermark)``: state for a
+    bounds it with ``dropDuplicatesWithinWatermark``: state for a
     digest is dropped once the watermark passes its event time, so
     memory is (rate x horizon)-bounded on an unbounded stream.
+
+    ``dropDuplicatesWithinWatermark`` — NOT plain ``dropDuplicates`` —
+    is load-bearing: a ``dropDuplicates`` subset that excludes the
+    event-time column never evicts its state no matter the watermark
+    (the watermark is inert for it), which silently rebuilds the
+    unbounded-state problem this operator exists to avoid.
     """
     keyed = docs.withColumn("content_hash", F.md5(F.col(text_col)))
-    return keyed.withWatermark(time_col, watermark).dropDuplicates(["content_hash"])
+    return keyed.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
 
 
 def quality_gate(

@@ -92,6 +92,17 @@ def test_redact_pii_counts_and_text(spark):
     assert txt[3] == "two mails <EMAIL> <EMAIL> and <IPV4>"
 
 
+def test_redact_pii_counts_follow_redaction_order(spark):
+    # a phone-shaped string inside an email local-part is redacted AS
+    # the email, so it must be counted as email only: counts run on the
+    # progressively-redacted text, not independently on the raw text
+    df = _docs_df(spark, [(1, "reach 555-123-4567@corp.example.com today")])
+    r = corpus.redact_pii(df).collect()[0]
+    assert (r.n_email, r.n_ipv4, r.n_phone) == (1, 0, 0)
+    txt = df.select(corpus.redacted_text().alias("t")).collect()[0].t
+    assert txt == "reach <EMAIL> today"
+
+
 def test_redact_version_string_not_an_ip(spark):
     # 4-part dotted numbers with a >3-digit part must not match ipv4
     df = _docs_df(spark, [(1, "release 1.2.3.4 vs build 10.20.300.4000")])

@@ -48,6 +48,7 @@ _PRIORITY = [
     "ann_recall_report",
     "ann_recall_planted",
     "renko_direction_runs",
+    "curation_split_quality",
     # -- new this round: corpus-curation apply stage (dedup filter,
     #    chunking, PII redaction, hash split, quota sampling)
     "corpus_dedup_filter",

@@ -198,6 +198,48 @@ SELECT doc_id, pred_lang, sample_rank FROM ranked WHERE sample_rank <= {_QUOTA}
 """
 
 
+# ------------------------------------------------- curation dashboard
+
+# split x quality-bucket counts: the one-look dashboard a curation run
+# ends with (is junk uniform across holdout splits?). Pure composition
+# of two gated operators; the oracle recomposes their SQL.
+_DASH_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 12))::BIGINT % 100 AS bucket,
+         len(string_split_regex(trim(text), '\s+')) AS n_words,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+         length(text) AS n_chars
+  FROM documents),
+j AS (
+  SELECT CASE WHEN bucket < 90 THEN 'train'
+              WHEN bucket < 95 THEN 'valid' ELSE 'test' END AS split,
+         CASE WHEN n_words < 5 THEN 'too_short'
+              WHEN punct / n_chars > 0.1 THEN 'punct_heavy'
+              ELSE 'keep' END AS quality_bucket
+  FROM b)
+SELECT split, quality_bucket, COUNT(*) AS n_docs FROM j GROUP BY split, quality_bucket
+"""
+
+
+@query(
+    "curation_split_quality",
+    oracle=_DASH_ORACLE,
+    doc="per-holdout-split quality-bucket counts — the composition "
+    "check that junk is uniform across train/valid/test (hash_split "
+    "x quality_score, one aggregation).",
+)
+def curation_split_quality(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    splits = corpus.hash_split(docs).select("doc_id", "split")
+    buckets = text.quality_score(docs).select("doc_id", "quality_bucket")
+    return (
+        splits.join(buckets, "doc_id")
+        .groupBy("split", "quality_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 # ------------------------------------------------------- repetition filters
 
 _REP_NS = (2, 3)

@@ -43,8 +43,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = spark.read.parquet(path)
         finally:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Spark 4.1 reads TIMESTAMP(NANOS) parquet as TIMESTAMP_NTZ
+            # (µs-truncated) instead of honoring nanosAsLong. Under the
+            # UTC session timezone this cast is bit-identical to the
+            # timestamp_micros(ns div 1000) conversion used on 4.0.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

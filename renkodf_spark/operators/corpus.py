@@ -206,6 +206,88 @@ def hash_split(
     return df.withColumn("bucket", bucket).withColumn("split", expr)
 
 
+_H48_LIM = 1 << 48  # first 12 hex chars of md5: uniform in [0, 2^48)
+
+
+def _sample_key(id_col: str, salt: str):
+    return F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+
+
+def quota_admitted(
+    df: DataFrame,
+    group_col: str,
+    *,
+    per_group: int = 10,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+    admit_factor: int = 2,
+) -> DataFrame:
+    """The over-admission pre-filter feeding :func:`quota_sample`'s rank
+    window: returns the input rows whose ranked prefix is guaranteed to
+    contain each group's true top ``per_group`` — in expectation
+    ``admit_factor * per_group`` rows per group, never the whole group
+    unless the group is that small (or the astronomically-unlikely
+    under-admission fallback fires for it).
+
+    How it stays *exact* while admitting a tiny prefix:
+
+    1. Group sizes ``n`` come from one aggregation over just
+       ``(group)`` — column pruning keeps the text out of the scan and
+       only (group, partial count) rows shuffle.
+    2. A row is admitted iff its 48-bit hash prefix
+       ``h48 = int(md5(salt||id)[:12], 16)`` satisfies
+       ``h48 <= admit_factor*per_group*2^48 DIV n`` (pure BIGINT
+       arithmetic — exact, oracle-replayable). Admission is a *prefix*
+       of the rank order: lexicographic order on fixed-width lowercase
+       hex equals numeric order of the leading 48 bits first, so every
+       non-admitted row sorts after every admitted row. Hence if a
+       group admits ``m >= min(per_group, n)`` rows, the admitted set
+       provably contains its true top ``min(per_group, n)`` and ranks
+       within it equal full-group ranks.
+    3. A second tiny aggregation counts admitted rows ``m`` per group;
+       any group with ``m < min(per_group, n)`` (binomial left tail at
+       mean ``admit_factor * per_group`` — P ~ e^-per_group, i.e.
+       never, but "never" is not a correctness proof) is marked unsafe
+       and passes through UNFILTERED, restoring plain full-group
+       ranking for exactly that group.
+
+    Cost: two pruned narrow scans + tiny per-group aggregates, then the
+    one real pass whose window input is ~``admit_factor * per_group``
+    rows per group. The hot-group single-reducer funnel is gone: a
+    group holding 90% of a 100 TB corpus contributes ~2x quota rows to
+    the sort, not half the corpus.
+    """
+    if admit_factor < 1:
+        raise ValueError(f"admit_factor must be >= 1, got {admit_factor}")
+    h48 = F.conv(F.substring(_sample_key(id_col, salt), 1, 12), 16, 10).cast("long")
+    sizes = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__thresh",
+            F.expr(f"CAST({admit_factor * per_group} AS BIGINT) * CAST({_H48_LIM} AS BIGINT) DIV __n"),
+        )
+    )
+    admitted_counts = (
+        df.select(group_col, h48.alias("__h48"))
+        .join(F.broadcast(sizes), group_col)
+        .filter(F.col("__h48") <= F.col("__thresh"))
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__m"))
+    )
+    stats = (
+        sizes.join(admitted_counts, group_col, "left")
+        .withColumn("__m", F.coalesce("__m", F.lit(0)))
+        .withColumn("__safe", F.col("__m") >= F.least(F.lit(per_group), F.col("__n")))
+        .select(group_col, "__thresh", "__safe")
+    )
+    return (
+        df.join(F.broadcast(stats), group_col)
+        .filter((~F.col("__safe")) | (h48 <= F.col("__thresh")))
+        .select(*df.columns)
+    )
+
+
 def quota_sample(
     df: DataFrame,
     group_col: str,
@@ -213,6 +295,7 @@ def quota_sample(
     per_group: int = 10,
     id_col: str = "doc_id",
     salt: str = "sample",
+    admit_factor: int | None = 2,
 ) -> DataFrame:
     """Deterministic per-group quota sample: within each group, order
     rows by ``md5(salt || id)`` (a content-free pseudo-random but
@@ -222,19 +305,33 @@ def quota_sample(
     Returns the sampled rows plus ``sample_rank`` (1-based position in
     the group's hash order).
 
-    Scale: one shuffle on ``group_col`` + a rank window. With few huge
-    groups (the exact regime that motivates quota sampling) the window
-    partition is the skew point: for fixed-RATE sampling prefer the
-    zero-shuffle ``hash_split``-style bucket filter instead; for exact
-    quotas at extreme skew, pre-filter with an over-admitting bucket
-    threshold (admit ~2x quota by hash, cheap and narrow) and only
-    then rank — the window sees ~2x quota rows per group instead of
-    the whole group.
+    Scale: few huge groups is the exact regime that motivates quota
+    sampling, and a naive rank window puts the hottest group's every
+    row through one reducer. By default the rank window therefore runs
+    on :func:`quota_admitted` — an exact over-admitting hash-prefix
+    pre-filter (narrow; ~``admit_factor * per_group`` rows per group
+    survive to the sort) with a per-group safety check that degrades
+    to full ranking only for a group the filter under-admitted
+    (P ~ e^-per_group). ``admit_factor=None`` disables the pre-filter
+    and ranks every row (the small-data shape). Results are identical
+    either way, bit-for-bit.
     """
-    key = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    key = _sample_key(id_col, salt)
     w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
+    src = (
+        df
+        if admit_factor is None
+        else quota_admitted(
+            df,
+            group_col,
+            per_group=per_group,
+            id_col=id_col,
+            salt=salt,
+            admit_factor=admit_factor,
+        )
+    )
     return (
-        df.withColumn("sample_rank", F.row_number().over(w))
+        src.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= per_group)
     )
 

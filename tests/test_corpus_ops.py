@@ -159,6 +159,40 @@ def test_quota_sample_small_group_kept_whole(spark):
     assert ranks[3] == 1
 
 
+def test_quota_admitted_bounds_hot_group_window_input(spark):
+    """VERDICT r4 item 1: on a corpus where one group holds 90% of the
+    rows, the rank window's input for that group must be ~admit_factor
+    x quota, not the whole group — and the sample itself must be
+    bit-identical to the unfiltered full-group ranking."""
+    rows = [(i, "hot" if i < 9000 else f"g{i % 10}") for i in range(10000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    k = 25
+    admitted = corpus.quota_admitted(df, "grp", per_group=k, admit_factor=2)
+    sizes = {r.grp: r.n for r in admitted.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    # hot group: Binomial(9000, 50/9000) — mean 50, sd ~7; 4x quota is
+    # a >7-sigma ceiling on a deterministic hash, so this never flakes
+    assert sizes["hot"] <= 4 * k, sizes
+    assert sizes["hot"] >= k  # and the admitted prefix can satisfy the quota
+    filtered = corpus.quota_sample(df, "grp", per_group=k, admit_factor=2)
+    full = corpus.quota_sample(df, "grp", per_group=k, admit_factor=None)
+    assert filtered.exceptAll(full).count() == 0
+    assert full.exceptAll(filtered).count() == 0
+
+
+def test_quota_sample_under_admission_fallback_is_exact(spark):
+    """admit_factor=1 puts the admitted count AT the quota in
+    expectation, so ~half of these 40 groups under-admit — the safety
+    check must route exactly those groups through full ranking and the
+    result must still equal the unfiltered sample bit-for-bit."""
+    rows = [(i, f"g{i % 40}") for i in range(1600)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    tight = corpus.quota_sample(df, "grp", per_group=20, admit_factor=1)
+    full = corpus.quota_sample(df, "grp", per_group=20, admit_factor=None)
+    assert tight.exceptAll(full).count() == 0
+    assert full.exceptAll(tight).count() == 0
+    assert tight.count() == 40 * 20
+
+
 # ------------------------------------------------------- sequence packing
 
 

@@ -145,15 +145,42 @@ def test_corpus_narrow_ops_have_no_shuffle(spark, sf_dir):
         assert_jvm_only(df, "corpus narrow op")
 
 
-def test_quota_sample_single_shuffle(spark, sf_dir):
-    """Quota sampling is one shuffle on the group key + one rank
-    window — no join, no extra exchange."""
+def test_quota_sample_single_shuffle_when_unfiltered(spark, sf_dir):
+    """With the pre-filter disabled, quota sampling keeps its legacy
+    shape: one shuffle on the group key + one rank window — no join."""
+    from renkodf_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _executed(corpus.quota_sample(docs, "lang", per_group=5, admit_factor=None))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_quota_sample_prefilter_precedes_window_exchange(spark, sf_dir):
+    """VERDICT r4 item 1: by default the rank window's Exchange must be
+    fed by the over-admission hash-prefix Filter (so the hottest group
+    contributes ~admit_factor*quota rows to the sort, never the whole
+    group), and the two per-group stat passes must be pruned to
+    (group, id) — the document text reaches exactly one scan."""
+    import re
+
     from renkodf_spark.operators import corpus
 
     docs = load_table(spark, sf_dir, "documents")
     plan = _executed(corpus.quota_sample(docs, "lang", per_group=5))
-    assert plan.count("Exchange") == 1
-    assert "Join" not in plan
+    # admission filter exists and is a descendant of the window's
+    # Exchange (the root-most hashpartitioning exchange prints first;
+    # children print below their parents)
+    assert "__thresh" in plan
+    assert plan.index("Exchange hashpartitioning") < plan.index("__thresh")
+    # stat passes are column-pruned: of the three parquet scans, only
+    # the final (window-input) one may read the text payload
+    # (the sizes relation is referenced twice and Catalyst does not CSE
+    # scans, so the narrow (group[, id]) projection is read 3x — cheap;
+    # what matters is that the text payload is scanned exactly once)
+    schemas = re.findall(r"ReadSchema: \S+", plan)
+    assert len(schemas) == 4, plan
+    assert sum("text" in s for s in schemas) == 1, schemas
 
 
 def test_dedup_filter_shuffles_labels_not_documents(spark, sf_dir):

@@ -336,6 +336,17 @@ def quota_sample(
     )
 
 
+def _pack_shard(doc_col: str, salt: str, shards: int):
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(doc_col).cast("string"))), 1, 12),
+            16,
+            10,
+        ).cast("long")
+        % shards
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     *,
@@ -367,14 +378,7 @@ def pack_sequences(
     """
     if budget <= 0 or shards <= 0:
         raise ValueError(f"budget and shards must be positive, got {budget}/{shards}")
-    shard = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(doc_col).cast("string"))), 1, 12),
-            16,
-            10,
-        ).cast("long")
-        % shards
-    )
+    shard = _pack_shard(doc_col, salt, shards)
     w = (
         Window.partitionBy("shard")
         .orderBy(doc_col, seq_col)
@@ -396,4 +400,90 @@ def pack_sequences(
             (F.col("__start") % budget).alias("bin_offset"),
             ((F.col("__start") % budget + F.col(tokens_col)) > budget).alias("spans_bins"),
         )
+    )
+
+
+def assemble_bins(
+    packed: DataFrame,
+    *,
+    budget: int = 256,
+    text_col: str = "chunk_text",
+    tokens_col: str = "n_tokens",
+    pad_token: str | None = None,
+) -> DataFrame:
+    """Materialize the training sequences that :func:`pack_sequences`
+    labeled: one row per ``(shard, bin_id)`` carrying the bin's actual
+    packed token text. ``packed`` is pack_sequences output that still
+    has the chunk text column.
+
+    Boundary policy: a chunk that straddles a bin boundary is SPLIT at
+    the boundary — its leading tokens finish the current bin and the
+    remainder opens the next — so every non-terminal bin holds exactly
+    ``budget`` tokens (each shard's last bin may be short; pass
+    ``pad_token`` to right-pad short bins up to ``budget``).
+    ``bin_tokens`` always reports the real (pre-pad) token count.
+
+    Plan: per chunk, a tiny ``sequence(bin_id, last_bin)`` explode (1
+    row for non-straddlers, 2+ only when a chunk crosses boundaries)
+    slices the chunk's token array into per-bin pieces; one groupBy on
+    ``(shard, bin_id)`` then sorts the pieces by their global token
+    offset (``array_sort`` on ``struct(offset, piece)`` — collect_list
+    order is layout-dependent, the sort key is not) and flattens. The
+    shuffle is keyed by (shard, bin) whose payload is bounded by
+    ``budget`` tokens per group — uniformly fine-grained by
+    construction, no skew, no global ordering anywhere.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    toks = F.split(F.col(text_col), " ")
+    start = (F.col("bin_id") * budget + F.col("bin_offset")).cast("long")
+    end = start + F.col(tokens_col)
+    rows = (
+        packed.select(
+            "shard",
+            toks.alias("__t"),
+            start.alias("__cs"),
+            end.alias("__ce"),
+            F.explode(F.sequence(F.col("bin_id"), ((end - 1) / budget).cast("long"))).alias(
+                "bin_id"
+            ),
+        )
+        .select(
+            "shard",
+            "bin_id",
+            F.greatest(F.col("__cs"), F.col("bin_id") * budget).alias("__ps"),
+            F.least(F.col("__ce"), (F.col("bin_id") + 1) * budget).alias("__pe"),
+            "__t",
+            "__cs",
+        )
+        .select(
+            "shard",
+            "bin_id",
+            "__ps",
+            F.slice(F.col("__t"), F.col("__ps") - F.col("__cs") + 1, F.col("__pe") - F.col("__ps")).alias(
+                "__piece"
+            ),
+        )
+    )
+    pieces = F.array_sort(F.collect_list(F.struct(F.col("__ps"), F.col("__piece"))))
+    bins = (
+        rows.groupBy("shard", "bin_id")
+        .agg(pieces.alias("__pieces"))
+        .select(
+            "shard",
+            "bin_id",
+            F.flatten(F.transform(F.col("__pieces"), lambda p: p["__piece"])).alias("__toks"),
+        )
+    )
+    out_toks = F.col("__toks")
+    if pad_token is not None:
+        out_toks = F.concat(
+            out_toks,
+            F.array_repeat(F.lit(pad_token), F.lit(budget) - F.size("__toks")),
+        )
+    return bins.select(
+        "shard",
+        "bin_id",
+        F.size("__toks").cast("long").alias("bin_tokens"),
+        F.array_join(out_toks, " ").alias("bin_text"),
     )

@@ -30,7 +30,14 @@ from renkodf_spark.queries import pipeline2  # noqa: F401
 # green row dated within the last two rounds. Names not listed keep
 # their module registration order after these.
 _PRIORITY = [
-    # -- new this round, phase 2: IVF ANN, repetition filters, sample
+    # -- new in round 5: materialized packed bins, unlabeled IVF
+    #    training, as-of tolerance (never had a gate row), plus
+    #    re-proving the queries whose operators changed this round
+    #    (quota pre-filter, deterministic salt)
+    "packed_bins",
+    "lang_quota_sample",
+    "salted_event_type_stats",
+    # -- new in round 4, phase 2: IVF ANN, repetition filters, sample
     #    packing, int8 quantized similarity (never had a gate row)
     "ivf_centroids",
     "similarity_ivf_topk",

@@ -718,6 +718,63 @@ def sequence_packing(spark, sf_dir):
     return corpus.pack_sequences(chunks, budget=_PACK_BUDGET, shards=_PACK_SHARDS)
 
 
+# ------------------------------------------------------------ bin assembly
+
+# replay chunking -> shard cumsum -> boundary split -> per-bin ordered
+# reassembly; the digest pins the bin's exact packed text and
+# bin_tokens == budget for every non-terminal bin is part of the values
+_BINS_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+st AS (SELECT doc_id, t, unnest(range(0, len(t), {_CHUNK_STRIDE})) AS s FROM toks),
+chunks AS (
+  SELECT doc_id, (s // {_CHUNK_STRIDE}) AS chunk_id,
+         t[s+1 : s+{_CHUNK_SIZE}] AS ct
+  FROM st),
+sh AS (
+  SELECT *, ('0x' || substr(md5('pack:' || doc_id::VARCHAR), 1, 12))::BIGINT % {_PACK_SHARDS} AS shard
+  FROM chunks),
+cum AS (
+  SELECT *, SUM(len(ct)) OVER (PARTITION BY shard ORDER BY doc_id, chunk_id
+                               ROWS UNBOUNDED PRECEDING) AS rend
+  FROM sh),
+pos AS (SELECT shard, ct, (rend - len(ct))::BIGINT AS cs, rend::BIGINT AS ce FROM cum),
+spans AS (
+  SELECT shard, ct, cs, ce,
+         unnest(range(cs // {_PACK_BUDGET}, (ce - 1) // {_PACK_BUDGET} + 1)) AS bin_id
+  FROM pos),
+pieces AS (
+  SELECT shard, bin_id,
+         greatest(cs, bin_id * {_PACK_BUDGET}) AS ps,
+         ct[(greatest(cs, bin_id * {_PACK_BUDGET}) - cs + 1) :
+            (least(ce, (bin_id + 1) * {_PACK_BUDGET}) - cs)] AS piece
+  FROM spans)
+SELECT shard, bin_id,
+       SUM(len(piece))::BIGINT AS bin_tokens,
+       md5(string_agg(array_to_string(piece, ' '), ' ' ORDER BY ps)) AS bin_digest
+FROM pieces GROUP BY shard, bin_id
+"""
+
+
+@query(
+    "packed_bins",
+    oracle=_BINS_ORACLE,
+    doc="materialized training sequences from pack_sequences labels: "
+    "boundary chunks split at the bin edge, per-bin pieces reassembled "
+    "in global token order — every non-terminal bin holds exactly "
+    f"{_PACK_BUDGET} tokens and the digest pins the packed text.",
+)
+def packed_bins(spark, sf_dir):
+    chunks = corpus.chunk_documents(
+        _docs(spark, sf_dir), chunk_size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+    )
+    packed = corpus.pack_sequences(chunks, budget=_PACK_BUDGET, shards=_PACK_SHARDS)
+    bins = corpus.assemble_bins(packed, budget=_PACK_BUDGET)
+    return bins.select(
+        "shard", "bin_id", "bin_tokens", F.md5("bin_text").alias("bin_digest")
+    )
+
+
 # ------------------------------------------------------ int8 quantized ANN
 
 _QTOPK_ORACLE = """

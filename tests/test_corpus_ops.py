@@ -196,6 +196,47 @@ def test_quota_sample_under_admission_fallback_is_exact(spark):
 # ------------------------------------------------------- sequence packing
 
 
+def test_assemble_bins_splits_straddlers_and_pads(spark):
+    """Bin assembly: chunk token streams laid end-to-end per shard, cut
+    every `budget` tokens; straddling chunks split at the boundary so
+    every non-terminal bin is exactly full."""
+    chunks = spark.createDataFrame(
+        [(1, 0, 3, "a b c"), (1, 1, 2, "d e"), (2, 0, 4, "f g h i")],
+        "doc_id long, chunk_id long, n_tokens long, chunk_text string",
+    )
+    packed = corpus.pack_sequences(chunks, budget=4, shards=1)
+    bins = {
+        r.bin_id: r for r in corpus.assemble_bins(packed, budget=4).collect()
+    }
+    assert bins[0].bin_text == "a b c d" and bins[0].bin_tokens == 4
+    assert bins[1].bin_text == "e f g h" and bins[1].bin_tokens == 4
+    assert bins[2].bin_text == "i" and bins[2].bin_tokens == 1
+    padded = {
+        r.bin_id: r
+        for r in corpus.assemble_bins(packed, budget=4, pad_token="<pad>").collect()
+    }
+    assert padded[2].bin_text == "i <pad> <pad> <pad>"
+    assert padded[2].bin_tokens == 1  # pre-pad count
+    assert padded[0].bin_text == "a b c d"  # full bins untouched
+
+
+def test_assemble_bins_layout_independent(spark):
+    """collect_list order is partition-dependent; the offset sort key
+    must make the assembled text identical across layouts."""
+    docs = _docs_df(
+        spark,
+        [(i, " ".join(f"t{i}_{j}" for j in range(i % 13 + 1))) for i in range(60)],
+    )
+    chunks = corpus.chunk_documents(docs, chunk_size=5, stride=5)
+    packed = corpus.pack_sequences(chunks, budget=8, shards=2)
+    a = corpus.assemble_bins(packed, budget=8)
+    b = corpus.assemble_bins(packed.repartition(7), budget=8)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # non-terminal bins are exactly full: at most one short bin per shard
+    short = a.filter(F.col("bin_tokens") < 8).groupBy("shard").count().collect()
+    assert all(r["count"] == 1 for r in short)
+
+
 def test_pack_sequences_bins_and_straddles(spark):
     # one shard (shards=1) so the packing order is fully predictable
     chunks = spark.createDataFrame(

@@ -130,6 +130,73 @@ def embedding_centroids(
     )
 
 
+def round_centroids(centroids: DataFrame, *, round_digits: int = 6) -> DataFrame:
+    """Round every centroid component (folding ``-0.0`` onto ``+0.0``).
+
+    Used between Lloyd iterations so the inter-iteration state is
+    BIT-EXACT across engines and partial-aggregation orders: distributed
+    double means differ from a serial replay in the last ulp, and an
+    iterated algorithm would compound that drift into genuinely
+    different assignments by iteration 2. Rounding re-synchronizes the
+    state each step; the routing argmax is already rounded (see
+    :func:`nearest_centroid`)."""
+    return centroids.withColumn(
+        "centroid",
+        F.transform(F.col("centroid"), lambda x: F.round(x, round_digits) + F.lit(0.0)),
+    )
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    iters: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF training WITHOUT labels — the real-corpus shape (real
+    embedding columns carry no cluster/label column to seed from).
+
+    Seeds cells from :func:`rp_lsh_bucket` sign patterns (narrow,
+    zero-shuffle, deterministic md5 hyperplanes — up to ``2^n_planes``
+    seed cells), then runs ``iters`` Lloyd iterations: route every
+    vector to its nearest current centroid (broadcast routing, zero
+    corpus shuffle) and recompute per-cell means (``cells x dim``
+    partial aggregates shuffle — never the vectors). Cells that lose
+    all members simply vanish; no empty-cell re-seeding, so the whole
+    procedure is a pure deterministic function of the input.
+
+    Cross-engine determinism: centroids are rounded to ``round_digits``
+    (and ``-0.0`` folded to ``+0.0``) after EVERY mean step, so a SQL
+    replay carries bit-identical centroids into each iteration, and the
+    routing argmax compares cosines rounded to the same digits (ties to
+    the smallest cell id). Returns ``(cell, centroid, n_vectors)`` like
+    :func:`embedding_centroids`.
+
+    Scale: per iteration, one narrow pass over the corpus (broadcast
+    centroid row) + one ``cells x dim`` aggregate. The corpus is
+    scanned ``iters + 1`` times and never shuffled; callers should
+    persist ``emb`` when the scan itself is expensive."""
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    seeded = rp_lsh_bucket(emb, vec_col=vec_col, n_planes=n_planes, dim=dim)
+    cents = round_centroids(
+        embedding_centroids(seeded, group_col="bucket", vec_col=vec_col, dim=dim),
+        round_digits=round_digits,
+    )
+    for _ in range(iters):
+        assigned = nearest_centroid(
+            emb, cents, id_col=id_col, vec_col=vec_col, round_digits=round_digits
+        )
+        cents = round_centroids(
+            embedding_centroids(assigned, group_col="cell", vec_col="vec", dim=dim),
+            round_digits=round_digits,
+        )
+    return cents
+
+
 def _probe_cells(
     df: DataFrame,
     centroids: DataFrame,

@@ -35,6 +35,8 @@ _PRIORITY = [
     #    re-proving the queries whose operators changed this round
     #    (quota pre-filter, deterministic salt)
     "packed_bins",
+    "ivf_train_unlabeled",
+    "ann_recall_planted_unlabeled",
     "lang_quota_sample",
     "salted_event_type_stats",
     # -- new in round 4, phase 2: IVF ANN, repetition filters, sample

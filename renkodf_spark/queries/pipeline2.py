@@ -18,6 +18,7 @@ from renkodf_spark.queries.pipeline import (
     _PAIRS_CTES,
     _docs,
     _emb,
+    _rp_bucket_sql,
     _shared_pairs,
 )
 from renkodf_spark.queries.registry import query
@@ -662,6 +663,155 @@ def ann_recall_planted(spark, sf_dir):
     j = exact.join(ivf.withColumn("__h", F.lit(1)), ["query_id", "neighbor_id"], "left")
     return (
         j.groupBy(F.lit("ivf_planted").alias("method"))
+        .agg(
+            F.sum(F.coalesce("__h", F.lit(0))).alias("hits"),
+            F.count(F.lit(1)).alias("total"),
+        )
+        .select(
+            "method",
+            "hits",
+            "total",
+            F.round(F.col("hits") / F.col("total"), 4).alias("recall"),
+        )
+    )
+
+
+# -------------------------------------------------- unlabeled IVF training
+
+_SEED_PLANES = 4
+_LLOYD_ITERS = 2
+
+
+def _lloyd_ctes(iters: int) -> str:
+    """CTE chain replaying ``similarity.train_ivf_centroids``: given
+    ``pos(i)``, ``e(vec_id, v)`` and seed assignment ``b(vec_id, v,
+    cell)``, emits ``m0/c0 .. m{iters}/c{iters}`` — per-iteration
+    centroid means ROUNDed (+0.0-folded) exactly as the operator
+    rounds them, and rounded-argmax reassignment between steps."""
+    parts = [
+        "m0 AS (SELECT cell, i, ROUND(AVG(v[i]), 6) + 0.0 AS mval FROM b CROSS JOIN pos GROUP BY 1, 2)",
+        "c0 AS (SELECT cell, LIST(mval ORDER BY i) AS cv FROM m0 GROUP BY cell)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""a{t} AS (
+  SELECT vec_id, v, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+           ROUND(list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+           cell) AS rk
+  FROM e CROSS JOIN c{t - 1})"""
+        )
+        parts.append(
+            f"m{t} AS (SELECT cell, i, ROUND(AVG(v[i]), 6) + 0.0 AS mval FROM a{t} CROSS JOIN pos WHERE rk = 1 GROUP BY 1, 2)"
+        )
+        parts.append(f"c{t} AS (SELECT cell, LIST(mval ORDER BY i) AS cv FROM m{t} GROUP BY cell)")
+    return ",\n".join(parts)
+
+
+_TRAIN_UNLABELED_ORACLE = f"""
+WITH pos AS (SELECT unnest(range(1, {_IVF_DIM + 1})) AS i),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_rp_bucket_sql(_SEED_PLANES, _IVF_DIM)} AS cell FROM e),
+{_lloyd_ctes(_LLOYD_ITERS)},
+n AS (SELECT cell, COUNT(*) AS n_vectors FROM a{_LLOYD_ITERS} WHERE rk = 1 GROUP BY cell)
+SELECT m.cell, (m.i - 1)::INT AS dim_idx, m.mval AS centroid_val, n.n_vectors
+FROM m{_LLOYD_ITERS} m JOIN n USING (cell)
+"""
+
+
+@query(
+    "ivf_train_unlabeled",
+    oracle=_TRAIN_UNLABELED_ORACLE,
+    doc=f"IVF training with NO label column (the real-corpus shape): "
+    f"RP-LSH sign-pattern seeding (up to 2^{_SEED_PLANES} cells) + "
+    f"{_LLOYD_ITERS} Lloyd iterations, centroids re-rounded each step "
+    "so the iterated state stays bit-exact cross-engine.",
+)
+def ivf_train_unlabeled(spark, sf_dir):
+    cents = similarity.train_ivf_centroids(
+        _emb(spark, sf_dir), dim=_IVF_DIM, n_planes=_SEED_PLANES, iters=_LLOYD_ITERS
+    )
+    return cents.select(
+        "cell",
+        F.posexplode("centroid").alias("dim_idx", "centroid_val"),
+        "n_vectors",
+    )
+
+
+_RECALL_PLANTED_UNLABELED_ORACLE = f"""
+WITH {_PLANTED_CTE},
+e AS (SELECT vec_id, v FROM planted),
+b AS (SELECT vec_id, v, {_rp_bucket_sql(_SEED_PLANES, _IVF_DIM)} AS cell FROM e),
+{_lloyd_ctes(_LLOYD_ITERS)},
+af AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+           ROUND(list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+           cell) AS rk
+  FROM e CROSS JOIN c{_LLOYD_ITERS}),
+cellof AS (SELECT vec_id, cell FROM af WHERE rk = 1),
+q AS (SELECT e.vec_id AS query_id, e.v AS qv, a.cell
+      FROM e JOIN af a USING (vec_id) WHERE e.vec_id < 20 AND a.rk <= 2),
+nb AS (SELECT e.vec_id AS neighbor_id, e.v AS nv, c.cell
+       FROM e JOIN cellof c USING (vec_id)),
+ivf_scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, nv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS cos
+  FROM q JOIN nb USING (cell) WHERE neighbor_id <> query_id),
+ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM ivf_scored) WHERE rank <= 5),
+eq AS (SELECT vec_id AS query_id, v AS qv FROM planted WHERE vec_id < 20),
+ec AS (SELECT vec_id AS neighbor_id, v AS cv FROM planted),
+ex_scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+  FROM ec, eq WHERE neighbor_id <> query_id),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM ex_scored) WHERE rank <= 5)
+SELECT 'ivf_planted_unlabeled' AS method, COUNT(a.neighbor_id)::BIGINT AS hits, COUNT(*)::BIGINT AS total,
+       ROUND(COUNT(a.neighbor_id)::DOUBLE / COUNT(*), 4) AS recall
+FROM exact e LEFT JOIN ivf a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+"""
+
+
+@query(
+    "ann_recall_planted_unlabeled",
+    oracle=_RECALL_PLANTED_UNLABELED_ORACLE,
+    doc="IVF recall@5 on planted-cluster vectors with centroids trained "
+    "WITHOUT labels (RP-LSH seed + Lloyd): sign-pattern seeding can "
+    "fragment a cluster across cells, and n_probe=2 recovers it — "
+    "recall 1.0 at the gate SF, same machinery as ann_recall_planted.",
+)
+def ann_recall_planted_unlabeled(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    planted = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            v,
+            lambda x, i: 0.3 * x + F.when(i == F.col("label"), 1.0).otherwise(0.0),
+        ).alias("embedding"),
+    )
+    q20 = planted.filter(F.col("vec_id") < 20)
+    cents = similarity.train_ivf_centroids(
+        planted, dim=_IVF_DIM, n_planes=_SEED_PLANES, iters=_LLOYD_ITERS
+    ).cache()
+    exact = similarity.cosine_topk(planted, q20, k=5).select("query_id", "neighbor_id")
+    ivf = similarity.ivf_topk(planted, q20, cents, k=5, n_probe=2).select(
+        "query_id", "neighbor_id"
+    )
+    j = exact.join(ivf.withColumn("__h", F.lit(1)), ["query_id", "neighbor_id"], "left")
+    return (
+        j.groupBy(F.lit("ivf_planted_unlabeled").alias("method"))
         .agg(
             F.sum(F.coalesce("__h", F.lit(0))).alias("hits"),
             F.count(F.lit(1)).alias("total"),

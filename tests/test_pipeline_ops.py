@@ -525,6 +525,44 @@ def test_ivf_topk_within_cell_matches_bruteforce(spark, emb_df):
     assert got == sorted(expect)
 
 
+def test_train_ivf_centroids_layout_independent_and_partitions(spark, emb_df):
+    """Unlabeled IVF training must be a pure function of the data: the
+    same (cell, centroid, n_vectors) set on any partition layout, cells
+    partitioning the corpus, and every member closer (rounded argmax)
+    to its own cell's centroid than to any other."""
+    a = similarity.train_ivf_centroids(emb_df, dim=4, n_planes=2, iters=2)
+    b = similarity.train_ivf_centroids(emb_df.repartition(5), dim=4, n_planes=2, iters=2)
+    rows_a = sorted(
+        (r["cell"], tuple(r["centroid"]), r["n_vectors"]) for r in a.collect()
+    )
+    rows_b = sorted(
+        (r["cell"], tuple(r["centroid"]), r["n_vectors"]) for r in b.collect()
+    )
+    assert rows_a == rows_b
+    assert sum(n for _, _, n in rows_a) == len(VECS)  # cells partition the corpus
+    # each final centroid must be the (rounded) mean of the members that
+    # produced it: replay the full seed -> assign -> mean chain in numpy
+    planes = np.array(similarity.rp_planes(2, 4))
+    seed_of = {
+        vid: sum(1 << p for p in range(2) if np.dot(planes[p], v) > 0)
+        for vid, v, _ in VECS
+    }
+    cents = {
+        c: np.array([round(x, 6) + 0.0 for x in np.mean([v for vid, v, _ in VECS if seed_of[vid] == c], axis=0)])
+        for c in set(seed_of.values())
+    }
+    for _ in range(2):
+        assign = np_ivf_assign(VECS, cents)
+        cents = {
+            c: np.array([round(x, 6) + 0.0 for x in np.mean([v for vid, v, _ in VECS if assign[vid] == c], axis=0)])
+            for c in set(assign.values())
+        }
+    expect = sorted(
+        (c, tuple(v), sum(1 for a in assign.values() if a == c)) for c, v in cents.items()
+    )
+    assert rows_a == expect
+
+
 # ------------------------------------------------------ repetition signals
 
 

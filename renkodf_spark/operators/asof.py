@@ -20,6 +20,8 @@ Flink/kdb-style pipelines.
 
 from __future__ import annotations
 
+import datetime as _dt
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -36,6 +38,7 @@ def asof_join(
     strict: bool = True,
     direction: str = "backward",
     suffix: str = "_asof",
+    tolerance: float | int | _dt.timedelta | None = None,
 ) -> DataFrame:
     """For every left row, attach one right row sharing the ``on`` keys:
 
@@ -52,11 +55,37 @@ def asof_join(
 
     Right payload columns come back suffixed with ``suffix``; rows with
     no match carry nulls (left join semantics).
+
+    ``tolerance`` (pandas ``merge_asof(tolerance=)``): a match farther
+    than this from the left time becomes null. Pass a
+    ``datetime.timedelta`` for timestamp time columns (compared in
+    exact integer microseconds) or a number in the column's own units
+    for numeric ones. Applied post-window to the already-chosen edge
+    row — equivalent to pandas' filter-then-pick for every direction
+    (for ``nearest``, the chosen match is the minimum distance, so it
+    is out of range iff both candidates are) — so the plan shape is
+    unchanged: still one shuffle, no extra pass.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
     if direction == "nearest" and strict:
         raise ValueError("direction='nearest' requires strict=False (see docstring)")
+    left_is_ts = dict(left.dtypes)[left_time].startswith("timestamp")
+    tol = None
+    if tolerance is not None:
+        if isinstance(tolerance, _dt.timedelta):
+            if not left_is_ts:
+                raise ValueError("timedelta tolerance requires a timestamp time column")
+            tol = int(tolerance.total_seconds() * 1_000_000)
+        else:
+            if left_is_ts:
+                raise ValueError(
+                    "timestamp time columns take a datetime.timedelta tolerance "
+                    "(compared in integer microseconds)"
+                )
+            tol = tolerance
+        if tol < 0:
+            raise ValueError(f"tolerance must be non-negative, got {tolerance!r}")
     keys = [on] if isinstance(on, str) else list(on)
     if right_payload is None:
         right_payload = [c for c in right.columns if c not in keys]
@@ -118,6 +147,7 @@ def asof_join(
     w_back = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_fwd = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
+    t = F.unix_micros(F.col("__t")) if left_is_ts else F.col("__t").cast("double")
     merged = l.unionByName(r)
     if direction == "backward":
         merged = merged.withColumn("__match", F.last("__payload", ignorenulls=True).over(w_back))
@@ -126,23 +156,23 @@ def asof_join(
     else:
         back = F.last("__payload", ignorenulls=True).over(w_back)
         fwd = F.first("__payload", ignorenulls=True).over(w_fwd)
-        t_dt = dict(left.dtypes)[left_time]
-        t = (
-            F.unix_micros(F.col("__t"))
-            if t_dt.startswith("timestamp")
-            else F.col("__t").cast("double")
+        merged = merged.withColumn("__b", back).withColumn("__f", fwd)
+        merged = merged.withColumn(
+            "__match",
+            F.when(F.col("__f").isNull(), F.col("__b"))
+            .when(F.col("__b").isNull(), F.col("__f"))
+            # backward wins ties (<=): distances are both >= 0
+            .when((t - F.col("__b.__rt")) <= (F.col("__f.__rt") - t), F.col("__b"))
+            .otherwise(F.col("__f")),
         )
-        merged = (
-            merged.withColumn("__b", back)
-            .withColumn("__f", fwd)
-            .withColumn(
-                "__match",
-                F.when(F.col("__f").isNull(), F.col("__b"))
-                .when(F.col("__b").isNull(), F.col("__f"))
-                # backward wins ties (<=): distances are both >= 0
-                .when((t - F.col("__b.__rt")) <= (F.col("__f.__rt") - t), F.col("__b"))
-                .otherwise(F.col("__f")),
-            )
+    if tol is not None:
+        # one post-choice filter covers every direction: for "nearest"
+        # the chooser already picked the minimum distance, so the chosen
+        # match is out of range iff both candidates are — identical to
+        # filtering each side first (pandas semantics)
+        merged = merged.withColumn(
+            "__match",
+            F.when(F.abs(t - F.col("__match.__rt")) <= tol, F.col("__match")),
         )
     return merged.filter(F.col("__left").isNotNull()).select(
         F.col("__left.*"),

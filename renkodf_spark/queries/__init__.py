@@ -37,6 +37,7 @@ _PRIORITY = [
     "packed_bins",
     "ivf_train_unlabeled",
     "ann_recall_planted_unlabeled",
+    "asof_tolerance_purchase",
     "lang_quota_sample",
     "salted_event_type_stats",
     # -- new in round 4, phase 2: IVF ANN, repetition filters, sample

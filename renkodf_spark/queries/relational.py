@@ -857,6 +857,50 @@ def asof_nearest_purchase(spark, sf_dir):
     )
 
 
+@query(
+    "asof_tolerance_purchase",
+    oracle="""
+    WITH j AS (
+      SELECT c.event_id, c.user_id, c.ts, p.ts AS pts, p.value AS pval
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND p.ts < c.ts)
+    SELECT event_id, user_id, ts,
+           CASE WHEN epoch_us(ts) - epoch_us(pts) <= 1800000000 THEN pts END AS purchase_ts,
+           CASE WHEN epoch_us(ts) - epoch_us(pts) <= 1800000000
+                THEN ROUND(pval, 4) END AS purchase_value
+    FROM j
+    """,
+    doc="as-of join with tolerance (merge_asof's most-used knob): the "
+    "latest purchase before each click only counts within 30 minutes — "
+    "staler matches null out. Oracle = DuckDB ASOF + CASE on the exact "
+    "integer-microsecond delta.",
+)
+def asof_tolerance_purchase(spark, sf_dir):
+    import datetime as dt
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_payload=["ts", "value"],
+        strict=True,
+        tolerance=dt.timedelta(minutes=30),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_asof").alias("purchase_ts"),
+        F.round(F.col("value_asof"), 4).alias("purchase_value"),
+    )
+
+
 # ------------------------------------------------------- salted aggregation
 
 @query(

@@ -189,6 +189,87 @@ def test_asof_join_forward_and_nearest_match_merge_asof(spark):
         )
 
 
+def test_asof_join_tolerance_matches_merge_asof(spark):
+    """VERDICT r4 item 7: tolerance= nulls out matches farther than the
+    bound, in every direction — differential vs pandas merge_asof."""
+    import datetime as dt
+
+    left_pdf, right_pdf = _data(seed=23)
+    right_pdf = right_pdf.drop_duplicates(["k", "t"])
+    left = spark.createDataFrame(left_pdf)
+    right = spark.createDataFrame(right_pdf)
+    tol = pd.Timedelta(microseconds=40_000)
+
+    cases = [("backward", True), ("backward", False), ("forward", True), ("nearest", False)]
+    for direction, strict in cases:
+        got = (
+            asof_join(
+                left,
+                right,
+                on="k",
+                left_time="t",
+                right_time="t",
+                right_payload=["t", "payload"],
+                strict=strict,
+                direction=direction,
+                tolerance=dt.timedelta(microseconds=40_000),
+            )
+            .orderBy("lid")
+            .toPandas()
+        )
+        want = pd.merge_asof(
+            left_pdf.sort_values("t", kind="mergesort"),
+            right_pdf.sort_values("t", kind="mergesort").rename(columns={"t": "rt"}),
+            left_on="t",
+            right_on="rt",
+            by="k",
+            allow_exact_matches=not strict,
+            direction=direction,
+            tolerance=tol,
+        ).sort_values("lid").reset_index(drop=True)
+        np.testing.assert_array_equal(
+            got["t_asof"].to_numpy().astype("datetime64[us]"),
+            want["rt"].to_numpy().astype("datetime64[us]"),
+            err_msg=f"{direction} strict={strict} matched time",
+        )
+
+
+def test_asof_tolerance_nearest_boundary(spark):
+    """Numeric time column: the bound is inclusive, and a nearest match
+    outside it nulls out (both candidates are then out of range)."""
+    left = spark.createDataFrame(pd.DataFrame({"k": [1], "t": [10.0], "lid": [0]}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "t": [7.0, 14.0], "v": ["back", "fwd"]})
+    )
+
+    def run(tol):
+        return asof_join(
+            left, right, on="k", left_time="t", right_time="t",
+            right_payload=["v"], strict=False, direction="nearest", tolerance=tol,
+        ).collect()[0]["v_asof"]
+
+    assert run(2.0) is None  # nearest dist is 3 > 2
+    assert run(3.0) == "back"  # inclusive bound
+    assert run(5.0) == "back"  # both in range: nearest wins
+
+
+def test_asof_invalid_tolerance(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    left = spark.createDataFrame(pd.DataFrame({"k": [1], "t": [1.0], "lid": [0]}))
+    with _pytest.raises(ValueError):
+        asof_join(
+            left, left, on="k", left_time="t", right_time="t", tolerance=-1.0
+        )
+    with _pytest.raises(ValueError):  # numeric time column, timedelta tolerance
+        asof_join(
+            left, left, on="k", left_time="t", right_time="t",
+            tolerance=dt.timedelta(seconds=1),
+        )
+
+
 def test_asof_nearest_tie_goes_backward(spark):
     left = spark.createDataFrame(pd.DataFrame({"k": [1], "t": [10.0], "lid": [0]}))
     right = spark.createDataFrame(

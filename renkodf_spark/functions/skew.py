@@ -13,6 +13,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+def content_salt(df: DataFrame, buckets: int):
+    """Column: a row-CONTENT hash bucket in ``[0, buckets)``.
+
+    Deliberately not ``monotonically_increasing_id()`` (physical
+    position) or ``rand()`` (partition-index seeded): a content hash
+    makes every row's salt a pure function of the row itself, so
+    stage-1 partials are bit-identical under task retry, speculative
+    execution, and any repartitioning — the property that lets a
+    re-run reducer be reconciled with the original.
+
+    Caveat: fully identical rows share a salt, so a hot key whose rows
+    are all byte-identical still lands in one bucket — but such rows
+    carry identical aggregation contributions, and any real payload
+    variation (an id, a timestamp) spreads them uniformly."""
+    return F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(buckets))
+
+
 _PARTIAL = {
     "sum": F.sum,
     "count": lambda c: F.count(F.lit(1)) if c == "*" else F.count(c),
@@ -50,6 +67,6 @@ def salted_agg(
         else:
             raise ValueError(f"unsupported aggregate '{fn}' (algebraic only)")
 
-    salted = df.withColumn("__salt", F.pmod(F.monotonically_increasing_id(), F.lit(buckets)))
+    salted = df.withColumn("__salt", content_salt(df, buckets))
     stage1 = salted.groupBy(*keys, "__salt").agg(*partials)
     return stage1.groupBy(*keys).agg(*finals)

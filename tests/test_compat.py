@@ -94,6 +94,41 @@ def test_df_equal_and_diff_report(spark):
     assert d["k"].tolist() == [2] and d["v_a"].iloc[0] == 2.0 and d["v_b"].iloc[0] == 2.4
 
 
+def test_salted_agg_salt_is_replay_deterministic(spark, sf_dir):
+    """VERDICT r4 item 8: the salt must be a pure function of row
+    content — identical per row on any partition layout — so stage-1
+    partials replay bit-identically under retry/speculation (the old
+    monotonically_increasing_id salt was physical-position-dependent)."""
+    from renkodf_spark.functions.skew import content_salt, salted_agg
+    from renkodf_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    by_id = lambda d: {  # noqa: E731
+        r["event_id"]: r["s"] for r in d.withColumn("s", content_salt(ev, 16)).collect()
+    }
+    a, b = by_id(ev), by_id(ev.repartition(13))
+    assert a == b
+    assert len(set(a.values())) > 1  # and it actually spreads rows
+    # stage-1 partials are therefore layout-invariant too: same (key,
+    # salt) cells with the same partial values on both layouts
+    import pyspark.sql.functions as F
+
+    def stage1(d):
+        return {
+            (r["event_type"], r["s"]): (r["n"], r["mx"])
+            for r in d.withColumn("s", content_salt(ev, 16))
+            .groupBy("event_type", "s")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
+            .collect()
+        }
+
+    assert stage1(ev) == stage1(ev.repartition(13))
+    # and results still match the direct aggregation
+    got = salted_agg(ev, ["event_type"], {"n": ("count", "*")}, buckets=16)
+    want = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+
 def test_salted_agg_matches_direct(spark, sf_dir):
     from renkodf_spark.functions.skew import salted_agg
     from renkodf_spark.sources.tables import load_table

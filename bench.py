@@ -20,6 +20,29 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# Co-tenancy gate (VERDICT r4 item 2 / next-round #5): BENCH_r04 was
+# snapshotted at loadavg 13 and read as a phantom 1.2-1.7x regression
+# on untouched queries. Before measuring anything, wait (bounded) for
+# the box's 1-minute load to drop below a threshold so the committed
+# number is the steady-state one; the gate outcome is recorded in the
+# methodology block either way. Checked BEFORE our own Spark session
+# spins up 32 threads, so the reading reflects co-tenants, not us.
+QUIET_LOAD = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "4"))
+QUIET_TIMEOUT = float(os.environ.get("SPARK_GRAFT_QUIET_TIMEOUT", "300"))
+
+
+def wait_for_quiet() -> dict:
+    start = list(os.getloadavg())
+    t0 = time.time()
+    while os.getloadavg()[0] > QUIET_LOAD and (time.time() - t0) < QUIET_TIMEOUT:
+        time.sleep(10)
+    return {
+        "threshold": QUIET_LOAD,
+        "start_loadavg": [round(x, 2) for x in start],
+        "gated_loadavg": [round(x, 2) for x in os.getloadavg()],
+        "waited_sec": round(time.time() - t0, 1),
+    }
+
 HEADLINE = [
     "renko_wicks",
     "q1_pricing_summary",
@@ -178,6 +201,10 @@ def scale_block(spark, rep: int) -> dict:
 
 
 def main():
+    quiet = wait_for_quiet()
+    if quiet["waited_sec"]:
+        print(f"# co-tenancy gate: {quiet}", file=sys.stderr)
+
     # single-core kernel throughput first, before the Spark JVM spins up
     # 32 executor threads that perturb the measurement
     tput = kernel_throughput()
@@ -260,6 +287,9 @@ def main():
             "reps": 2,
             "agg": "min",
             "materialize": "full_width_row_hash",
+            # same measurement semantics as v2; the gate only controls
+            # WHEN the run starts (bounded wait for co-tenant quiet)
+            "quiet_gate": quiet,
         },
         # co-tenancy context: this box's load swings 6x+ (NOTES.md
         # postmortem); a high load average here means absolute numbers

@@ -41,8 +41,15 @@ def _docs(spark, sf_dir):
 # query that builds it; jaccard/cluster report their incremental cost).
 # Keyed by (applicationId, sf_dir): a checkpointed DataFrame dies with
 # its session, and the eager localCheckpoint keeps the table alive
-# independent of spark.catalog.clearCache().
+# independent of spark.catalog.clearCache(). Capacity 1 (VERDICT r4
+# item 3): a long-lived process cycling sessions or sf_dirs evicts the
+# previous entry instead of accumulating checkpoints forever.
 _PAIRS_MEMO: dict[tuple[str, str], "object"] = {}
+
+
+def clear_shared_pairs() -> None:
+    """Drop the memoized pairs table (e.g. between benchmark phases)."""
+    _PAIRS_MEMO.clear()
 
 
 def _shared_pairs(spark, sf_dir):
@@ -55,6 +62,7 @@ def _shared_pairs(spark, sf_dir):
             shingle_n=SHINGLE_N,
             max_bucket_size=MAX_BUCKET,
         )
+        _PAIRS_MEMO.clear()
         _PAIRS_MEMO[key] = pairs.localCheckpoint(eager=True)
     return _PAIRS_MEMO[key]
 

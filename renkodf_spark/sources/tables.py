@@ -50,7 +50,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # Spark 4.1 reads TIMESTAMP(NANOS) parquet as TIMESTAMP_NTZ
             # (µs-truncated) instead of honoring nanosAsLong. Under the
             # UTC session timezone this cast is bit-identical to the
-            # timestamp_micros(ns div 1000) conversion used on 4.0.
+            # timestamp_micros(ns div 1000) conversion used on 4.0 —
+            # and ONLY under UTC: the ntz->tz cast localizes in the
+            # session zone at EXECUTION time, so a non-UTC session
+            # would silently shift every events.ts (ADVICE r4). All
+            # first-party sessions pin UTC; fail loudly for any other.
+            tz = spark.conf.get("spark.sql.session.timeZone", "")
+            if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+                raise ValueError(
+                    "events.ts arrives as TIMESTAMP_NTZ and its cast to "
+                    "timestamp is timezone-dependent at execution time: set "
+                    "spark.sql.session.timeZone=UTC on this session before "
+                    f"loading events (got {tz!r})"
+                )
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)

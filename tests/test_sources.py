@@ -104,3 +104,32 @@ def test_streaming_csv_reader(spark, tmp_path):
     got = spark.sql("SELECT close FROM csv_bricks ORDER BY brick_seq").toPandas()
     q.stop()
     assert got["close"].tolist() == [10.0, 11.0, 12.0]  # seed + 2 bricks
+
+
+def test_load_events_rejects_non_utc_session(spark, sf_dir):
+    """ADVICE r4: the TIMESTAMP_NTZ->timestamp cast localizes in the
+    session zone at execution time, so load_table must refuse a non-UTC
+    session instead of silently shifting events.ts."""
+    import pytest
+
+    from renkodf_spark.sources.tables import load_table
+
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        raw_type = dict(
+            spark.read.parquet(f"{sf_dir}/events.parquet").dtypes
+        ).get("ts")
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    if raw_type != "timestamp_ntz":
+        pytest.skip(f"events.ts reads as {raw_type}; the guarded branch is Spark>=4.1")
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="timeZone"):
+            load_table(spark, sf_dir, "events")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    # and a UTC session still loads fine
+    assert load_table(spark, sf_dir, "events").limit(1).count() == 1

@@ -179,12 +179,22 @@ def scale_block(spark, rep: int) -> dict:
     # count that bounds executor memory.
     from renkodf_spark.operators.renko_chunked import renko_chunked
 
-    skewed = ticks.withColumn(
-        "symbol",
-        F.when(F.pmod(F.hash("event_time"), F.lit(2)) == 0, F.lit("HOT")).otherwise(
-            F.col("symbol")
-        ),
-    )
+    def skewed_ticks(n: int):
+        rs = spark.range(n).select(F.col("id").alias("rep"))
+        t = (
+            ticks_from_events(spark, SF_DIR)
+            .crossJoin(F.broadcast(rs))
+            .withColumn("symbol", F.concat_ws("_", "symbol", "rep"))
+            .drop("rep")
+        )
+        return t.withColumn(
+            "symbol",
+            F.when(F.pmod(F.hash("event_time"), F.lit(2)) == 0, F.lit("HOT")).otherwise(
+                F.col("symbol")
+            ),
+        )
+
+    skewed = skewed_ticks(rep)
     peak = (
         skewed.groupBy(F.window("event_time", "1 week"), "symbol")
         .count()
@@ -197,6 +207,24 @@ def scale_block(spark, rep: int) -> dict:
     out["skew_renko_chunked_sec"] = round(time.perf_counter() - t0, 3)
     out["skew_hot_ticks"] = hot
     out["skew_peak_window_symbol_rows"] = peak
+
+    # Scale CURVE (VERDICT r4 stretch #9): re-run the skew-critical
+    # operator at x100 replication (~100 M ticks at sf0.1, half of them
+    # in ONE symbol) so the committed artifact shows the x10 -> x100
+    # shape, not a single point. renko_chunked bounds per-task rows at
+    # (window x symbol), so the expected curve is ~linear in data with
+    # the parallelism headroom absorbing part of the step.
+    crep = int(os.environ.get("SPARK_GRAFT_SCALE_CURVE", "100"))
+    if crep > rep:
+        cskewed = skewed_ticks(crep)
+        t0 = time.perf_counter()
+        rows = materialize(renko_chunked(cskewed, 5.0, window="1 week"))
+        out["scale_curve"] = {
+            "replication": crep,
+            "skew_renko_chunked_rows": rows,
+            "skew_renko_chunked_sec": round(time.perf_counter() - t0, 3),
+            "ticks_rows": out["ticks_rows"] * crep // rep,
+        }
     return out
 
 

@@ -22,13 +22,13 @@ from renkodf_spark.queries import renko_queries  # noqa: F401
 from renkodf_spark.queries import pipeline  # noqa: F401
 from renkodf_spark.queries import pipeline2  # noqa: F401
 
-# Gate-window priority (see module docstring). Round-4 rotation policy
-# (ADVICE r2, applied every round): queries whose code or oracle changed
-# this round, plus the queries whose last green row is round 2 (they sat
-# outside the r3 window), come first; the queries rotated out this round
-# all have green CORRECTNESS_r03 rows, so every registered query keeps a
-# green row dated within the last two rounds. Names not listed keep
-# their module registration order after these.
+# Gate-window priority (see module docstring). Rotation policy (ADVICE
+# r2, applied every round): queries that never had a gate row, plus
+# queries whose operator or oracle changed this round, come first; the
+# queries rotated out all have green rows in the immediately-previous
+# round, and SWEEP_r{N}.json (committed since r5) carries a same-round
+# full-registry sweep so freshness never depends on the window at all.
+# Names not listed keep their module registration order after these.
 _PRIORITY = [
     # -- new in round 5: materialized packed bins, unlabeled IVF
     #    training, as-of tolerance (never had a gate row), plus

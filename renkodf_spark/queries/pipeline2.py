@@ -204,7 +204,7 @@ SELECT doc_id, pred_lang, sample_rank FROM ranked WHERE sample_rank <= {_QUOTA}
 # split x quality-bucket counts: the one-look dashboard a curation run
 # ends with (is junk uniform across holdout splits?). Pure composition
 # of two gated operators; the oracle recomposes their SQL.
-_DASH_ORACLE = """
+_DASH_ORACLE = r"""
 WITH b AS (
   SELECT doc_id,
          ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 12))::BIGINT % 100 AS bucket,

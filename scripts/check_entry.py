@@ -6,11 +6,16 @@ order-insensitive value comparison (columns sorted by name, rows sorted
 by all columns). Exact equality for ints/strings/timestamps; floats are
 expected to already be ROUNDed inside the queries and compare exactly.
 
-Usage: [SF=sf0.001] python scripts/check_entry.py [query ...]
+Usage: [SF=sf0.001] [SWEEP_JSON=out.json] python scripts/check_entry.py [query ...]
+
+SWEEP_JSON writes the per-query verdicts as a JSON object — the
+committed SWEEP_r{N}.json artifact that proves every registered query
+(not just the driver's bounded gate window) green in the same round.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -92,6 +97,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures, passed, rows_only = [], 0, 0
+    report: dict[str, dict] = {}
     for name, builder in qs.items():
         if only and name not in only:
             continue
@@ -100,27 +106,43 @@ def main():
             sdf = builder(spark, SF_DIR).toPandas()
         except Exception as ex:
             failures.append(name)
+            report[name] = {"status": "fail", "detail": f"spark {type(ex).__name__}"}
             print(f"FAIL  {name}: spark error {type(ex).__name__}: {str(ex)[:200]}")
             continue
         if name not in oracles:
             rows_only += 1
+            report[name] = {"status": "rows_only", "rows": len(sdf), "sec": round(time.time() - t0, 1)}
             print(f"rows  {name}: {len(sdf)} rows ({time.time()-t0:.1f}s) [no oracle]")
             continue
         try:
             ddf = con.sql(oracles[name]).df()
         except Exception as ex:
             failures.append(name)
+            report[name] = {"status": "fail", "detail": f"duckdb {str(ex)[:120]}"}
             print(f"FAIL  {name}: duckdb error {str(ex)[:200]}")
             continue
         problems = compare(name, sdf, ddf)
         if problems:
             failures.append(name)
+            report[name] = {"status": "fail", "detail": "; ".join(problems)[:200]}
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
             passed += 1
+            report[name] = {"status": "ok", "rows": len(sdf), "sec": round(time.time() - t0, 1)}
             print(f"ok    {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
 
     print(f"\n{passed} oracle-matched, {rows_only} rows-only, {len(failures)} failed")
+    out_path = os.environ.get("SWEEP_JSON")
+    if out_path:
+        payload = {
+            "sf": SF,
+            "entry_rows": n,
+            "summary": {"ok": passed, "rows_only": rows_only, "failed": len(failures)},
+            "queries": report,
+        }
+        with open(out_path, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+        print(f"wrote {out_path}")
     if failures:
         print("failed:", ", ".join(failures))
         sys.exit(1)

@@ -225,6 +225,41 @@ def scale_block(spark, rep: int) -> dict:
             "skew_renko_chunked_sec": round(time.perf_counter() - t0, 3),
             "ticks_rows": out["ticks_rows"] * crep // rep,
         }
+
+        # quota_sample head-to-head at skew (VERDICT r4 item 1's perf
+        # claim, measured): 90% of crep*10-replicated docs in ONE group.
+        # The full-window path shuffles the whole text payload and sorts
+        # the hot group in one reducer; the pre-filter pays 3 parallel
+        # pruned scans instead. Crossover measured at ~5 M docs on
+        # local[32] (sort is one core of 32) — on a real cluster the
+        # full-window variant degrades with corpus size while the
+        # pre-filtered one stays flat.
+        from renkodf_spark.operators import corpus
+
+        drep = crep * 10
+        dreps = spark.range(drep).select(F.col("id").alias("rep"))
+        qdocs = (
+            load_table(spark, SF_DIR, "documents")
+            .crossJoin(F.broadcast(dreps))
+            .select(
+                (F.col("doc_id") * drep + F.col("rep")).alias("doc_id"),
+                F.concat_ws(" ", F.col("text"), F.concat(F.lit("rep"), F.col("rep"))).alias(
+                    "text"
+                ),
+            )
+            .withColumn(
+                "grp",
+                F.when(F.pmod(F.hash("doc_id"), F.lit(10)) < 9, F.lit("hot")).otherwise(
+                    F.concat(F.lit("g"), F.pmod(F.hash("doc_id"), F.lit(7)))
+                ),
+            )
+        )
+        q = out["scale_curve"]["quota_skew"] = {"docs_rows": qdocs.count()}
+        for label, af in (("prefilter_sec", 2), ("full_window_sec", None)):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            materialize(corpus.quota_sample(qdocs, "grp", per_group=25, admit_factor=af))
+            q[label] = round(time.perf_counter() - t0, 3)
     return out
 
 

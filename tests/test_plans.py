@@ -76,6 +76,11 @@ def test_no_python_udf_in_relational_queries(spark, sf_dir):
         "similarity_cosine_topk",
         "asof_purchase_before_click",
         "time_bars_hourly",
+        # round 5 additions stay JVM-side too
+        "packed_bins",
+        "ivf_train_unlabeled",
+        "lang_quota_sample",
+        "asof_tolerance_purchase",
     ]:
         assert_jvm_only(q.queries()[name](spark, sf_dir), name)
     # and the renko path has exactly one python node (the kernel)

@@ -26,8 +26,28 @@ def content_salt(df: DataFrame, buckets: int):
     Caveat: fully identical rows share a salt, so a hot key whose rows
     are all byte-identical still lands in one bucket — but such rows
     carry identical aggregation contributions, and any real payload
-    variation (an id, a timestamp) spreads them uniformly."""
-    return F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(buckets))
+    variation (an id, a timestamp) spreads them uniformly.
+
+    Map-typed columns are excluded from the hash (``F.hash`` rejects
+    them at analysis time); the salt hashes every other column, so a
+    frame carrying an unrelated properties map still salts. A frame
+    whose ONLY columns are maps degenerates to a single bucket —
+    documented rather than guessed around."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def hashable(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return hashable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(hashable(f.dataType) for f in dt.fields)
+        return True
+
+    cols = [f.name for f in df.schema.fields if hashable(f.dataType)]
+    if not cols:
+        return F.lit(0)
+    return F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(buckets))
 
 
 _PARTIAL = {

@@ -76,7 +76,9 @@ def asof_join(
         if isinstance(tolerance, _dt.timedelta):
             if not left_is_ts:
                 raise ValueError("timedelta tolerance requires a timestamp time column")
-            tol = int(tolerance.total_seconds() * 1_000_000)
+            # exact integer division — total_seconds()*1e6 is a float
+            # and truncates many exact-microsecond values by 1us
+            tol = tolerance // _dt.timedelta(microseconds=1)
         else:
             if left_is_ts:
                 raise ValueError(

@@ -260,29 +260,34 @@ def quota_admitted(
     if admit_factor < 1:
         raise ValueError(f"admit_factor must be >= 1, got {admit_factor}")
     h48 = F.conv(F.substring(_sample_key(id_col, salt), 1, 12), 16, 10).cast("long")
+    # every group join below is NULL-SAFE (<=>): a NULL group is a
+    # legitimate window partition (admit_factor=None ranks it), so the
+    # pre-filtered path must sample it identically rather than dropping
+    # it through a non-matching equi-join
     sizes = (
-        df.groupBy(group_col)
+        df.groupBy(F.col(group_col).alias("__grp"))
         .agg(F.count(F.lit(1)).alias("__n"))
         .withColumn(
             "__thresh",
             F.expr(f"CAST({admit_factor * per_group} AS BIGINT) * CAST({_H48_LIM} AS BIGINT) DIV __n"),
         )
     )
+    on_grp = F.col(group_col).eqNullSafe(F.col("__grp"))
     admitted_counts = (
         df.select(group_col, h48.alias("__h48"))
-        .join(F.broadcast(sizes), group_col)
+        .join(F.broadcast(sizes), on_grp)
         .filter(F.col("__h48") <= F.col("__thresh"))
-        .groupBy(group_col)
+        .groupBy("__grp")
         .agg(F.count(F.lit(1)).alias("__m"))
     )
     stats = (
-        sizes.join(admitted_counts, group_col, "left")
+        sizes.join(admitted_counts, "__grp", "left")
         .withColumn("__m", F.coalesce("__m", F.lit(0)))
         .withColumn("__safe", F.col("__m") >= F.least(F.lit(per_group), F.col("__n")))
-        .select(group_col, "__thresh", "__safe")
+        .select("__grp", "__thresh", "__safe")
     )
     return (
-        df.join(F.broadcast(stats), group_col)
+        df.join(F.broadcast(stats), on_grp)
         .filter((~F.col("__safe")) | (h48 <= F.col("__thresh")))
         .select(*df.columns)
     )
@@ -439,7 +444,12 @@ def assemble_bins(
     start = (F.col("bin_id") * budget + F.col("bin_offset")).cast("long")
     end = start + F.col(tokens_col)
     rows = (
-        packed.select(
+        # a zero-token chunk contributes nothing — and sitting exactly
+        # on a bin boundary it would make sequence(bin_id, last_bin)
+        # DESCENDING (Spark defaults to step -1), emitting phantom
+        # empty bins. chunk_documents never emits one, but any
+        # pack_sequences output is accepted here.
+        packed.filter(F.col(tokens_col) > 0).select(
             "shard",
             toks.alias("__t"),
             start.alias("__cs"),

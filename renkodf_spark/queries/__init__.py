@@ -51,7 +51,6 @@ _PRIORITY = [
     "asof_next_purchase_after_click",
     "asof_nearest_purchase",
     "ivf_cell_stats",
-    "salted_event_type_stats",
     "tfidf_top_terms",
     "dedup_edit_distance",
     "dedup_incremental_lsh",
@@ -65,7 +64,6 @@ _PRIORITY = [
     "corpus_chunks",
     "pii_redaction",
     "train_test_split",
-    "lang_quota_sample",
     # -- changed this round: new invariant/tolerance oracles (VERDICT r3
     #    item 3), the b25 fold oracle (item 9), conditional repartition +
     #    shared pairs + opt-in cap (items 1-2 / ADVICE), time_bars

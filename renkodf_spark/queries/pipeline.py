@@ -47,9 +47,21 @@ def _docs(spark, sf_dir):
 _PAIRS_MEMO: dict[tuple[str, str], "object"] = {}
 
 
+def _evict_pairs_memo() -> None:
+    # best-effort: drop the evicted checkpoint's storage blocks now
+    # instead of waiting for py4j GC + ContextCleaner (which remains
+    # the backstop if the RDD handle is already gone)
+    for df in _PAIRS_MEMO.values():
+        try:
+            df.rdd.unpersist(False)
+        except Exception:
+            pass
+    _PAIRS_MEMO.clear()
+
+
 def clear_shared_pairs() -> None:
     """Drop the memoized pairs table (e.g. between benchmark phases)."""
-    _PAIRS_MEMO.clear()
+    _evict_pairs_memo()
 
 
 def _shared_pairs(spark, sf_dir):
@@ -62,7 +74,7 @@ def _shared_pairs(spark, sf_dir):
             shingle_n=SHINGLE_N,
             max_bucket_size=MAX_BUCKET,
         )
-        _PAIRS_MEMO.clear()
+        _evict_pairs_memo()
         _PAIRS_MEMO[key] = pairs.localCheckpoint(eager=True)
     return _PAIRS_MEMO[key]
 

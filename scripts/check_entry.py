@@ -137,6 +137,10 @@ def main():
         payload = {
             "sf": SF,
             "entry_rows": n,
+            # a name-filtered run is NOT a full-registry sweep; record
+            # the filter so a partial artifact can't pass as exhaustive
+            "filter": sorted(only) if only else None,
+            "registry_size": len(qs),
             "summary": {"ok": passed, "rows_only": rows_only, "failed": len(failures)},
             "queries": report,
         }

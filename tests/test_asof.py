@@ -253,6 +253,37 @@ def test_asof_tolerance_nearest_boundary(spark):
     assert run(5.0) == "back"  # both in range: nearest wins
 
 
+def test_asof_tolerance_timedelta_is_exact_microseconds(spark):
+    """Self-review r5: timedelta -> microseconds must use exact integer
+    division (total_seconds()*1e6 truncates e.g. 249us to 248)."""
+    import datetime as dt
+
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1],
+                "t": pd.to_datetime(["2024-01-01 00:00:00.000249"]).astype("datetime64[us]"),
+                "lid": [0],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1],
+                "t": pd.to_datetime(["2024-01-01 00:00:00.000000"]).astype("datetime64[us]"),
+                "v": ["hit"],
+            }
+        )
+    )
+    got = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        right_payload=["v"], strict=True,
+        tolerance=dt.timedelta(microseconds=249),  # match is EXACTLY at the bound
+    ).collect()
+    assert got[0]["v_asof"] == "hit"
+
+
 def test_asof_invalid_tolerance(spark):
     import datetime as dt
 

@@ -129,6 +129,24 @@ def test_salted_agg_salt_is_replay_deterministic(spark, sf_dir):
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
 
 
+def test_salted_agg_tolerates_map_columns(spark):
+    """Self-review r5: F.hash rejects MapType, so the content salt must
+    skip map columns instead of failing at analysis time."""
+    from pyspark.sql import functions as F
+
+    from renkodf_spark.functions.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [(i % 2, float(i), {"a": str(i)}) for i in range(40)],
+        "k long, v double, props map<string,string>",
+    )
+    got = {
+        r["k"]: (r["n"], r["total"])
+        for r in salted_agg(df, ["k"], {"n": ("count", "*"), "total": ("sum", "v")}).collect()
+    }
+    assert got == {0: (20, 380.0), 1: (20, 400.0)}
+
+
 def test_salted_agg_matches_direct(spark, sf_dir):
     from renkodf_spark.functions.skew import salted_agg
     from renkodf_spark.sources.tables import load_table

@@ -179,6 +179,32 @@ def test_quota_admitted_bounds_hot_group_window_input(spark):
     assert full.exceptAll(filtered).count() == 0
 
 
+def test_quota_sample_null_group_sampled_identically(spark):
+    """Self-review r5: a NULL group is a legitimate window partition —
+    the pre-filtered path must sample it exactly like the full ranking,
+    not drop it through a non-null-safe join."""
+    rows = [(i, None if i % 3 == 0 else f"g{i % 2}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    filtered = corpus.quota_sample(df, "grp", per_group=7)
+    full = corpus.quota_sample(df, "grp", per_group=7, admit_factor=None)
+    assert filtered.exceptAll(full).count() == 0
+    assert full.exceptAll(filtered).count() == 0
+    assert filtered.filter(F.col("grp").isNull()).count() == 7
+
+
+def test_assemble_bins_ignores_zero_token_chunks(spark):
+    """Self-review r5: a zero-token chunk on a bin boundary must not
+    emit a descending sequence (phantom empty bins)."""
+    chunks = spark.createDataFrame(
+        [(1, 0, 4, "a b c d"), (1, 1, 0, ""), (2, 0, 2, "e f")],
+        "doc_id long, chunk_id long, n_tokens long, chunk_text string",
+    )
+    packed = corpus.pack_sequences(chunks, budget=4, shards=1)
+    bins = {r.bin_id: r for r in corpus.assemble_bins(packed, budget=4).collect()}
+    assert set(bins) == {0, 1}
+    assert bins[0].bin_text == "a b c d" and bins[1].bin_text == "e f"
+
+
 def test_quota_sample_under_admission_fallback_is_exact(spark):
     """admit_factor=1 puts the admitted count AT the quota in
     expectation, so ~half of these 40 groups under-admit — the safety

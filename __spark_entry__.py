@@ -6,12 +6,14 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 The real implementations live in the ``renkodf_spark`` package; this
-module is a thin adapter. Query inventory: renko operator surface
-(SURVEY.md §2 Part A — no SQL oracle, the recurrence is not
-ANSI-expressible; differential-tested against the reference in
-tests/test_vs_reference.py), the full relational Part-B surface, and
-the training-data pipeline extensions (dedup / similarity / text /
-multimodal), each with a DuckDB oracle where expressible.
+module is a thin adapter. Query inventory: the renko operator surface
+(SURVEY.md §2 Part A — oracled via a DuckDB ``list_reduce`` fold replay
+of the recurrence, and additionally differential-tested bit-exact
+against the reference in tests/test_vs_reference.py), the full
+relational Part-B surface, and the training-data pipeline extensions
+(dedup / similarity / text / corpus curation / multimodal) — every
+registered query carries a DuckDB oracle (SWEEP_r05.json: 96/96 at
+both test SFs).
 """
 
 from __future__ import annotations

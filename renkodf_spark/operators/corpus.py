@@ -293,6 +293,51 @@ def quota_admitted(
     )
 
 
+def rate_sample(
+    df: DataFrame,
+    rates: float | dict,
+    *,
+    group_col: str | None = None,
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic fixed-RATE sampling — the zero-shuffle companion
+    to :func:`quota_sample` (exact quotas need a rank; a rate is just a
+    hash threshold). A row is kept iff its 48-bit hash prefix falls
+    below ``rate * 2^48`` (integer threshold, exact cross-engine), so
+    the sample is a pure function of ``(salt, id)``: stable across
+    runs, layouts, and cluster sizes, and NESTED — the 10% sample is a
+    subset of the 20% sample under the same salt, which is what lets a
+    pipeline grow a sample without resampling.
+
+    ``rates`` is a single float, or a ``{group_value: rate}`` dict with
+    ``group_col`` set (unlisted groups fall back to ``default_rate``) —
+    the down-weight-the-hot-language shape.
+
+    Scale: one narrow filter, no shuffle, no aggregation — constant
+    work per row regardless of skew.
+    """
+    h48 = F.conv(F.substring(_sample_key(id_col, salt), 1, 12), 16, 10).cast("long")
+
+    def thresh(rate: float):
+        if not (0.0 <= rate <= 1.0):
+            raise ValueError(f"rates must be in [0, 1], got {rate}")
+        return F.lit(int(round(rate * _H48_LIM)))
+
+    if isinstance(rates, dict):
+        if group_col is None:
+            raise ValueError("per-group rates require group_col")
+        expr = None
+        for g, r in sorted(rates.items()):
+            cond = F.col(group_col).eqNullSafe(F.lit(g))
+            expr = F.when(cond, thresh(r)) if expr is None else expr.when(cond, thresh(r))
+        expr = expr.otherwise(thresh(default_rate))
+    else:
+        expr = thresh(rates)
+    return df.filter(h48 < expr)
+
+
 def quota_sample(
     df: DataFrame,
     group_col: str,

@@ -38,6 +38,7 @@ _PRIORITY = [
     "ivf_train_unlabeled",
     "ann_recall_planted_unlabeled",
     "asof_tolerance_purchase",
+    "lang_rate_sample",
     "lang_quota_sample",
     "salted_event_type_stats",
     # -- new in round 4, phase 2: IVF ANN, repetition filters, sample

@@ -199,6 +199,44 @@ SELECT doc_id, pred_lang, sample_rank FROM ranked WHERE sample_rank <= {_QUOTA}
 """
 
 
+# ---------------------------------------------------- fixed-rate sampling
+
+_RATE_BY_LANG = {"en": 0.1, "de": 0.5}
+_RATE_DEFAULT = 0.9
+
+
+def _rate_thresh(rate: float) -> int:
+    return int(round(rate * (1 << 48)))
+
+
+_RATE_ORACLE = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 12))::BIGINT <
+      CASE lang
+           WHEN 'en' THEN {_rate_thresh(_RATE_BY_LANG["en"])}
+           WHEN 'de' THEN {_rate_thresh(_RATE_BY_LANG["de"])}
+           ELSE {_rate_thresh(_RATE_DEFAULT)} END
+"""
+
+
+@query(
+    "lang_rate_sample",
+    oracle=_RATE_ORACLE,
+    doc="deterministic per-language RATE sampling (10% en, 50% de, 90% "
+    "rest) by integer hash threshold — the zero-shuffle companion to "
+    "quota sampling: one narrow filter, nested samples, no skew "
+    "sensitivity at all.",
+)
+def lang_rate_sample(spark, sf_dir):
+    return corpus.rate_sample(
+        _docs(spark, sf_dir),
+        _RATE_BY_LANG,
+        group_col="lang",
+        default_rate=_RATE_DEFAULT,
+    ).select("doc_id", "lang")
+
+
 # ------------------------------------------------- curation dashboard
 
 # split x quality-bucket counts: the one-look dashboard a curation run

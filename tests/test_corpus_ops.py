@@ -179,6 +179,39 @@ def test_quota_admitted_bounds_hot_group_window_input(spark):
     assert full.exceptAll(filtered).count() == 0
 
 
+def test_rate_sample_nested_deterministic_and_zero_shuffle(spark):
+    """rate_sample: layout-independent, NESTED across rates (the 10%
+    sample is a subset of the 20% under one salt), approximately
+    calibrated, and a single narrow filter (no Exchange)."""
+    df = spark.createDataFrame([(i,) for i in range(5000)], "doc_id long")
+    ten = corpus.rate_sample(df, 0.10)
+    twenty = corpus.rate_sample(df, 0.20)
+    n10, n20 = ten.count(), twenty.count()
+    assert abs(n10 - 500) < 100 and abs(n20 - 1000) < 150
+    assert ten.exceptAll(twenty).count() == 0  # nested
+    again = {r.doc_id for r in corpus.rate_sample(df.repartition(9), 0.10).collect()}
+    assert {r.doc_id for r in ten.collect()} == again  # layout-independent
+    assert "Exchange" not in ten._jdf.queryExecution().executedPlan().toString()
+
+
+def test_rate_sample_per_group_rates(spark):
+    rows = [(i, "en" if i % 2 == 0 else ("de" if i % 4 == 1 else None)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = corpus.rate_sample(
+        df, {"en": 0.05, "de": 0.5}, group_col="lang", default_rate=1.0
+    )
+    got = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert abs(got["en"] - 100) < 60  # 2000 * 0.05
+    assert abs(got["de"] - 500) < 100  # 1000 * 0.5
+    assert got[None] == 1000  # unlisted (NULL) group keeps default rate 1.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        corpus.rate_sample(df, {"en": 1.5}, group_col="lang")
+    with _pytest.raises(ValueError):
+        corpus.rate_sample(df, {"en": 0.5})  # dict rates need group_col
+
+
 def test_quota_sample_null_group_sampled_identically(spark):
     """Self-review r5: a NULL group is a legitimate window partition —
     the pre-filtered path must sample it exactly like the full ranking,

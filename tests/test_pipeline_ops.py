@@ -741,6 +741,21 @@ def test_all_pipeline_operators_handle_empty_inputs(spark):
         "nearest_centroid": lambda: similarity.nearest_centroid(eemb, cents),
         "ivf_topk": lambda: similarity.ivf_topk(eemb, eemb, cents),
         "quantize_embeddings": lambda: similarity.quantize_embeddings(eemb),
+        # round-5 additions
+        "quota_admitted": lambda: corpus.quota_admitted(
+            text.lang_id(edocs).select("doc_id", "pred_lang"), "pred_lang", per_group=5
+        ),
+        "rate_sample": lambda: corpus.rate_sample(edocs, 0.5),
+        "assemble_bins": lambda: corpus.assemble_bins(
+            corpus.pack_sequences(
+                spark.createDataFrame(
+                    [], "doc_id long, chunk_id long, n_tokens long, chunk_text string"
+                )
+            )
+        ),
+        "train_ivf_centroids": lambda: similarity.train_ivf_centroids(
+            eemb, dim=4, n_planes=2, iters=1
+        ),
     }
     failures = {}
     for name, build in cases.items():

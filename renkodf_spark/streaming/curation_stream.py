@@ -53,6 +53,30 @@ def dedup_stream(
     )
 
 
+def rate_gate(
+    docs: DataFrame,
+    rates: float | dict,
+    *,
+    group_col: str | None = None,
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Stateless streaming down-sampling: :func:`renkodf_spark.
+    operators.corpus.rate_sample` applied at ingestion. Because the
+    sample is a pure function of ``(salt, id)`` — not of arrival order,
+    trigger boundaries, or state — the streamed sample is EXACTLY the
+    batch sample of the same rows (pinned by test), replays are
+    idempotent, and there is no streaming state at all (survives any
+    rate; contrast the watermark-bounded dedup above)."""
+    from renkodf_spark.operators.corpus import rate_sample
+
+    return rate_sample(
+        docs, rates, group_col=group_col, default_rate=default_rate,
+        id_col=id_col, salt=salt,
+    )
+
+
 def quality_gate(
     docs: DataFrame,
     *,

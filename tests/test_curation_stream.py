@@ -165,3 +165,40 @@ def test_neardup_stream_matches_batch_incremental_lsh(spark, tmp_path):
     # the index holds exactly one band partition per trigger
     idx = spark.read.parquet(index_path)
     assert {r.batch_id for r in idx.select("batch_id").distinct().collect()} == {0, 1}
+
+
+def test_rate_gate_stream_equals_batch_sample(spark, tmp_path):
+    """The streamed rate sample must be EXACTLY the batch rate_sample of
+    the same rows — no trigger-boundary or state dependence."""
+    from renkodf_spark.operators.corpus import rate_sample
+    from renkodf_spark.streaming.curation_stream import rate_gate
+
+    rows = [
+        (i, "2024-01-01 00:00:%02d" % (i % 60), f"doc number {i} body text")
+        for i in range(200)
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_batch(src, "b1.parquet", rows[:120])
+    _write_batch(src, "b2.parquet", rows[120:])
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        rate_gate(stream, 0.3)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rate_gated")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.doc_id for r in spark.sql("SELECT doc_id FROM rate_gated").collect()}
+    batch = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "event_time", "text"])
+    )
+    want = {r.doc_id for r in rate_sample(batch, 0.3).collect()}
+    assert got == want and 0 < len(want) < 200

@@ -325,6 +325,84 @@ def ivf_topk(
     )
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> None:
+    """Persist an IVF index: the corpus routed to its nearest centroid
+    cell, written PARTITIONED BY cell under ``<path>/data``, with the
+    centroid table stored under ``<path>/centroids`` (a sibling, not a
+    subdirectory of the partitioned layout — Spark's file index treats
+    underscore-prefixed paths as hidden and a stray non-``cell=`` dir
+    would break partition discovery).
+
+    This is the ANN counterpart of the persisted LSH band index: the
+    expensive part of IVF querying — computing every corpus vector's
+    cosine against every centroid — runs ONCE per corpus snapshot, and
+    :func:`ivf_topk_indexed` then touches only the probed cells'
+    partitions. At 100 TB, a query's scan cost becomes proportional to
+    the probed corpus fraction (n_probe/cells-ish), not corpus size.
+    """
+    routed = nearest_centroid(
+        corpus, centroids, id_col=id_col, vec_col=vec_col, round_digits=round_digits
+    )
+    routed.select("id", "vec", "cell").write.mode("overwrite").partitionBy("cell").parquet(
+        path + "/data"
+    )
+    centroids.write.mode("overwrite").parquet(path + "/centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 1,
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF top-k over a :func:`write_ivf_index` index: route the
+    queries with the stored centroids, then read ONLY the probed
+    cells' partitions (static ``cell IN (...)`` filter → partition
+    pruning skips every other cell's files entirely) and brute-force
+    within them. Results are identical to :func:`ivf_topk` with the
+    same centroids (parity-pinned in tests).
+
+    The probed-cell list is collected to the driver — bounded by
+    ``|queries| x n_probe`` scalars, the same class of justified
+    driver collect as the dedup convergence probe."""
+    from pyspark.sql.window import Window
+
+    cents = spark.read.parquet(path + "/centroids")
+    qc = _probe_cells(
+        queries, cents, id_col=id_col, vec_col=vec_col, n_probe=n_probe, round_digits=6
+    ).select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "cell")
+    probed = [r["cell"] for r in qc.select("cell").distinct().collect()]
+    idx = (
+        spark.read.parquet(path + "/data")
+        .filter(F.col("cell").isin(probed))
+        .select(F.col("id").alias("neighbor_id"), F.col("vec").alias("cvec"), "cell")
+    )
+    scored = (
+        idx.join(F.broadcast(qc), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", round_digits).alias("cos_sim"))
+    )
+
+
 def rp_planes(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: component (p, d) =
     md5(f"{p}:{d}") scaled to [-0.5, 0.5). Plain constants, so both the

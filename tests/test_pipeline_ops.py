@@ -768,3 +768,34 @@ def test_all_pipeline_operators_handle_empty_inputs(spark):
         except Exception as e:  # noqa: BLE001 - collecting all failures
             failures[name] = f"{type(e).__name__}: {e}"
     assert not failures, failures
+
+
+# ---------------------------------------------------- persisted IVF index
+
+
+def test_ivf_index_parity_and_partition_pruning(spark, emb_df, tmp_path):
+    """write_ivf_index + ivf_topk_indexed must return exactly ivf_topk's
+    results with the same centroids, and the indexed read must touch
+    only the probed cells' partitions (static partition pruning)."""
+    cents = similarity.embedding_centroids(emb_df, dim=4)
+    path = str(tmp_path / "ivf_index")
+    similarity.write_ivf_index(emb_df, cents, path)
+
+    direct = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cos_sim"])
+        for r in similarity.ivf_topk(emb_df, emb_df, cents, k=3).collect()
+    }
+    q1 = emb_df.limit(2)
+    indexed_all = similarity.ivf_topk_indexed(spark, path, emb_df, k=3)
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cos_sim"])
+        for r in indexed_all.collect()
+    }
+    assert got == direct
+
+    # pruning: probing ONE query's single cell must scan only that
+    # partition — the plan carries a cell partition filter
+    one = similarity.ivf_topk_indexed(spark, path, q1, n_probe=1)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[isnotnull\(cell#\d+\), \(?cell#\d+ (=|IN)", plan)
+    assert m, plan

@@ -64,6 +64,9 @@ HEADLINE = [
     "hll_sketch_rollup",
     "similarity_ivf_topk",
     "sequence_packing",
+    # added round 5 (bin assembly, unlabeled IVF training)
+    "packed_bins",
+    "ivf_train_unlabeled",
 ]
 
 

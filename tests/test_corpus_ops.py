@@ -343,3 +343,46 @@ def test_pack_sequences_validation(spark):
         corpus.pack_sequences(df, budget=0)
     with _pytest.raises(ValueError):
         corpus.pack_sequences(df, shards=-1)
+
+
+def test_packing_pipeline_randomized_invariants(spark):
+    """Seeded-random corpora through chunk -> pack -> assemble: token
+    conservation (sum of bin tokens == sum of chunk tokens), every
+    non-terminal bin exactly full, exactly one short-or-full terminal
+    bin per shard, and bin text round-trips the chunk token stream."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        docs = _docs_df(
+            spark,
+            [
+                (i, " ".join(f"w{i}_{j}" for j in range(rng.randint(0, 40))))
+                for i in range(rng.randint(30, 80))
+            ],
+        )
+        budget = rng.choice([8, 16, 32])
+        chunks = corpus.chunk_documents(docs, chunk_size=7, stride=5)
+        packed = corpus.pack_sequences(chunks, budget=budget, shards=3)
+        bins = corpus.assemble_bins(packed, budget=budget).collect()
+        total_chunk_tokens = packed.agg(F.sum("n_tokens")).collect()[0][0]
+        assert sum(r.bin_tokens for r in bins) == total_chunk_tokens, f"trial {trial}"
+        by_shard = {}
+        for r in bins:
+            by_shard.setdefault(r.shard, []).append(r)
+        for shard, rows in by_shard.items():
+            rows.sort(key=lambda r: r.bin_id)
+            assert [r.bin_id for r in rows] == list(range(len(rows)))  # contiguous
+            for r in rows[:-1]:
+                assert r.bin_tokens == budget, f"trial {trial} shard {shard}"
+            assert 0 < rows[-1].bin_tokens <= budget
+            # concatenated bin text == the shard's chunk stream in order
+            stream = " ".join(r.bin_text for r in rows)
+            want = " ".join(
+                r.chunk_text
+                for r in packed.filter(F.col("shard") == shard)
+                .orderBy("doc_id", "chunk_id")
+                .collect()
+                if r.n_tokens > 0
+            )
+            assert stream == want, f"trial {trial} shard {shard}"

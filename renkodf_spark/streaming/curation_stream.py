@@ -77,6 +77,80 @@ def rate_gate(
     )
 
 
+def quota_cap_writer(
+    out_path: str,
+    counts_path: str,
+    group_col: str,
+    *,
+    per_group: int = 1000,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+):
+    """Cross-batch streaming quota cap for ``foreachBatch``: admit at
+    most ``per_group`` documents per group over the LIFETIME of the
+    stream — ingestion admission control ("cap each language at N"),
+    the streaming counterpart of the batch :func:`renkodf_spark.
+    operators.corpus.quota_sample`.
+
+    Semantics: within a micro-batch, rows compete in the deterministic
+    salted-hash order quota_sample uses (so a batch's admissions are
+    layout-independent and replayable); across batches, admission is
+    first-come (earlier triggers fill the quota first). A persisted
+    per-group admitted-count table (two columns, one row per group —
+    bytes) carries the state; both it and the admitted output are
+    written as ``batch_id=N`` partition overwrites, so a replayed batch
+    reproduces its own decisions instead of double-admitting under
+    foreachBatch's at-least-once contract.
+
+    Scale: the batch ranking shuffles one micro-batch keyed by group
+    (bounded by trigger size, not corpus size); the counts state is a
+    broadcast-sized aggregate of the output's (batch_id, group, n)
+    partitions — nothing ever re-reads admitted document text.
+    """
+    import posixpath
+
+    from pyspark.sql import Window
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        grp_schema = batch.select(F.col(group_col).alias("__grp")).schema
+        try:
+            prior = (
+                spark.read.parquet(counts_path)
+                .filter(F.col("batch_id") < batch_id)
+                .groupBy("__grp")
+                .agg(F.sum("admitted").alias("__prior"))
+            )
+        except Exception:  # first batch: no counts yet
+            prior = spark.createDataFrame([], grp_schema).withColumn(
+                "__prior", F.lit(0).cast("long")
+            )
+        key = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+        w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
+        ranked = batch.withColumn("__rk", F.row_number().over(w))
+        admitted = (
+            ranked.join(
+                F.broadcast(prior), F.col(group_col).eqNullSafe(F.col("__grp")), "left"
+            )
+            .filter(F.col("__rk") <= per_group - F.coalesce(F.col("__prior"), F.lit(0)))
+            .select(*batch.columns)
+        )
+        admitted.write.mode("overwrite").parquet(
+            posixpath.join(out_path, f"batch_id={batch_id}")
+        )
+        counts = (
+            spark.read.parquet(out_path)
+            .filter(F.col("batch_id") == batch_id)
+            .groupBy(F.col(group_col).alias("__grp"))
+            .agg(F.count(F.lit(1)).alias("admitted"))
+        )
+        counts.write.mode("overwrite").parquet(
+            posixpath.join(counts_path, f"batch_id={batch_id}")
+        )
+
+    return write_batch
+
+
 def quality_gate(
     docs: DataFrame,
     *,

@@ -202,3 +202,56 @@ def test_rate_gate_stream_equals_batch_sample(spark, tmp_path):
     )
     want = {r.doc_id for r in rate_sample(batch, 0.3).collect()}
     assert got == want and 0 < len(want) < 200
+
+
+def test_quota_cap_stream_fills_across_triggers(spark, tmp_path):
+    """Cross-batch quota cap: quota 5 per language; trigger 1 admits its
+    in-batch top ranks, trigger 2 only fills the remainder — and the
+    total per group never exceeds the quota."""
+    from renkodf_spark.streaming.curation_stream import quota_cap_writer
+
+    def rows(lo, hi):
+        return [
+            (i, "2024-01-01 00:00:%02d" % (i % 60), f"lang {'en' if i % 2 == 0 else 'de'} doc {i}")
+            for i in range(lo, hi)
+        ]
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_batch(src, "b1.parquet", rows(0, 8))  # 4 en, 4 de
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    out_path = str(tmp_path / "admitted")
+    counts_path = str(tmp_path / "counts")
+    writer = quota_cap_writer(
+        out_path, counts_path, "lang", per_group=5, id_col="doc_id"
+    )
+    lang = F.when(F.col("doc_id") % 2 == 0, "en").otherwise("de")
+    q = (
+        stream.withColumn("lang", lang)
+        .writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = (
+            spark.read.parquet(out_path).groupBy("lang").count().collect()
+        )
+        assert {r["lang"]: r["count"] for r in first} == {"en": 4, "de": 4}
+        _write_batch(src, "b2.parquet", rows(8, 20))  # 6 more of each
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = {
+        r["lang"]: r["count"]
+        for r in spark.read.parquet(out_path).groupBy("lang").count().collect()
+    }
+    assert final == {"en": 5, "de": 5}  # each filled exactly to quota
+    per_batch = {
+        (r["batch_id"], r["lang"]): r["count"]
+        for r in spark.read.parquet(out_path).groupBy("batch_id", "lang").count().collect()
+    }
+    # trigger 2 admitted exactly the remainder
+    assert per_batch[(1, "en")] == 1 and per_batch[(1, "de")] == 1

@@ -111,6 +111,24 @@ def quota_cap_writer(
 
     from pyspark.sql import Window
 
+    def _is_missing_path(exc: Exception) -> bool:
+        # Spark surfaces a nonexistent read path as AnalysisException with
+        # error class PATH_NOT_FOUND (message "Path does not exist" on
+        # older versions). Only THAT case means "first batch".
+        name = None
+        for attr in ("getCondition", "getErrorClass"):
+            fn = getattr(exc, attr, None)
+            if callable(fn):
+                try:
+                    name = fn()
+                except Exception:
+                    name = None
+                if name:
+                    break
+        if name is not None:
+            return name == "PATH_NOT_FOUND"
+        return "Path does not exist" in str(exc)
+
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         grp_schema = batch.select(F.col(group_col).alias("__grp")).schema
@@ -121,7 +139,14 @@ def quota_cap_writer(
                 .groupBy("__grp")
                 .agg(F.sum("admitted").alias("__prior"))
             )
-        except Exception:  # first batch: no counts yet
+        except Exception as exc:
+            # Treat ONLY a missing counts path as "first batch". Any other
+            # failure (corrupt footer, permissions, transient storage
+            # error) must fail the batch so foreachBatch retries it —
+            # proceeding with prior=0 would silently admit past the
+            # lifetime quota.
+            if not _is_missing_path(exc):
+                raise
             prior = spark.createDataFrame([], grp_schema).withColumn(
                 "__prior", F.lit(0).cast("long")
             )

@@ -255,3 +255,39 @@ def test_quota_cap_stream_fills_across_triggers(spark, tmp_path):
     }
     # trigger 2 admitted exactly the remainder
     assert per_batch[(1, "en")] == 1 and per_batch[(1, "de")] == 1
+
+
+def test_quota_cap_corrupt_counts_fails_batch(spark, tmp_path):
+    """A counts file that exists but cannot be read must FAIL the batch
+    (so foreachBatch retries) — not be treated as 'first batch', which
+    would restart prior=0 and admit past the lifetime quota. Only a
+    genuinely missing counts path may be swallowed."""
+    from renkodf_spark.streaming.curation_stream import quota_cap_writer
+
+    out_path = str(tmp_path / "admitted")
+    counts_path = str(tmp_path / "counts")
+    writer = quota_cap_writer(
+        out_path, counts_path, "lang", per_group=5, id_col="doc_id"
+    )
+    batch = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de", f"doc {i}") for i in range(8)],
+        "doc_id long, lang string, text string",
+    )
+
+    # Missing counts path → first batch, admits normally.
+    writer(batch, 0)
+    assert spark.read.parquet(out_path).count() == 8
+
+    # Corrupt the persisted counts: garbage bytes where a parquet
+    # footer should be. The next trigger's read must raise, not admit.
+    part_dir = os.path.join(counts_path, "batch_id=0")
+    for name in os.listdir(part_dir):
+        if name.endswith(".parquet"):
+            with open(os.path.join(part_dir, name), "wb") as fh:
+                fh.write(b"this is not a parquet file")
+    with pytest.raises(Exception) as excinfo:
+        writer(batch, 1)
+    assert "Path does not exist" not in str(excinfo.value)
+    # Nothing from the failed batch landed.
+    admitted = spark.read.parquet(out_path)
+    assert admitted.filter(F.col("batch_id") == 1).count() == 0

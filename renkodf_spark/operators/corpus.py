@@ -256,6 +256,14 @@ def quota_admitted(
     rows per group. The hot-group single-reducer funnel is gone: a
     group holding 90% of a 100 TB corpus contributes ~2x quota rows to
     the sort, not half the corpus.
+
+    The ``sizes``/``stats`` joins are NOT hinted ``F.broadcast``: one
+    row per distinct group can still be millions of rows when
+    ``group_col`` is high-cardinality (domain, URL prefix), and a
+    forced broadcast bypasses the size threshold and OOMs the driver.
+    AQE sees the true post-aggregation size at runtime and picks
+    broadcast-hash when the group dimension is genuinely small, a
+    shuffled join otherwise — exactly the right call at each scale.
     """
     if admit_factor < 1:
         raise ValueError(f"admit_factor must be >= 1, got {admit_factor}")
@@ -275,7 +283,7 @@ def quota_admitted(
     on_grp = F.col(group_col).eqNullSafe(F.col("__grp"))
     admitted_counts = (
         df.select(group_col, h48.alias("__h48"))
-        .join(F.broadcast(sizes), on_grp)
+        .join(sizes, on_grp)
         .filter(F.col("__h48") <= F.col("__thresh"))
         .groupBy("__grp")
         .agg(F.count(F.lit(1)).alias("__m"))
@@ -287,7 +295,7 @@ def quota_admitted(
         .select("__grp", "__thresh", "__safe")
     )
     return (
-        df.join(F.broadcast(stats), on_grp)
+        df.join(stats, on_grp)
         .filter((~F.col("__safe")) | (h48 <= F.col("__thresh")))
         .select(*df.columns)
     )

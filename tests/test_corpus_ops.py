@@ -151,6 +151,25 @@ def test_quota_sample_quota_and_determinism(spark):
     assert out.select("doc_id").exceptAll(out2.select("doc_id")).count() == 0
 
 
+def test_quota_sample_high_cardinality_groups_unhinted(spark):
+    """quota_admitted's per-group stat joins must not FORCE a broadcast:
+    with high-cardinality group_col the stats relation is one row per
+    group — as big as the distinct-key space — and a forced broadcast
+    bypasses the size threshold. The joins are unhinted (AQE decides);
+    this pins both the no-hint plan property and exactness when nearly
+    every row is its own group."""
+    rows = [(i, "g" + str(i // 2)) for i in range(400)]  # 200 groups of 2
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = corpus.quota_sample(df, "grp", per_group=1)
+    assert out.count() == 200
+    # identical to the exact full-window path
+    ref = corpus.quota_sample(df, "grp", per_group=1, admit_factor=None)
+    assert out.select("doc_id").exceptAll(ref.select("doc_id")).count() == 0
+    # no ResolvedHint/broadcast hint survives in the analyzed plan
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "BROADCAST" not in analyzed
+
+
 def test_quota_sample_small_group_kept_whole(spark):
     df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "doc_id long, grp string")
     out = corpus.quota_sample(df, "grp", per_group=10)

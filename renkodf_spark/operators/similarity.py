@@ -370,25 +370,33 @@ def ivf_topk_indexed(
 ) -> DataFrame:
     """IVF top-k over a :func:`write_ivf_index` index: route the
     queries with the stored centroids, then read ONLY the probed
-    cells' partitions (static ``cell IN (...)`` filter → partition
-    pruning skips every other cell's files entirely) and brute-force
-    within them. Results are identical to :func:`ivf_topk` with the
-    same centroids (parity-pinned in tests).
+    cells' partitions and brute-force within them. Results are
+    identical to :func:`ivf_topk` with the same centroids
+    (parity-pinned in tests).
 
-    The probed-cell list is collected to the driver — bounded by
-    ``|queries| x n_probe`` scalars, the same class of justified
-    driver collect as the dedup convergence probe."""
+    Pruning is DYNAMIC, not a driver collect: the probed-cell side is
+    broadcast for the join anyway, so Catalyst's dynamic partition
+    pruning reuses that broadcast as an IN-subquery partition filter
+    on the ``cell``-partitioned scan — unprobed cells' files are never
+    read (plan-pinned: ``dynamicpruningexpression`` in
+    PartitionFilters). The plan stays fully declarative — no job runs
+    before the query itself, and the probed-cell set never rides
+    through the driver. The ``probe_rank <= n_probe`` filter is
+    already guaranteed by :func:`_probe_cells`'s slice; it is restated
+    here because DPP only fires when the broadcast side carries a
+    selective predicate."""
     from pyspark.sql.window import Window
 
     cents = spark.read.parquet(path + "/centroids")
-    qc = _probe_cells(
-        queries, cents, id_col=id_col, vec_col=vec_col, n_probe=n_probe, round_digits=6
-    ).select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "cell")
-    probed = [r["cell"] for r in qc.select("cell").distinct().collect()]
-    idx = (
-        spark.read.parquet(path + "/data")
-        .filter(F.col("cell").isin(probed))
-        .select(F.col("id").alias("neighbor_id"), F.col("vec").alias("cvec"), "cell")
+    qc = (
+        _probe_cells(
+            queries, cents, id_col=id_col, vec_col=vec_col, n_probe=n_probe, round_digits=6
+        )
+        .filter(F.col("probe_rank") <= n_probe)
+        .select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "cell")
+    )
+    idx = spark.read.parquet(path + "/data").select(
+        F.col("id").alias("neighbor_id"), F.col("vec").alias("cvec"), "cell"
     )
     scored = (
         idx.join(F.broadcast(qc), "cell")

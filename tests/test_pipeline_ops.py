@@ -793,9 +793,11 @@ def test_ivf_index_parity_and_partition_pruning(spark, emb_df, tmp_path):
     }
     assert got == direct
 
-    # pruning: probing ONE query's single cell must scan only that
-    # partition — the plan carries a cell partition filter
+    # pruning: the probed-cell set must reach the index scan as a
+    # DYNAMIC partition filter (reusing the query-side broadcast) —
+    # no driver collect builds a static IN list, and no job runs at
+    # plan time (VERDICT r5 item 4)
     one = similarity.ivf_topk_indexed(spark, path, q1, n_probe=1)
     plan = one._jdf.queryExecution().executedPlan().toString()
-    m = re.search(r"PartitionFilters: \[isnotnull\(cell#\d+\), \(?cell#\d+ (=|IN)", plan)
+    m = re.search(r"PartitionFilters: \[[^\]]*dynamicpruning", plan)
     assert m, plan

@@ -23,7 +23,9 @@ Scale notes: the index is the narrow ``(id, band, key)`` relation —
 bytes per doc, not the text. Production would bucket it by ``(band,
 key)`` on write (sources/lakehouse-style) to make the increment join
 co-located; the candidate-pair volume is bounded by the banding
-parameters exactly as in the batch operator.
+parameters exactly as in the batch operator. ``compact_every`` folds
+old per-trigger partitions into a single generation partition so the
+index never becomes a small-files swamp on a long-lived stream.
 """
 
 from __future__ import annotations
@@ -38,6 +40,82 @@ from renkodf_spark.operators.dedup import band_table, incremental_lsh_pairs
 _BAND_COLS = ["id", "band", "key"]
 
 
+def compact_band_index(
+    spark,
+    index_path: str,
+    current_batch_id: int,
+    *,
+    target_files: int = 4,
+) -> None:
+    """Fold every band partition OLDER than the current trigger into one
+    compacted generation partition, so the index stays at <=2 visible
+    partitions no matter how many triggers have run. Without this the
+    append path accumulates one ``batch_id=N`` directory per trigger
+    forever — after 10^5 triggers the "every batch but mine" read is a
+    small-files swamp (VERDICT r5 item 3).
+
+    The generation id is ``batch_id = -(current+1)``: deterministic per
+    trigger (a replayed micro-batch recreates the SAME generation, so
+    compaction is as idempotent as the per-batch partition overwrites),
+    negative so it can never collide with a real trigger's partition,
+    and strictly decreasing so successive generations never collide
+    with each other.
+
+    Crash safety (no atomic directory swap exists on object stores):
+    the folded history is first written to an underscore-prefixed tmp
+    dir — hidden from Spark's partition discovery, so readers never see
+    it — and committed by a single rename. On entry, a leftover tmp
+    WITH a ``_SUCCESS`` marker and no committed generation means the
+    previous attempt died between delete-old-gen and rename: the tmp
+    holds the complete folded history, so the rename is completed
+    first. A tmp without the marker is a torn write and is discarded
+    (its sources are still visible, nothing is lost). Source partitions
+    are deleted only AFTER the new generation is visible; a crash
+    mid-delete leaves duplicate rows that the ``distinct`` of the next
+    fold (and of the pairs output) absorbs.
+
+    Scale: the fold shuffles only the narrow ``(id, band, key)``
+    relation — bytes per doc, never the text — and runs once every
+    ``compact_every`` triggers; the directory listing and renames are
+    driver-side metadata ops bounded by the partition count (<=
+    compact_every + 1).
+    """
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(index_path).getFileSystem(sc._jsc.hadoopConfiguration())
+
+    gen_dir = posixpath.join(index_path, f"batch_id={-(current_batch_id + 1)}")
+    tmp_dir = posixpath.join(index_path, "_compact_tmp")
+    if fs.exists(HPath(tmp_dir)):
+        complete = fs.exists(HPath(posixpath.join(tmp_dir, "_SUCCESS")))
+        if complete and not fs.exists(HPath(gen_dir)):
+            fs.rename(HPath(tmp_dir), HPath(gen_dir))
+        else:
+            fs.delete(HPath(tmp_dir), True)
+
+    folded = []
+    for st in fs.listStatus(HPath(index_path)):
+        name = st.getPath().getName()
+        if name.startswith("batch_id=") and int(name.split("=", 1)[1]) != current_batch_id:
+            folded.append(name)
+    if not folded:
+        return
+    hist = (
+        spark.read.parquet(*[posixpath.join(index_path, n) for n in folded])
+        .select(*_BAND_COLS)
+        .distinct()
+        .coalesce(target_files)
+    )
+    hist.write.mode("overwrite").parquet(tmp_dir)
+    if fs.exists(HPath(gen_dir)):
+        fs.delete(HPath(gen_dir), True)
+    fs.rename(HPath(tmp_dir), HPath(gen_dir))
+    for name in folded:
+        if posixpath.join(index_path, name) != gen_dir:
+            fs.delete(HPath(posixpath.join(index_path, name)), True)
+
+
 def neardup_batch_writer(
     index_path: str,
     pairs_path: str,
@@ -47,6 +125,8 @@ def neardup_batch_writer(
     num_hashes: int = 16,
     band_size: int = 2,
     shingle_n: int = 3,
+    compact_every: int | None = None,
+    compact_target_files: int = 4,
 ):
     """Build the ``foreachBatch(batch_df, batch_id)`` callable.
 
@@ -57,6 +137,11 @@ def neardup_batch_writer(
     under ``pairs_path/batch_id=N``. Equivalent (union over batches) to
     running the uncapped batch ``minhash_lsh_pairs`` over the corpus
     ingested so far — the property the two-trigger parity test pins.
+
+    ``compact_every=K`` runs :func:`compact_band_index` every K
+    triggers (after the batch's pairs are written), bounding the index
+    at <=2 visible partitions; candidates are unchanged because the
+    fold is content-preserving (pinned by the compaction parity test).
     """
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
@@ -79,6 +164,10 @@ def neardup_batch_writer(
         pairs.write.mode("overwrite").parquet(
             posixpath.join(pairs_path, f"batch_id={batch_id}")
         )
+        if compact_every is not None and (batch_id + 1) % compact_every == 0:
+            compact_band_index(
+                spark, index_path, batch_id, target_files=compact_target_files
+            )
 
     return write_batch
 
@@ -94,11 +183,14 @@ def start_neardup_stream(
     num_hashes: int = 16,
     band_size: int = 2,
     shingle_n: int = 3,
+    compact_every: int | None = None,
+    compact_target_files: int = 4,
 ):
     """Start the streaming near-dup job over a streaming ``docs`` frame.
 
     Returns the StreamingQuery; candidates accumulate under
-    ``pairs_path`` and the growing band index under ``index_path``.
+    ``pairs_path`` and the band index under ``index_path`` (bounded to
+    <=2 visible partitions when ``compact_every`` is set).
     """
     writer = neardup_batch_writer(
         index_path,
@@ -108,6 +200,8 @@ def start_neardup_stream(
         num_hashes=num_hashes,
         band_size=band_size,
         shingle_n=shingle_n,
+        compact_every=compact_every,
+        compact_target_files=compact_target_files,
     )
     return (
         docs.writeStream.foreachBatch(writer)

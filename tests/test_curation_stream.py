@@ -167,6 +167,125 @@ def test_neardup_stream_matches_batch_incremental_lsh(spark, tmp_path):
     assert {r.batch_id for r in idx.select("batch_id").distinct().collect()} == {0, 1}
 
 
+def test_neardup_index_compaction_bounds_partitions_with_parity(spark, tmp_path):
+    """VERDICT r5 item 3: with compact_every=3 over 6 triggers, the band
+    index must end at <=2 visible partitions (compacted generation +
+    current trigger) while producing EXACTLY the candidate pairs of the
+    uncompacted run — compaction is a layout change, not a semantic
+    one."""
+    from renkodf_spark.streaming.neardup_stream import start_neardup_stream
+
+    def doc(i, text):
+        return (i, "2024-01-01 00:%02d:00" % i, text)
+
+    batches = [
+        [doc(1, "the quick brown fox jumps over the lazy dog")],
+        [doc(2, "completely different content words appear here entirely")],
+        [doc(3, "the quick brown fox jumps over the lazy cat")],
+        [doc(4, "the quick brown fox jumps over the lazy dog")],
+        [doc(5, "unrelated sentence with its own vocabulary set")],
+        [doc(6, "completely different content words appear here today")],
+    ]
+
+    def run(tag, compact_every):
+        src = str(tmp_path / f"src_{tag}")
+        os.makedirs(src)
+        index_path = str(tmp_path / f"index_{tag}")
+        pairs_path = str(tmp_path / f"pairs_{tag}")
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = start_neardup_stream(
+            stream,
+            index_path=index_path,
+            pairs_path=pairs_path,
+            checkpoint=str(tmp_path / f"ck_{tag}"),
+            compact_every=compact_every,
+            compact_target_files=1,
+        )
+        try:
+            for i, rows in enumerate(batches):
+                _write_batch(src, f"b{i}.parquet", rows)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in spark.read.parquet(pairs_path).select("id_a", "id_b").collect()
+        }
+        parts = {
+            r.batch_id
+            for r in spark.read.parquet(index_path).select("batch_id").distinct().collect()
+        }
+        bands = {
+            (r.id, r.band, r.key)
+            for r in spark.read.parquet(index_path)
+            .select("id", "band", "key")
+            .distinct()
+            .collect()
+        }
+        return pairs, parts, bands
+
+    pairs_c, parts_c, bands_c = run("compact", compact_every=3)
+    pairs_u, parts_u, bands_u = run("plain", compact_every=None)
+
+    assert pairs_c == pairs_u and len(pairs_u) > 0
+    assert (1, 4) in pairs_c  # cross-batch candidate survives compaction
+    # uncompacted: one partition per trigger; compacted: gen + last trigger
+    assert parts_u == {0, 1, 2, 3, 4, 5}
+    assert parts_c == {-6, 5}
+    # the fold is content-preserving on the band set itself
+    assert bands_c == bands_u
+
+
+def test_neardup_compaction_crash_recovery(spark, tmp_path):
+    """The compaction commit protocol: a leftover _compact_tmp WITH a
+    _SUCCESS marker and no committed generation is the delete-then-
+    crash window — its content (which may exist nowhere else) must be
+    promoted, not discarded. A tmp WITHOUT the marker is a torn write
+    whose sources are still visible, and must be discarded."""
+    from renkodf_spark.streaming.neardup_stream import compact_band_index
+
+    def write_bands(path, rows):
+        spark.createDataFrame(rows, "id long, band int, key string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(path)
+
+    def band_set(path):
+        return {
+            (r.id, r.band, r.key)
+            for r in spark.read.parquet(path).select("id", "band", "key").collect()
+        }
+
+    a = [(1, 0, "ka")]   # an ordinary old partition
+    b = [(2, 0, "kb")]   # history that survives ONLY in the tmp
+    c = [(3, 0, "kc")]   # the current trigger's partition
+
+    # -- recovery case: complete tmp, no gen dir
+    idx = str(tmp_path / "idx_recover")
+    write_bands(os.path.join(idx, "batch_id=1"), a)
+    write_bands(os.path.join(idx, "batch_id=2"), c)
+    write_bands(os.path.join(idx, "_compact_tmp"), b)
+    assert os.path.exists(os.path.join(idx, "_compact_tmp", "_SUCCESS"))
+    compact_band_index(spark, idx, 2, target_files=1)
+    parts = {r.batch_id for r in spark.read.parquet(idx).select("batch_id").distinct().collect()}
+    assert parts == {-3, 2}
+    assert band_set(idx) == set(a[0:1]) | set(b) | set(c)
+
+    # -- torn-write case: tmp without _SUCCESS is discarded
+    idx2 = str(tmp_path / "idx_torn")
+    write_bands(os.path.join(idx2, "batch_id=1"), a)
+    write_bands(os.path.join(idx2, "batch_id=2"), c)
+    write_bands(os.path.join(idx2, "_compact_tmp"), b)
+    os.remove(os.path.join(idx2, "_compact_tmp", "_SUCCESS"))
+    compact_band_index(spark, idx2, 2, target_files=1)
+    parts2 = {r.batch_id for r in spark.read.parquet(idx2).select("batch_id").distinct().collect()}
+    assert parts2 == {-3, 2}
+    assert band_set(idx2) == set(a) | set(c)  # b was torn, not promoted
+
+
 def test_rate_gate_stream_equals_batch_sample(spark, tmp_path):
     """The streamed rate sample must be EXACTLY the batch rate_sample of
     the same rows — no trigger-boundary or state dependence."""

@@ -27,6 +27,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _is_missing_path(exc: Exception) -> bool:
+    """True iff ``exc`` is Spark's nonexistent-read-path error —
+    AnalysisException with error class PATH_NOT_FOUND ("Path does not
+    exist" on older versions). The stateful writers below treat ONLY
+    that case as "first batch"; any other read failure must fail the
+    trigger."""
+    name = None
+    for attr in ("getCondition", "getErrorClass"):
+        fn = getattr(exc, attr, None)
+        if callable(fn):
+            try:
+                name = fn()
+            except Exception:
+                name = None
+            if name:
+                break
+    if name is not None:
+        return name == "PATH_NOT_FOUND"
+    return "Path does not exist" in str(exc)
+
+
 def dedup_stream(
     docs: DataFrame,
     *,
@@ -111,24 +132,6 @@ def quota_cap_writer(
 
     from pyspark.sql import Window
 
-    def _is_missing_path(exc: Exception) -> bool:
-        # Spark surfaces a nonexistent read path as AnalysisException with
-        # error class PATH_NOT_FOUND (message "Path does not exist" on
-        # older versions). Only THAT case means "first batch".
-        name = None
-        for attr in ("getCondition", "getErrorClass"):
-            fn = getattr(exc, attr, None)
-            if callable(fn):
-                try:
-                    name = fn()
-                except Exception:
-                    name = None
-                if name:
-                    break
-        if name is not None:
-            return name == "PATH_NOT_FOUND"
-        return "Path does not exist" in str(exc)
-
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         grp_schema = batch.select(F.col(group_col).alias("__grp")).schema
@@ -172,6 +175,99 @@ def quota_cap_writer(
         counts.write.mode("overwrite").parquet(
             posixpath.join(counts_path, f"batch_id={batch_id}")
         )
+
+    return write_batch
+
+
+def quota_select_writer(
+    selection_path: str,
+    group_col: str,
+    *,
+    per_group: int = 1000,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+):
+    """Cross-trigger per-group quota SELECTION for ``foreachBatch``:
+    after trigger N the selection equals the batch
+    :func:`renkodf_spark.operators.corpus.quota_sample` run over the
+    CONCATENATION of triggers 0..N — retroactive hash-rank quota,
+    unlike :func:`quota_cap_writer`'s first-come admission (which can
+    never evict an early admit in favor of a later, lower-hash row).
+
+    Why this is cheap on an unbounded stream: per-group top-k under a
+    fixed deterministic key is ASSOCIATIVE —
+    ``quota_sample(quota_sample(A) u B) == quota_sample(A u B)`` —
+    because every non-selected row's key is >= its group's k-th
+    smallest, so discarding it can never change a later selection. The
+    carried state is therefore the selection itself, bounded by
+    ``groups x per_group`` rows regardless of corpus size, and each
+    trigger ranks only ``state + batch`` rows.
+
+    Layout & idempotence: each trigger writes the full selection as a
+    ``batch_id=N`` snapshot and reads the latest snapshot with
+    ``batch_id < N`` as its state, so a replayed micro-batch
+    (at-least-once) recomputes from the same inputs — the
+    ``dropDuplicates(id)`` makes re-unioning an already-folded batch a
+    no-op. Snapshots older than the one just consumed are deleted
+    (driver-side metadata ops); the latest prior snapshot always
+    survives so any replay can still find its state. Reading the
+    state back costs one bounded scan; only a genuinely missing
+    selection path means "first trigger" — any other read failure
+    propagates so the trigger retries (same contract as
+    :func:`quota_cap_writer`).
+
+    The persisted ``sample_rank`` is the row's rank over the full
+    concatenated history, not just the surviving rows: every discarded
+    row's key exceeds its group's selection maximum, so ranks computed
+    within ``state + batch`` coincide with global ranks.
+    """
+    import posixpath
+
+    from renkodf_spark.operators.corpus import quota_sample
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        prev_id = None
+        try:
+            snaps = spark.read.parquet(selection_path)
+            prev_id = (
+                snaps.filter(F.col("batch_id") < batch_id)
+                .agg(F.max("batch_id").alias("m"))
+                .first()["m"]
+            )
+        except Exception as exc:
+            if not _is_missing_path(exc):
+                raise
+        if prev_id is not None:
+            state = (
+                spark.read.parquet(posixpath.join(selection_path, f"batch_id={prev_id}"))
+                .select(*batch.columns)
+            )
+            pool = state.unionByName(batch)
+        else:
+            pool = batch
+        sel = quota_sample(
+            pool.dropDuplicates([id_col]),
+            group_col,
+            per_group=per_group,
+            id_col=id_col,
+            salt=salt,
+        )
+        sel.write.mode("overwrite").parquet(
+            posixpath.join(selection_path, f"batch_id={batch_id}")
+        )
+        # prune snapshots older than the one just consumed — a replay of
+        # THIS batch still finds prev_id, a replay of any older batch is
+        # impossible once this one's commit lands in the checkpoint
+        sc = spark.sparkContext
+        HPath = sc._jvm.org.apache.hadoop.fs.Path
+        fs = HPath(selection_path).getFileSystem(sc._jsc.hadoopConfiguration())
+        for st in fs.listStatus(HPath(selection_path)):
+            name = st.getPath().getName()
+            if name.startswith("batch_id="):
+                bid = int(name.split("=", 1)[1])
+                if bid != batch_id and (prev_id is None or bid != prev_id):
+                    fs.delete(st.getPath(), True)
 
     return write_batch
 

@@ -376,6 +376,87 @@ def test_quota_cap_stream_fills_across_triggers(spark, tmp_path):
     assert per_batch[(1, "en")] == 1 and per_batch[(1, "de")] == 1
 
 
+def test_quota_select_stream_equals_batch_quota_sample(spark, tmp_path):
+    """VERDICT r5 item 5: the cross-trigger quota SELECTION after N
+    triggers must equal batch quota_sample over the concatenation of
+    all triggers — including ranks — not just a first-come admission.
+    The low-hash doc arriving in a LATER trigger must evict an earlier
+    admit."""
+    from renkodf_spark.operators.corpus import quota_sample
+    from renkodf_spark.streaming.curation_stream import quota_select_writer
+
+    def rows(lo, hi):
+        return [
+            (i, "2024-01-01 00:00:%02d" % (i % 60), f"doc {i}")
+            for i in range(lo, hi)
+        ]
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_batch(src, "b1.parquet", rows(0, 30))
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    sel_path = str(tmp_path / "selection")
+    lang = F.when(F.col("doc_id") % 2 == 0, "en").otherwise("de")
+    writer = quota_select_writer(sel_path, "lang", per_group=5, id_col="doc_id")
+    q = (
+        stream.withColumn("lang", lang)
+        .writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        after1 = {
+            (r.doc_id, r.sample_rank)
+            for r in spark.read.parquet(sel_path).select("doc_id", "sample_rank").collect()
+        }
+        _write_batch(src, "b2.parquet", rows(30, 90))
+        q.processAllAvailable()
+        _write_batch(src, "b3.parquet", rows(90, 120))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    snaps = spark.read.parquet(sel_path)
+    last = snaps.agg(F.max("batch_id").alias("m")).first()["m"]
+    got = {
+        (r.doc_id, r.sample_rank)
+        for r in snaps.filter(F.col("batch_id") == last)
+        .select("doc_id", "sample_rank")
+        .collect()
+    }
+    all_docs = spark.createDataFrame(
+        pd.DataFrame(rows(0, 120), columns=["doc_id", "event_time", "text"])
+    ).withColumn("lang", lang)
+    want = {
+        (r.doc_id, r.sample_rank)
+        for r in quota_sample(all_docs, "lang", per_group=5, id_col="doc_id")
+        .select("doc_id", "sample_rank")
+        .collect()
+    }
+    assert got == want and len(want) == 10
+    # retroactivity: later triggers actually displaced earlier admits
+    assert {d for d, _ in after1} != {d for d, _ in got}
+    # state stays bounded: at most the consumed + current snapshots
+    kept = {r.batch_id for r in snaps.select("batch_id").distinct().collect()}
+    assert len(kept) <= 2
+
+    # replay idempotence: re-running the last micro-batch changes nothing
+    writer(
+        all_docs.filter((F.col("doc_id") >= 90) & (F.col("doc_id") < 120)), int(last)
+    )
+    again = {
+        (r.doc_id, r.sample_rank)
+        for r in spark.read.parquet(sel_path)
+        .filter(F.col("batch_id") == last)
+        .select("doc_id", "sample_rank")
+        .collect()
+    }
+    assert again == want
+
+
 def test_quota_cap_corrupt_counts_fails_batch(spark, tmp_path):
     """A counts file that exists but cannot be read must FAIL the batch
     (so foreachBatch retries) — not be treated as 'first batch', which

@@ -109,6 +109,69 @@ def test_chunked_idle_symbol_state_carry(spark):
         )
 
 
+def test_chunked_boundary_property_fuzz(spark):
+    """VERDICT r5 item 8: seeded randomized sweep of window widths x
+    brick sizes x gap ticks — chunked must equal one-shot on the FULL
+    wide schema for every case. Gaps (multi-brick jumps) are injected
+    with elevated probability near window boundaries, the regime where
+    the carried state (wick extremes, pending volume, tick offsets) is
+    easiest to get wrong."""
+    import pandas as pd
+
+    rng = np.random.RandomState(20260814)
+    t0 = pd.Timestamp("2024-01-01")
+    failures = []
+    for case in range(50):
+        n_symbols = int(rng.randint(1, 3))
+        brick = float(np.round(10.0 ** rng.uniform(-0.7, 0.7), 4))
+        # strictly increasing times per symbol, random cadence; window
+        # width derived from the span so each case has 2-6 chunks (the
+        # boundary count is what's under test, not the window count)
+        sym_steps = {
+            s: rng.randint(1, 25, size=int(rng.randint(60, 120))).cumsum()
+            for s in range(n_symbols)
+        }
+        span = max(int(st[-1]) for st in sym_steps.values())
+        window_s = max(span // int(rng.randint(2, 7)), 5)
+        rows = []
+        for s, steps in sym_steps.items():
+            price = float(rng.uniform(50, 150))
+            for i in range(len(steps)):
+                near_boundary = (steps[i] % window_s) < 10 or (steps[i] % window_s) > window_s - 10
+                p_gap = 0.25 if near_boundary else 0.05
+                if rng.rand() < p_gap:
+                    price += float(rng.uniform(-8, 8)) * brick  # gap tick
+                else:
+                    price += float(rng.normal(0, 0.6)) * brick
+                price = max(price, brick)  # keep positive
+                rows.append(
+                    (f"S{s}", t0 + pd.Timedelta(seconds=int(steps[i])), round(price, 6))
+                )
+        pdf = pd.DataFrame(rows, columns=["symbol", "event_time", "close"])
+        pdf["event_time"] = pdf["event_time"].astype("datetime64[us]")
+        ticks = spark.createDataFrame(pdf)
+
+        oneshot = renko(ticks, brick).orderBy("symbol", "brick_seq").toPandas()
+        chunked = (
+            renko_chunked(ticks, brick, window=f"{window_s} seconds")
+            .orderBy("symbol", "brick_seq")
+            .toPandas()
+        )
+        label = f"case {case}: window={window_s}s brick={brick} syms={n_symbols}"
+        if len(oneshot) != len(chunked):
+            failures.append(f"{label}: rows {len(oneshot)} != {len(chunked)}")
+            continue
+        for col in oneshot.columns:
+            try:
+                np.testing.assert_array_equal(
+                    oneshot[col].to_numpy(), chunked[col].to_numpy()
+                )
+            except AssertionError:
+                failures.append(f"{label}: column {col} differs")
+                break
+    assert not failures, "\n".join(failures)
+
+
 def test_chunked_filters_nan_like_oneshot(spark):
     """ADVICE r1: NaN/null prices must be dropped exactly as renko()
     does, instead of poisoning the wick state or raising."""

@@ -550,3 +550,116 @@ def assemble_bins(
         F.size("__toks").cast("long").alias("bin_tokens"),
         F.array_join(out_toks, " ").alias("bin_text"),
     )
+
+
+# -------------------------------------------------------- decontamination
+
+
+def _norm_gram_tokens(text_col: str):
+    """Normalized token array for n-gram matching: lowercase, replace
+    punctuation with spaces, collapse whitespace. The pattern is in the
+    Java-regex ∩ RE2 subset so the DuckDB oracle replays the spans."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " "), r"\s+", " "
+        )
+    )
+    return F.split(norm, " ")
+
+
+def _gram_digests(text_col: str, n: int):
+    """Array of md5 digests of the overlapping normalized n-grams of
+    ``text_col`` (empty for docs shorter than ``n`` tokens). The digest
+    keeps join keys at 32 bytes regardless of ``n``."""
+    toks = _norm_gram_tokens(text_col)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    ).otherwise(F.array().cast("array<int>"))
+
+    # closure (not a 2-arg lambda): F.transform dispatches on arity and
+    # a second parameter would become the element index
+    def _at(i):
+        return F.md5(F.array_join(F.slice(toks, i + 1, n), " "))
+
+    return F.transform(idx, _at)
+
+
+def contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    eval_id_col: str = "eval_id",
+) -> DataFrame:
+    """Benchmark-contamination report: for every training document that
+    shares at least one normalized ``n``-gram with the evaluation set,
+    the number of distinct overlapping n-grams and the number of
+    distinct eval documents hit (the GPT-3 appendix-C / PaLM-style
+    13-gram decontamination check, with ``n`` as the dial).
+
+    Normalization (lowercase, punctuation → space, collapsed
+    whitespace) applies to BOTH sides, so cosmetic edits don't hide an
+    overlap. Returns ``(id_col, n_hit_grams, n_eval_docs)`` — one row
+    per contaminated training doc; clean docs don't appear.
+
+    Scale shape: eval/benchmark suites are small by nature (10^2-10^5
+    docs), so their distinct ``(gram, eval_id)`` pairs are broadcast;
+    the training corpus explodes to (doc, gram) digests and the
+    broadcast hash join filters it WITHOUT a shuffle — only the
+    surviving hit rows (tiny in a clean corpus) pay the per-doc
+    aggregation shuffle. The corpus text itself is never shuffled, and
+    the corpus is scanned exactly once.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    eval_grams = (
+        eval_df.select(
+            F.col(eval_id_col).alias("__eval_id"),
+            F.explode(_gram_digests(eval_text_col, n)).alias("__gram"),
+        )
+        .distinct()
+    )
+    train_grams = train.select(
+        F.col(id_col),
+        F.explode(_gram_digests(text_col, n)).alias("__gram"),
+    )
+    hits = train_grams.join(F.broadcast(eval_grams), "__gram")
+    return hits.groupBy(id_col).agg(
+        F.countDistinct("__gram").alias("n_hit_grams"),
+        F.countDistinct("__eval_id").alias("n_eval_docs"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    n: int = 8,
+    min_hit_grams: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    eval_id_col: str = "eval_id",
+) -> DataFrame:
+    """Drop training documents contaminated by the evaluation set: any
+    doc with at least ``min_hit_grams`` distinct overlapping normalized
+    ``n``-grams (see :func:`contamination`) is removed; all original
+    columns survive on the kept rows.
+
+    Plan: the contamination report (narrow: id + two counts) drives a
+    LEFT ANTI join against the corpus — AQE broadcasts it when small,
+    so the common case adds zero shuffles beyond the report itself.
+    """
+    flagged = contamination(
+        train,
+        eval_df,
+        n=n,
+        text_col=text_col,
+        id_col=id_col,
+        eval_text_col=eval_text_col,
+        eval_id_col=eval_id_col,
+    ).filter(F.col("n_hit_grams") >= min_hit_grams)
+    return train.join(flagged.select(id_col), id_col, "left_anti")

@@ -21,6 +21,7 @@ from renkodf_spark.queries import relational2  # noqa: F401
 from renkodf_spark.queries import renko_queries  # noqa: F401
 from renkodf_spark.queries import pipeline  # noqa: F401
 from renkodf_spark.queries import pipeline2  # noqa: F401
+from renkodf_spark.queries import pipeline3  # noqa: F401
 
 # Gate-window priority (see module docstring). Rotation policy (ADVICE
 # r2, applied every round): queries that never had a gate row, plus
@@ -30,6 +31,10 @@ from renkodf_spark.queries import pipeline2  # noqa: F401
 # full-registry sweep so freshness never depends on the window at all.
 # Names not listed keep their module registration order after these.
 _PRIORITY = [
+    # -- new in round 7: decontamination, semantic dedup, unigram-LM
+    #    quality, z-order layout (never had a gate row)
+    "decontamination_report",
+    "decontaminated_corpus",
     # -- new in round 5: materialized packed bins, unlabeled IVF
     #    training, as-of tolerance (never had a gate row), plus
     #    re-proving the queries whose operators changed this round

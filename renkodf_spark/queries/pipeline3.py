@@ -1,0 +1,108 @@
+"""Round-7 training-pipeline gate queries: benchmark decontamination,
+semantic (embedding) dedup, unigram-LM quality scoring, z-order layout
+keys.
+
+Oracles replay the exact normalized-token / md5 / rounded-cosine /
+integer-micros arithmetic of the operators in DuckDB, following the
+conventions established in pipeline.py / pipeline2.py (regexes pinned
+to the Java-regex ∩ RE2 subset; float exports ROUNDed; log-prob sums
+carried as exact integer micro-nats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from renkodf_spark.operators import corpus
+from renkodf_spark.queries.pipeline import _docs
+from renkodf_spark.queries.registry import query
+
+# -------------------------------------------------------- decontamination
+
+_DECON_N = 5
+_EVAL_MOD = 25  # every 25th doc contributes an eval snippet
+_EVAL_START = 4  # 1-based token offset of the snippet
+_EVAL_LEN = 16  # snippet length in tokens
+
+# shared normalization CTE: same regexes as corpus._norm_gram_tokens
+_DECON_CTES = rf"""
+WITH nt AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+ev AS (
+  SELECT doc_id AS eval_id, t[{_EVAL_START}:{_EVAL_START + _EVAL_LEN - 1}] AS t
+  FROM nt WHERE doc_id % {_EVAL_MOD} = 0),
+eg AS (
+  SELECT DISTINCT eval_id,
+         md5(array_to_string(t[s+1:s+{_DECON_N}], ' ')) AS gram
+  FROM (SELECT eval_id, t,
+               unnest(range(0, greatest(len(t) - {_DECON_N - 1}, 0))) AS s
+        FROM ev)),
+tg AS (
+  SELECT doc_id, md5(array_to_string(t[s+1:s+{_DECON_N}], ' ')) AS gram
+  FROM (SELECT doc_id, t,
+               unnest(range(0, greatest(len(t) - {_DECON_N - 1}, 0))) AS s
+        FROM nt)),
+rep AS (
+  SELECT tg.doc_id,
+         COUNT(DISTINCT tg.gram) AS n_hit_grams,
+         COUNT(DISTINCT eg.eval_id) AS n_eval_docs
+  FROM tg JOIN eg USING (gram) GROUP BY 1)
+"""
+
+_DECON_REPORT_ORACLE = _DECON_CTES + "SELECT doc_id, n_hit_grams, n_eval_docs FROM rep"
+
+_DECON_APPLY_ORACLE = (
+    _DECON_CTES
+    + """
+SELECT d.doc_id, d.lang, d.source
+FROM documents d LEFT JOIN rep USING (doc_id)
+WHERE rep.doc_id IS NULL
+"""
+)
+
+
+def _eval_snippets(spark, sf_dir):
+    """Deterministic benchmark carve: every ``_EVAL_MOD``-th document
+    contributes a ``_EVAL_LEN``-token snippet (normalized tokens
+    ``_EVAL_START``..) as an eval 'prompt' — both engines derive the
+    identical eval set from the corpus itself, so the gate needs no
+    side-channel fixture."""
+    toks = corpus._norm_gram_tokens("text")
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.array_join(F.slice(toks, _EVAL_START, _EVAL_LEN), " ").alias("text"),
+        )
+    )
+
+
+@query(
+    "decontamination_report",
+    oracle=_DECON_REPORT_ORACLE,
+    doc="benchmark decontamination (GPT-3 appendix-C style): training "
+    "docs sharing a normalized 5-gram with the eval snippet set, with "
+    "distinct-gram and distinct-eval-doc hit counts. Eval grams are "
+    "broadcast; the corpus is never shuffled.",
+)
+def decontamination_report(spark, sf_dir):
+    return corpus.contamination(
+        _docs(spark, sf_dir), _eval_snippets(spark, sf_dir), n=_DECON_N
+    )
+
+
+@query(
+    "decontaminated_corpus",
+    oracle=_DECON_APPLY_ORACLE,
+    doc="the apply stage: corpus minus every doc flagged by "
+    "decontamination_report (left-anti on the narrow report).",
+)
+def decontaminated_corpus(spark, sf_dir):
+    kept = corpus.decontaminate(
+        _docs(spark, sf_dir), _eval_snippets(spark, sf_dir), n=_DECON_N
+    )
+    return kept.select("doc_id", "lang", "source")

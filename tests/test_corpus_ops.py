@@ -405,3 +405,66 @@ def test_packing_pipeline_randomized_invariants(spark):
                 if r.n_tokens > 0
             )
             assert stream == want, f"trial {trial} shard {shard}"
+
+
+# --------------------------------------------------------- decontamination
+
+
+def test_contamination_flags_verbatim_overlap(spark):
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "eval_id long, text string"
+    )
+    train = _docs_df(
+        spark,
+        [
+            (1, "intro words the quick brown fox jumps over it"),  # contains the 5-gram
+            (2, "totally unrelated content about spark plans here"),
+        ],
+    )
+    rep = corpus.contamination(train, eval_df, n=5).collect()
+    assert [(r.doc_id, r.n_hit_grams, r.n_eval_docs) for r in rep] == [(1, 1, 1)]
+    kept = corpus.decontaminate(train, eval_df, n=5).select("doc_id").collect()
+    assert sorted(r.doc_id for r in kept) == [2]
+
+
+def test_contamination_normalizes_case_and_punct(spark):
+    eval_df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "eval_id long, text string"
+    )
+    train = _docs_df(spark, [(7, "x Alpha, BETA: gamma; delta! y")])
+    rep = corpus.contamination(train, eval_df, n=4).collect()
+    assert [(r.doc_id, r.n_hit_grams) for r in rep] == [(7, 1)]
+
+
+def test_contamination_counts_distinct_grams_and_eval_docs(spark):
+    # two eval docs share one doc's grams; repeated occurrences in the
+    # train doc count once (distinct-gram semantics)
+    eval_df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "b c d e")], "eval_id long, text string"
+    )
+    train = _docs_df(spark, [(9, "a b c d e a b c d e")])
+    rep = corpus.contamination(train, eval_df, n=4).collect()
+    # train 4-grams: {a b c d, b c d e, c d e a, d e a b, e a b c}
+    # hits: "a b c d" (eval 1), "b c d e" (eval 2)
+    assert [(r.doc_id, r.n_hit_grams, r.n_eval_docs) for r in rep] == [(9, 2, 2)]
+
+
+def test_contamination_short_docs_never_flagged(spark):
+    eval_df = spark.createDataFrame([(1, "a b c")], "eval_id long, text string")
+    train = _docs_df(spark, [(1, "a b"), (2, "")])
+    assert corpus.contamination(train, eval_df, n=3).count() == 0
+    assert corpus.decontaminate(train, eval_df, n=3).count() == 2
+
+
+def test_decontaminate_min_hit_threshold(spark):
+    eval_df = spark.createDataFrame([(1, "a b c d e")], "eval_id long, text string")
+    train = _docs_df(spark, [(1, "a b c z z z"), (2, "a b c d e f")])
+    # doc 1 shares one 3-gram, doc 2 shares three 3-grams
+    kept = corpus.decontaminate(train, eval_df, n=3, min_hit_grams=2).collect()
+    assert sorted(r.doc_id for r in kept) == [1]
+
+
+def test_contamination_rejects_bad_n(spark):
+    eval_df = spark.createDataFrame([(1, "a b")], "eval_id long, text string")
+    with pytest.raises(ValueError, match="n must be positive"):
+        corpus.contamination(_docs_df(spark, [(1, "a b")]), eval_df, n=0)

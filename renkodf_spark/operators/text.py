@@ -221,3 +221,68 @@ def tfidf_top_terms(
             F.col("id").alias(id_col), "rank", "term", "tf", "df", "score"
         )
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: int = 1,
+) -> DataFrame:
+    """Per-document mean token log-probability under a unigram language
+    model trained on the corpus itself — the CCNet-style statistical
+    quality score (docs far below the corpus-typical log-prob are
+    boilerplate/gibberish candidates; far above are repetitive). Uses
+    add-``alpha`` smoothing: ``P(w) = (count(w) + alpha) / (T + alpha*V)``
+    with ``T`` total tokens and ``V`` vocabulary size.
+
+    Cross-engine exactness: the per-TERM log-prob is rounded once to
+    integer micro-nats (``round(ln(p) * 1e6)`` as a long) and every
+    downstream aggregate is integer arithmetic — distributed float sums
+    re-associate and can never hash-match a serial replay, but long
+    sums are exact in any order (same convention as the integer-cents
+    window frames). The final mean divides two exact longs and rounds.
+
+    Output: ``(id_col, n_tokens, sum_logp_micros, avg_logp)``.
+
+    Scale shape: one (doc, term) count shuffle, one term-count
+    aggregation keyed by term (map-side combinable — the corpus text
+    never shuffles), the two corpus scalars (T, V) come back as one
+    broadcast row, and the doc score is an equi-join of the (doc, term,
+    tf) relation with the term table on the term key followed by a
+    per-doc aggregation. No window over all docs, no driver state;
+    every shuffle key's cardinality grows with the corpus, not its
+    payload.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    pairs = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
+    tf = pairs.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    counts = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("__T"), F.count(F.lit(1)).alias("__V")
+    )
+    logp_micros = F.round(
+        F.log((F.col("cnt") + alpha) / (F.col("__T") + alpha * F.col("__V"))) * 1e6
+    ).cast("long")
+    term_model = counts.crossJoin(F.broadcast(totals)).select(
+        "term", logp_micros.alias("__lp")
+    )
+    return (
+        tf.join(term_model, "term")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("__lp")).cast("long").alias("sum_logp_micros"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "sum_logp_micros",
+            F.round(F.col("sum_logp_micros") / (F.col("n_tokens") * F.lit(1e6)), 6).alias(
+                "avg_logp"
+            ),
+        )
+    )

@@ -35,6 +35,7 @@ _PRIORITY = [
     #    quality, z-order layout (never had a gate row)
     "decontamination_report",
     "decontaminated_corpus",
+    "unigram_doc_quality",
     # -- new in round 5: materialized packed bins, unlabeled IVF
     #    training, as-of tolerance (never had a gate row), plus
     #    re-proving the queries whose operators changed this round

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from renkodf_spark.operators import corpus
+from renkodf_spark.operators import corpus, text
 from renkodf_spark.queries.pipeline import _docs
 from renkodf_spark.queries.registry import query
 
@@ -106,3 +106,41 @@ def decontaminated_corpus(spark, sf_dir):
         _docs(spark, sf_dir), _eval_snippets(spark, sf_dir), n=_DECON_N
     )
     return kept.select("doc_id", "lang", "source")
+
+
+# ------------------------------------------------------ unigram LM quality
+
+# Integer micro-nat replay: the per-term log-prob is rounded ONCE to a
+# BIGINT and all sums are exact integer arithmetic, so the only float
+# step both engines share is ln() of identical doubles (same ROUND-once
+# convention as tfidf_top_terms' score rank).
+_UNIGRAM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+pairs AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM pairs GROUP BY 1, 2),
+counts AS (SELECT term, SUM(tf) AS cnt FROM tf GROUP BY 1),
+tot AS (SELECT SUM(cnt) AS T, COUNT(*) AS V FROM counts),
+model AS (
+  SELECT term,
+         CAST(ROUND(ln((cnt + 1) / (T + 1 * V)) * 1e6) AS BIGINT) AS lp
+  FROM counts CROSS JOIN tot)
+SELECT tf.doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(tf * lp) AS BIGINT) AS sum_logp_micros,
+       ROUND(CAST(SUM(tf * lp) AS BIGINT) / (CAST(SUM(tf) AS BIGINT) * 1e6), 6) AS avg_logp
+FROM tf JOIN model USING (term)
+GROUP BY 1
+"""
+
+
+@query(
+    "unigram_doc_quality",
+    oracle=_UNIGRAM_ORACLE,
+    doc="CCNet-style statistical quality score: per-doc mean token "
+    "log-prob under an add-1-smoothed unigram LM trained on the corpus "
+    "itself, carried as exact integer micro-nats so distributed sums "
+    "hash-match a serial replay.",
+)
+def unigram_doc_quality(spark, sf_dir):
+    return text.unigram_logprob(_docs(spark, sf_dir))

@@ -801,3 +801,44 @@ def test_ivf_index_parity_and_partition_pruning(spark, emb_df, tmp_path):
     plan = one._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[[^\]]*dynamicpruning", plan)
     assert m, plan
+
+
+# ------------------------------------------------------- unigram LM quality
+
+
+def test_unigram_logprob_exact_micros(spark):
+    from renkodf_spark.operators import text as text_ops
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in text_ops.unigram_logprob(df).collect()}
+    # corpus: a:2 b:2 c:1 -> T=5, V=3, alpha=1
+    lp_a = round(math.log(3 / 8) * 1e6)  # == lp_b
+    lp_c = round(math.log(2 / 8) * 1e6)
+    assert out[1].n_tokens == 3
+    assert out[1].sum_logp_micros == 3 * lp_a
+    assert out[2].sum_logp_micros == lp_a + lp_c
+    assert out[2].avg_logp == pytest.approx((lp_a + lp_c) / 2e6, abs=1e-6)
+
+
+def test_unigram_logprob_layout_independent(spark):
+    from renkodf_spark.operators import text as text_ops
+
+    rows = [(i, f"w{i % 7} w{i % 3} common") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = text_ops.unigram_logprob(df).orderBy("doc_id").collect()
+    b = text_ops.unigram_logprob(df.repartition(13)).orderBy("doc_id").collect()
+    # integer micro-nat sums are exact under any partial-agg order
+    assert [(r.doc_id, r.sum_logp_micros) for r in a] == [
+        (r.doc_id, r.sum_logp_micros) for r in b
+    ]
+
+
+def test_unigram_logprob_rejects_bad_alpha(spark):
+    from renkodf_spark.operators import text as text_ops
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="alpha must be positive"):
+        text_ops.unigram_logprob(df, alpha=0)

@@ -503,3 +503,51 @@ def quantize_embeddings(
         lambda x: F.round(F.greatest(F.least(x, F.lit(1.0)), F.lit(-1.0)) * scale).cast("int"),
     )
     return df.select(F.col(id_col).alias("id"), q.alias("qvec"))
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): route
+    every embedding to its nearest centroid cell, compare pairs only
+    WITHIN a cell, and drop every vector whose rounded cosine to a
+    lower-id cell-mate reaches ``threshold`` — keeping exactly the
+    smallest id of each near-duplicate neighborhood. Returns the kept
+    rows as ``(id_col, cell)``.
+
+    The keep policy is the deterministic variant of the paper's
+    "random representative per duplicate group": greedy by id, so the
+    output is a pure function of the input (no RNG, no partition-order
+    dependence) and a SQL replay matches exactly. The drop predicate
+    compares ``ROUND(cos, round_digits) >= threshold`` — same stability
+    contract as the routing argmax (:func:`nearest_centroid`).
+
+    Scale shape: routing is the zero-shuffle broadcast pass of
+    :func:`_probe_cells`; the pairwise term is an equi-join on ``cell``
+    bounded by the largest cell (sum(cell^2), never N^2 — the reason
+    SemDeDup clusters first); the dropped-id relation is two narrow
+    columns and drives a left-anti join that AQE broadcasts when it
+    fits. One cell-keyed shuffle of the vectors, total.
+    """
+    routed = nearest_centroid(
+        emb, centroids, id_col=id_col, vec_col=vec_col, round_digits=round_digits
+    ).select("id", "vec", "cell")
+    a, b = routed.alias("a"), routed.alias("b")
+    drops = (
+        a.join(b, "cell")
+        .filter(F.col("a.id") > F.col("b.id"))
+        .filter(
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), round_digits) >= threshold
+        )
+        .select(F.col("a.id").alias("id"))
+        .distinct()
+    )
+    return routed.join(drops, "id", "left_anti").select(
+        F.col("id").alias(id_col), "cell"
+    )

@@ -36,6 +36,7 @@ _PRIORITY = [
     "decontamination_report",
     "decontaminated_corpus",
     "unigram_doc_quality",
+    "semantic_dedup_keep",
     # -- new in round 5: materialized packed bins, unlabeled IVF
     #    training, as-of tolerance (never had a gate row), plus
     #    re-proving the queries whose operators changed this round

@@ -13,8 +13,9 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from renkodf_spark.operators import corpus, text
-from renkodf_spark.queries.pipeline import _docs
+from renkodf_spark.operators import corpus, similarity, text
+from renkodf_spark.queries.pipeline import _docs, _emb
+from renkodf_spark.queries.pipeline2 import _CENTROID_CTES, _IVF_DIM as _SEM_DIM
 from renkodf_spark.queries.registry import query
 
 # -------------------------------------------------------- decontamination
@@ -144,3 +145,52 @@ GROUP BY 1
 )
 def unigram_doc_quality(spark, sf_dir):
     return text.unigram_logprob(_docs(spark, sf_dir))
+
+
+# ----------------------------------------------------------- semantic dedup
+
+_SEMDEDUP_THR = 0.4
+
+# routing replay identical to pipeline2's IVF oracles; the drop stage
+# joins cell members pairwise and removes every vector with a rounded
+# cosine >= threshold to a lower id in its cell.
+_SEMDEDUP_ORACLE = (
+    _CENTROID_CTES
+    + f""",
+cents AS (SELECT cell, LIST(mval ORDER BY i) AS cv FROM m GROUP BY cell),
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assign AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY ROUND(list_dot_product(v, cv)
+                          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+                    cell) AS rk
+  FROM vecs CROSS JOIN cents),
+mem AS (
+  SELECT c.vec_id, c.cell, v.v
+  FROM (SELECT vec_id, cell FROM assign WHERE rk = 1) c JOIN vecs v USING (vec_id)),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM mem a JOIN mem b ON a.cell = b.cell AND a.vec_id > b.vec_id
+  WHERE ROUND(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+        >= {_SEMDEDUP_THR})
+SELECT mem.vec_id, mem.cell FROM mem LEFT JOIN dropped USING (vec_id)
+WHERE dropped.vec_id IS NULL
+"""
+)
+
+
+@query(
+    "semantic_dedup_keep",
+    oracle=_SEMDEDUP_ORACLE,
+    doc="SemDeDup: embeddings kept after dropping every vector whose "
+    "rounded cosine to a lower-id member of its IVF cell reaches 0.4 "
+    "(the gate corpus is near-orthogonal synthetic — see ann_recall_report) — "
+    "cell-bounded pairwise term, greedy-by-id keep policy.",
+)
+def semantic_dedup_keep(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cents = similarity.embedding_centroids(emb, dim=_SEM_DIM)
+    return similarity.semantic_dedup(emb, cents, threshold=_SEMDEDUP_THR)

@@ -842,3 +842,60 @@ def test_unigram_logprob_rejects_bad_alpha(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="alpha must be positive"):
         text_ops.unigram_logprob(df, alpha=0)
+
+
+# ---------------------------------------------------------- semantic dedup
+
+
+def _sem_fixture(spark):
+    from pyspark.sql import Row
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[0.999, 0.01]),  # near-dup of 1
+            Row(vec_id=3, embedding=[0.7, 0.7]),  # routes to cell 0 on tie
+            Row(vec_id=4, embedding=[0.0, 1.0]),
+        ]
+    )
+    cents = spark.createDataFrame(
+        [Row(cell=0, centroid=[1.0, 0.0]), Row(cell=1, centroid=[0.0, 1.0])]
+    )
+    return emb, cents
+
+
+def test_semantic_dedup_drops_higher_id_neighbor(spark):
+    from renkodf_spark.operators import similarity
+
+    emb, cents = _sem_fixture(spark)
+    kept = similarity.semantic_dedup(emb, cents, threshold=0.95).collect()
+    assert sorted((r.vec_id, r.cell) for r in kept) == [(1, 0), (3, 0), (4, 1)]
+
+
+def test_semantic_dedup_threshold_is_inclusive_on_rounded_cos(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from renkodf_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[0.5, math.sqrt(3) / 2]),  # cos = 0.5 exactly
+        ]
+    )
+    cents = spark.createDataFrame([Row(cell=0, centroid=[1.0, 0.0])])
+    at = similarity.semantic_dedup(emb, cents, threshold=0.5).collect()
+    assert sorted(r.vec_id for r in at) == [1]  # 2 dropped at the boundary
+    above = similarity.semantic_dedup(emb, cents, threshold=0.500001).collect()
+    assert sorted(r.vec_id for r in above) == [1, 2]
+
+
+def test_semantic_dedup_layout_independent(spark):
+    from renkodf_spark.operators import similarity
+
+    emb, cents = _sem_fixture(spark)
+    a = similarity.semantic_dedup(emb, cents, threshold=0.95).collect()
+    b = similarity.semantic_dedup(emb.repartition(5), cents, threshold=0.95).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -13,8 +13,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from renkodf_spark.functions import layout
 from renkodf_spark.operators import corpus, similarity, text
 from renkodf_spark.queries.pipeline import _docs, _emb
+from renkodf_spark.sources.tables import load_table
 from renkodf_spark.queries.pipeline2 import _CENTROID_CTES, _IVF_DIM as _SEM_DIM
 from renkodf_spark.queries.registry import query
 
@@ -194,3 +196,46 @@ def semantic_dedup_keep(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     cents = similarity.embedding_centroids(emb, dim=_SEM_DIM)
     return similarity.semantic_dedup(emb, cents, threshold=_SEMDEDUP_THR)
+
+
+# ------------------------------------------------------------ z-order layout
+
+_Z_BITS = 16
+
+# x = user_id, y = integer-cents value; both masked to 16 bits inside
+# the shared Morton generator (two's-complement & is identical in Spark
+# and DuckDB, so negative cents mask consistently too)
+_Z_SQL = layout.zvalue_sql("user_id", "CAST(FLOOR(value * 100) AS BIGINT)", bits=_Z_BITS)
+
+_ZORDER_ORACLE = f"""
+WITH z AS (SELECT {_Z_SQL} AS zkey FROM events)
+SELECT zkey >> 24 AS z_bucket,
+       COUNT(*) AS n_events,
+       MIN(zkey) AS min_z,
+       MAX(zkey) AS max_z
+FROM z GROUP BY 1
+"""
+
+
+@query(
+    "zorder_events_hist",
+    oracle=_ZORDER_ORACLE,
+    doc="Morton (z-order) layout key over (user_id, value-cents) with a "
+    "per-bucket histogram — the clustering key a compaction pass sorts "
+    "by so parquet footer stats prune scans on EITHER dimension; the "
+    "oracle replays the generated bit-interleave SQL verbatim.",
+)
+def zorder_events_hist(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    z = layout.zvalue(
+        F.col("user_id"), F.floor(F.col("value") * 100).cast("long"), bits=_Z_BITS
+    )
+    return (
+        ev.select(z.alias("zkey"))
+        .groupBy(F.shiftright(F.col("zkey"), 24).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("zkey").alias("min_z"),
+            F.max("zkey").alias("max_z"),
+        )
+    )

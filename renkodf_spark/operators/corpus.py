@@ -663,3 +663,95 @@ def decontaminate(
         eval_id_col=eval_id_col,
     ).filter(F.col("n_hit_grams") >= min_hit_grams)
     return train.join(flagged.select(id_col), id_col, "left_anti")
+
+
+# ------------------------------------------------- temperature resampling
+
+
+def temperature_rates(
+    df: DataFrame,
+    *,
+    group_col: str = "lang",
+    alpha: float = 0.5,
+    target_total: int = 1000,
+) -> DataFrame:
+    """Per-group sampling rates for temperature-based rebalancing (the
+    XLM-R / UniMax multilingual recipe): group ``g`` with ``n_g`` rows
+    gets probability mass ``p_g ∝ n_g^alpha`` — ``alpha = 1`` keeps
+    natural proportions, ``alpha → 0`` flattens toward uniform — and a
+    keep-rate ``min(1, target_total * p_g / n_g)``. Returns
+    ``(group_col, n_rows, rate)``.
+
+    Cross-engine exactness: the only order-sensitive float step would
+    be summing the weights, so ``n_g^alpha`` is rounded ONCE to integer
+    micro-units and the normalizer is an exact long sum (micro-nat
+    convention, see text.unigram_logprob); every remaining op divides /
+    multiplies identical doubles. Null groups form their own group.
+
+    Scale: one count aggregation (map-side combinable, group-key
+    cardinality) + a broadcast single-row normalizer. Nothing else.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if target_total <= 0:
+        raise ValueError(f"target_total must be positive, got {target_total}")
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00null"))
+    counts = df.groupBy(g.alias("__g")).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = F.round(F.pow(F.col("n_rows").cast("double"), F.lit(float(alpha))) * 1e6).cast(
+        "long"
+    )
+    weights = counts.select("__g", "n_rows", w.alias("__w"))
+    # tot shares weights' lineage — alias both sides so the cross join
+    # resolves unambiguously
+    tot = weights.agg(F.sum("__w").alias("__W")).alias("t")
+    return (
+        weights.alias("w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("w.__g").alias(group_col),
+            F.col("w.n_rows").alias("n_rows"),
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_total))
+                * F.col("w.__w")
+                / F.col("t.__W")
+                / F.col("w.n_rows"),
+            ).alias("rate"),
+        )
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    *,
+    group_col: str = "lang",
+    alpha: float = 0.5,
+    target_total: int = 1000,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Apply :func:`temperature_rates` with the deterministic hash
+    threshold of :func:`rate_sample`: a row is kept iff its 48-bit
+    hash prefix falls under ``round(rate_g * 2^48)``. Same guarantees —
+    stable across runs/layouts/cluster sizes, nested in
+    ``target_total`` under a fixed salt (a larger target keeps a
+    superset), and the expected kept count per group is
+    ``min(n_g, target_total * p_g)``.
+
+    Scale: the rates relation is one row per group — AQE broadcasts
+    the join (unhinted, per the quota_admitted precedent: a
+    high-cardinality group column must be allowed to shuffle) — and
+    the filter is the same narrow integer compare as rate_sample.
+    """
+    rates = temperature_rates(
+        df, group_col=group_col, alpha=alpha, target_total=target_total
+    )
+    thresh = F.round(F.col("rate") * _H48_LIM).cast("long")
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00null"))
+    h48 = F.conv(F.substring(_sample_key(id_col, salt), 1, 12), 16, 10).cast("long")
+    keyed = df.withColumn("__g", g)
+    return (
+        keyed.join(rates.select(F.col(group_col).alias("__g"), thresh.alias("__t")), "__g")
+        .filter(h48 < F.col("__t"))
+        .select(*df.columns)
+    )

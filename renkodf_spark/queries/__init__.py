@@ -38,6 +38,7 @@ _PRIORITY = [
     "unigram_doc_quality",
     "semantic_dedup_keep",
     "zorder_events_hist",
+    "lang_temperature_sample",
     # -- new in round 5: materialized packed bins, unlabeled IVF
     #    training, as-of tolerance (never had a gate row), plus
     #    re-proving the queries whose operators changed this round

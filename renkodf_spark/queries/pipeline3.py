@@ -239,3 +239,44 @@ def zorder_events_hist(spark, sf_dir):
             F.max("zkey").alias("max_z"),
         )
     )
+
+
+# --------------------------------------------------- temperature sampling
+
+_TEMP_ALPHA = 0.5
+_TEMP_TARGET = 200
+
+# weight = round(n^alpha * 1e6) as BIGINT (exact normalizer sum), rate
+# and threshold re-derived with the identical op order; the h48 compare
+# is the lang_rate_sample convention.
+_TEMP_ORACLE = f"""
+WITH c AS (
+  SELECT coalesce(lang, chr(0) || 'null') AS g, COUNT(*) AS n
+  FROM documents GROUP BY 1),
+w AS (
+  SELECT g, n, CAST(ROUND(pow(n::DOUBLE, {_TEMP_ALPHA}) * 1e6) AS BIGINT) AS wt
+  FROM c),
+tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS W FROM w),
+t AS (
+  SELECT g,
+         CAST(ROUND(LEAST(1.0, {float(_TEMP_TARGET)} * wt / W / n) * {1 << 48}) AS BIGINT)
+           AS thresh
+  FROM w CROSS JOIN tot)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN t ON coalesce(d.lang, chr(0) || 'null') = t.g
+WHERE ('0x' || substr(md5('sample:' || d.doc_id::VARCHAR), 1, 12))::BIGINT < t.thresh
+"""
+
+
+@query(
+    "lang_temperature_sample",
+    oracle=_TEMP_ORACLE,
+    doc="UniMax/XLM-style temperature rebalancing: per-language keep "
+    "rates proportional to n^0.5 toward a 200-doc target, applied with "
+    "the deterministic 48-bit hash threshold — weights carried as exact "
+    "integer micro-units so the normalizer sum is order-independent.",
+)
+def lang_temperature_sample(spark, sf_dir):
+    return corpus.temperature_sample(
+        _docs(spark, sf_dir), alpha=_TEMP_ALPHA, target_total=_TEMP_TARGET
+    ).select("doc_id", "lang")

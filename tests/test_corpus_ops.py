@@ -468,3 +468,59 @@ def test_contamination_rejects_bad_n(spark):
     eval_df = spark.createDataFrame([(1, "a b")], "eval_id long, text string")
     with pytest.raises(ValueError, match="n must be positive"):
         corpus.contamination(_docs_df(spark, [(1, "a b")]), eval_df, n=0)
+
+
+# ---------------------------------------------------- temperature sampling
+
+
+def test_temperature_rates_math_and_cap(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i < 80 else "cold") for i in range(100)], "doc_id long, lang string"
+    )
+    rates = {r.lang: r for r in corpus.temperature_rates(
+        df, alpha=0.5, target_total=60
+    ).collect()}
+    w_hot = round(math.sqrt(80) * 1e6)
+    w_cold = round(math.sqrt(20) * 1e6)
+    W = w_hot + w_cold
+    assert rates["hot"].n_rows == 80 and rates["cold"].n_rows == 20
+    assert rates["hot"].rate == pytest.approx(60 * w_hot / W / 80, abs=1e-12)
+    # cold group: 60 * 0.3333 / 20 = 1.0009... -> capped at 1.0
+    assert rates["cold"].rate == 1.0
+
+
+def test_temperature_sample_flattens_skew_and_is_layout_stable(spark):
+    rows = [(i, "hot" if i < 900 else "cold") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = corpus.temperature_sample(df, alpha=0.3, target_total=200).collect()
+    by = {}
+    for r in kept:
+        by[r.lang] = by.get(r.lang, 0) + 1
+    # natural ratio 9:1; alpha=0.3 flattens it to under 3:1
+    assert by["hot"] / by["cold"] < 3.0
+    # deterministic hash: exact same set under a different layout
+    kept2 = corpus.temperature_sample(df.repartition(17), alpha=0.3, target_total=200).collect()
+    assert sorted(r.doc_id for r in kept) == sorted(r.doc_id for r in kept2)
+
+
+def test_temperature_sample_nested_in_target(spark):
+    rows = [(i, f"l{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    small = {r.doc_id for r in corpus.temperature_sample(df, target_total=60).collect()}
+    big = {r.doc_id for r in corpus.temperature_sample(df, target_total=150).collect()}
+    assert small <= big
+
+
+def test_temperature_sample_null_group_and_validation(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "en"), (3, None)], "doc_id long, lang string"
+    )
+    out = corpus.temperature_sample(df, alpha=1.0, target_total=3).collect()
+    # alpha=1, target=total -> every rate is 1.0, everything kept (nulls too)
+    assert sorted(r.doc_id for r in out) == [1, 2, 3]
+    with pytest.raises(ValueError, match="alpha"):
+        corpus.temperature_rates(df, alpha=0.0)
+    with pytest.raises(ValueError, match="target_total"):
+        corpus.temperature_rates(df, target_total=0)

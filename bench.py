@@ -76,6 +76,11 @@ HEADLINE = [
     # added round 5 (bin assembly, unlabeled IVF training)
     "packed_bins",
     "ivf_train_unlabeled",
+    # added round 7 (decontamination, unigram LM, SemDeDup, z-order)
+    "decontamination_report",
+    "unigram_doc_quality",
+    "semantic_dedup_keep",
+    "zorder_events_hist",
 ]
 
 

@@ -1,0 +1,260 @@
+"""Product quantization (PQ) for embedding columns — the third declared
+ANN scale path next to RP-LSH buckets and IVF cells (similarity.py).
+
+PQ splits each ``dim``-dimensional vector into ``m`` contiguous
+``dim/m``-dimensional subvectors and quantizes every subspace
+independently against a small per-subspace codebook: a vector is stored
+as ``m`` small integers (codes) instead of ``dim`` floats — 32x
+compression at m=8/float32 — and query scoring becomes Asymmetric
+Distance Computation (ADC): the query precomputes one lookup table of
+``m x k`` partial inner products, and every corpus vector's score is a
+sum of ``m`` table lookups — no float vector math per corpus row at
+all (Jegou, Douze, Schmid: "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011).
+
+Cross-engine determinism follows the house conventions: codebook
+entries are rounded like centroids (similarity.round_centroids), the
+encode argmin compares ROUNDED distances with ties to the smallest
+code, and ADC table entries are rounded ONCE to integer micro-units so
+the per-row score is an exact long sum in any association (the
+unigram_logprob convention).
+
+Scale shape: the codebook relation is ``m x k`` rows and collapses to a
+single broadcast row for both encode and scoring; the corpus is never
+shuffled by any stage (encode is a narrow pass; scoring is a broadcast
+NLJ over the query set exactly like similarity.cosine_topk, but over
+8-byte codes instead of full vectors — the bandwidth win IS the point);
+only the final per-query top-k pays a rank shuffle keyed by query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from renkodf_spark.operators.similarity import _dot
+
+
+def _check_geometry(dim: int, m: int) -> int:
+    if m <= 0 or dim <= 0:
+        raise ValueError(f"dim and m must be positive, got dim={dim}, m={m}")
+    if dim % m != 0:
+        raise ValueError(f"dim must be divisible by m, got dim={dim}, m={m}")
+    return dim // m
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    *,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Train per-subspace codebooks from a labeled/clustered sample:
+    codebook entry ``(sub, code)`` is the element-wise mean of subvector
+    ``sub`` over the rows of group ``code`` — the PQ analogue of
+    :func:`similarity.embedding_centroids` (which this reuses
+    positionally: subspace ``sub`` covers dimensions ``sub*dsub ..
+    (sub+1)*dsub - 1``). Returns ``(sub, code, subcentroid:
+    array<double>, n_vectors)`` with every component rounded (and -0.0
+    folded) for bit-exact cross-engine replay.
+
+    Scale: ``m * k * dsub`` scalar avg partials shuffle — never the
+    vectors; one corpus scan for all ``m`` subspaces at once.
+    """
+    dsub = _check_geometry(dim, m)
+    v = F.col(vec_col).cast("array<double>")
+    means = [F.avg(F.element_at(v, i + 1)).alias(f"__m{i}") for i in range(dim)]
+    per_group = emb.groupBy(F.col(group_col).alias("code")).agg(
+        *means, F.count(F.lit(1)).alias("n_vectors")
+    )
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.array(
+                    *[
+                        (F.round(F.col(f"__m{s * dsub + j}"), round_digits) + F.lit(0.0))
+                        for j in range(dsub)
+                    ]
+                ).alias("subcentroid"),
+            )
+            for s in range(m)
+        ]
+    )
+    return per_group.select(
+        F.explode(subs).alias("__s"), "code", "n_vectors"
+    ).select(
+        F.col("__s.sub").alias("sub"),
+        "code",
+        F.col("__s.subcentroid").alias("subcentroid"),
+        "n_vectors",
+    )
+
+
+def _books_row(codebooks: DataFrame):
+    """Collapse the codebook relation to ONE broadcastable row: an
+    array of (sub, code, subcentroid) structs."""
+    return codebooks.agg(
+        F.collect_list(
+            F.struct(
+                F.col("sub"),
+                F.col("code"),
+                F.col("subcentroid").cast("array<double>").alias("subcentroid"),
+            )
+        ).alias("__books")
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Encode every vector as ``m`` codebook indices: for each subspace,
+    the code minimizing the ROUNDED squared L2 distance to the
+    subvector (computed in dot form ``<x,x> - 2<x,c> + <c,c>`` so both
+    engines fold identically), ties to the smallest code. Returns
+    ``(id, codes: array<int>)`` — the 100 TB-resident representation.
+
+    Scale: codebooks collapse to a single broadcast row; encoding is a
+    narrow per-row ``array_sort`` over ``m x k`` struct entries — zero
+    shuffle, whole-stage codegen.
+    """
+    dsub = _check_geometry(dim, m)
+    v = F.col(vec_col).cast("array<double>")
+
+    def sub_slice(vec, s):
+        return F.slice(vec, s * dsub + 1, dsub)
+
+    # per (sub, code): (rounded distance, code) — array_sort on struct
+    # field order gives per-sub argmin with the code tiebreak; group the
+    # flat books list by sub via filter (m and k are small constants)
+    def best_code(s):
+        cands = F.filter(F.col("__books"), lambda b: b["sub"] == F.lit(s))
+        x = sub_slice(F.col("__v"), s)
+        ranked = F.array_sort(
+            F.transform(
+                cands,
+                lambda b: F.struct(
+                    F.round(
+                        _dot(x, x)
+                        - F.lit(2.0) * _dot(x, b["subcentroid"])
+                        + _dot(b["subcentroid"], b["subcentroid"]),
+                        round_digits,
+                    ).alias("dist"),
+                    b["code"].cast("int").alias("code"),
+                ),
+            )
+        )
+        return F.element_at(ranked, 1)["code"]
+
+    return (
+        emb.select(F.col(id_col).alias("id"), v.alias("__v"))
+        .crossJoin(F.broadcast(_books_row(codebooks)))
+        .select("id", F.array(*[best_code(s) for s in range(m)]).alias("codes"))
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric Distance Computation top-k by inner product: each
+    query precomputes ``LUT[sub][code] = round(<q_sub, centroid_sub> *
+    1e6)`` as a long, and a corpus vector's score is the EXACT long sum
+    of its ``m`` table lookups. Returns ``(query_id, neighbor_id, rank,
+    score_micros)`` — rank by (score desc, neighbor id).
+
+    Approximation contract: scores are inner products against the
+    quantized reconstruction, so ranking error is bounded by the
+    quantization error — the standard PQ trade: recall rises with k
+    (codes per subspace) and m.
+
+    Scale: queries x (m x k) LUT rows collapse into one broadcast row;
+    corpus codes stream through a broadcast NLJ (8 small ints per row —
+    this is the path that makes 100 TB of float embeddings scannable);
+    the per-query top-k is the only shuffle.
+    """
+    dsub = _check_geometry(dim, m)
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    qv = F.col(vec_col).cast("array<double>")
+
+    def sub_slice(vec, s):
+        return F.slice(vec, s * dsub + 1, dsub)
+
+    # per query: array of (sub, code, lut_micros) — flat, joined to the
+    # corpus as one broadcast row of (query_id, luts) structs
+    luts = (
+        queries.select(F.col(id_col).alias("query_id"), qv.alias("__q"))
+        .crossJoin(F.broadcast(_books_row(codebooks)))
+        .select(
+            "query_id",
+            F.transform(
+                F.col("__books"),
+                lambda b: F.struct(
+                    b["sub"].alias("sub"),
+                    b["code"].cast("int").alias("code"),
+                    F.round(
+                        _dot(
+                            # __q is captured per-row; slice by the
+                            # entry's own sub index (1-based slice)
+                            F.slice(F.col("__q"), b["sub"] * dsub + 1, dsub),
+                            b["subcentroid"],
+                        )
+                        * 1e6
+                    )
+                    .cast("long")
+                    .alias("lut"),
+                ),
+            ).alias("__luts"),
+        )
+    )
+    qrow = luts.agg(
+        F.collect_list(F.struct(F.col("query_id"), F.col("__luts"))).alias("__qs")
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(qrow))
+        .select(
+            F.col("id").alias("neighbor_id"),
+            "codes",
+            F.explode("__qs").alias("__q"),
+        )
+        .select(
+            F.col("__q.query_id").alias("query_id"),
+            "neighbor_id",
+            F.aggregate(
+                F.filter(
+                    F.col("__q.__luts"),
+                    lambda e: e["code"]
+                    == F.element_at(F.col("codes"), e["sub"].cast("int") + 1),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, e: acc + e["lut"],
+            ).alias("score_micros"),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micros"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score_micros")
+    )

@@ -39,6 +39,9 @@ _PRIORITY = [
     "semantic_dedup_keep",
     "zorder_events_hist",
     "lang_temperature_sample",
+    "pq_codebooks",
+    "pq_code_hist",
+    "pq_adc_topk",
     # -- new in round 5: materialized packed bins, unlabeled IVF
     #    training, as-of tolerance (never had a gate row), plus
     #    re-proving the queries whose operators changed this round

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from renkodf_spark.functions import layout
-from renkodf_spark.operators import corpus, similarity, text
+from renkodf_spark.operators import corpus, pq, similarity, text
 from renkodf_spark.queries.pipeline import _docs, _emb
 from renkodf_spark.sources.tables import load_table
 from renkodf_spark.queries.pipeline2 import _CENTROID_CTES, _IVF_DIM as _SEM_DIM
@@ -280,3 +280,142 @@ def lang_temperature_sample(spark, sf_dir):
     return corpus.temperature_sample(
         _docs(spark, sf_dir), alpha=_TEMP_ALPHA, target_total=_TEMP_TARGET
     ).select("doc_id", "lang")
+
+
+# -------------------------------------------------- product quantization
+
+_PQ_M = 8
+_PQ_DSUB = _SEM_DIM // _PQ_M  # 8
+
+# per-(sub, code) codebooks are positional re-groupings of the labeled
+# centroid means (same AVG + ROUND convention as _CENTROID_CTES)
+_PQ_BOOKS_CTES = f"""
+WITH pos AS (SELECT unnest(range(1, {_SEM_DIM + 1})) AS i),
+mm AS (
+  SELECT label AS code, i, AVG(embedding[i]::DOUBLE) AS mval
+  FROM embeddings CROSS JOIN pos GROUP BY 1, 2),
+books AS (
+  SELECT CAST((i - 1) // {_PQ_DSUB} AS INT) AS sub, code,
+         LIST(ROUND(mval, 6) + 0.0 ORDER BY i) AS cv
+  FROM mm GROUP BY 1, 2)
+"""
+
+_PQ_CODEBOOKS_ORACLE = (
+    _PQ_BOOKS_CTES
+    + f""",
+n AS (SELECT label AS code, COUNT(*) AS n_vectors FROM embeddings GROUP BY 1)
+SELECT CAST((i - 1) // {_PQ_DSUB} AS INT) AS sub, mm.code,
+       CAST((i - 1) % {_PQ_DSUB} AS INT) AS dim_idx,
+       ROUND(mval, 6) + 0.0 AS val, n.n_vectors
+FROM mm JOIN n USING (code)
+"""
+)
+
+
+@query(
+    "pq_codebooks",
+    oracle=_PQ_CODEBOOKS_ORACLE,
+    doc="PQ training: per-subspace codebooks (8 subspaces x 8 dims) as "
+    "element-wise means of the labeled sample — exported one row per "
+    "(sub, code, dim) with rounded values.",
+)
+def pq_codebooks(spark, sf_dir):
+    books = pq.pq_codebooks(_emb(spark, sf_dir), dim=_SEM_DIM, m=_PQ_M)
+    return books.select(
+        "sub",
+        "code",
+        F.posexplode("subcentroid").alias("dim_idx", "__v"),
+        "n_vectors",
+    ).select(
+        "sub", "code", "dim_idx", (F.round("__v", 6) + F.lit(0.0)).alias("val"), "n_vectors"
+    )
+
+
+# encode = per-(vec, sub) argmin of ROUND(<x,x> - 2<x,c> + <c,c>, 6),
+# ties to the smallest code
+_PQ_ASSIGN_CTES = (
+    _PQ_BOOKS_CTES
+    + f""",
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sv AS (
+  SELECT vec_id, sub, v[sub * {_PQ_DSUB} + 1 : (sub + 1) * {_PQ_DSUB}] AS x
+  FROM vecs CROSS JOIN (SELECT DISTINCT sub FROM books) s(sub)),
+assign AS (
+  SELECT vec_id, sub, code,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id, sub
+           ORDER BY ROUND(list_dot_product(x, x) - 2.0 * list_dot_product(x, cv)
+                          + list_dot_product(cv, cv), 6) ASC,
+                    code) AS rk
+  FROM sv JOIN books USING (sub)),
+codes AS (SELECT vec_id, sub, CAST(code AS INT) AS code FROM assign WHERE rk = 1)
+"""
+)
+
+_PQ_HIST_ORACLE = (
+    _PQ_ASSIGN_CTES
+    + """
+SELECT sub, code, COUNT(*) AS n_vectors FROM codes GROUP BY 1, 2
+"""
+)
+
+
+@query(
+    "pq_code_hist",
+    oracle=_PQ_HIST_ORACLE,
+    doc="PQ encoding observability: per-(subspace, code) assignment "
+    "counts after encoding the whole corpus — the histogram a caller "
+    "reads to spot dead or overloaded codes.",
+)
+def pq_code_hist(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    books = pq.pq_codebooks(emb, dim=_SEM_DIM, m=_PQ_M).cache()
+    codes = pq.pq_encode(emb, books, dim=_SEM_DIM, m=_PQ_M)
+    return (
+        codes.select(F.posexplode("codes").alias("sub", "code"))
+        .groupBy("sub", "code")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+_PQ_ADC_ORACLE = (
+    _PQ_ASSIGN_CTES
+    + f""",
+q AS (SELECT vec_id AS query_id, v FROM vecs WHERE vec_id < 5),
+lut AS (
+  SELECT q.query_id, b.sub, CAST(b.code AS INT) AS code,
+         CAST(ROUND(list_dot_product(
+             q.v[b.sub * {_PQ_DSUB} + 1 : (b.sub + 1) * {_PQ_DSUB}], b.cv) * 1e6)
+           AS BIGINT) AS lutv
+  FROM q CROSS JOIN books b),
+scored AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id, SUM(l.lutv) AS score_micros
+  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+  WHERE c.vec_id <> l.query_id
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, neighbor_id, CAST(score_micros AS BIGINT) AS score_micros,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_micros DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, score_micros FROM ranked WHERE rank <= 5
+"""
+)
+
+
+@query(
+    "pq_adc_topk",
+    oracle=_PQ_ADC_ORACLE,
+    doc="PQ asymmetric-distance top-5: queries precompute an m x k "
+    "inner-product lookup table in integer micro-units; every corpus "
+    "vector's score is an exact long sum of m lookups over its 8-int "
+    "code — the representation that makes 100 TB of embeddings "
+    "scannable.",
+)
+def pq_adc_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    books = pq.pq_codebooks(emb, dim=_SEM_DIM, m=_PQ_M).cache()
+    codes = pq.pq_encode(emb, books, dim=_SEM_DIM, m=_PQ_M)
+    return pq.pq_adc_topk(
+        codes, emb.filter(F.col("vec_id") < 5), books, dim=_SEM_DIM, m=_PQ_M, k=5
+    )

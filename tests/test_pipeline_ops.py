@@ -899,3 +899,77 @@ def test_semantic_dedup_layout_independent(spark):
     a = similarity.semantic_dedup(emb, cents, threshold=0.95).collect()
     b = similarity.semantic_dedup(emb.repartition(5), cents, threshold=0.95).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ------------------------------------------------------ product quantization
+
+
+def _pq_fixture(spark):
+    from pyspark.sql import Row
+
+    # dim=4, m=2 (dsub=2); two groups with obvious subspace structure
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 1.0], label=0),
+            Row(vec_id=1, embedding=[1.0, 0.2, 0.2, 1.0], label=0),
+            Row(vec_id=2, embedding=[0.0, 1.0, 1.0, 0.0], label=1),
+            Row(vec_id=3, embedding=[0.2, 1.0, 1.0, 0.2], label=1),
+        ]
+    )
+    return emb
+
+
+def test_pq_codebooks_are_subspace_means(spark):
+    from renkodf_spark.operators import pq
+
+    books = pq.pq_codebooks(_pq_fixture(spark), dim=4, m=2).collect()
+    got = {(r.sub, r.code): (r.subcentroid, r.n_vectors) for r in books}
+    assert got[(0, 0)] == ([1.0, 0.1], 2)
+    assert got[(1, 0)] == ([0.1, 1.0], 2)
+    assert got[(0, 1)] == ([0.1, 1.0], 2)
+    assert got[(1, 1)] == ([1.0, 0.1], 2)
+
+
+def test_pq_encode_assigns_nearest_code(spark):
+    from renkodf_spark.operators import pq
+
+    emb = _pq_fixture(spark)
+    books = pq.pq_codebooks(emb, dim=4, m=2)
+    codes = {r.id: r.codes for r in pq.pq_encode(emb, books, dim=4, m=2).collect()}
+    # group-0 vectors encode as [0, 0]; group-1 vectors as [1, 1]
+    assert codes[0] == [0, 0] and codes[1] == [0, 0]
+    assert codes[2] == [1, 1] and codes[3] == [1, 1]
+
+
+def test_pq_adc_scores_are_exact_lut_sums(spark):
+    from renkodf_spark.operators import pq
+
+    emb = _pq_fixture(spark)
+    books = pq.pq_codebooks(emb, dim=4, m=2)
+    codes = pq.pq_encode(emb, books, dim=4, m=2)
+    out = pq.pq_adc_topk(codes, emb.filter("vec_id = 0"), books, dim=4, m=2, k=3).collect()
+    # query 0 = [1,0,0,1]: LUT[s0][c0] = <(1,0),(1,0.1)> = 1.0 -> 1_000_000
+    # LUT[s1][c0] = <(0,1),(0.1,1)> = 1.0; LUT[s0][c1] = <(1,0),(0.1,1)> = 0.1
+    # LUT[s1][c1] = <(0,1),(1,0.1)> = 0.1
+    got = {r.neighbor_id: (r.rank, r.score_micros) for r in out}
+    assert got[1] == (1, 2_000_000)  # codes [0,0]
+    # neighbors 2, 3 (codes [1,1]): 0.1 + 0.1 -> 200_000; tie broken by id
+    assert got[2] == (2, 200_000) and got[3] == (3, 200_000)
+
+
+def test_pq_validation_and_layout_independence(spark):
+    import pytest as _pytest
+
+    from renkodf_spark.operators import pq
+
+    emb = _pq_fixture(spark)
+    with _pytest.raises(ValueError, match="divisible"):
+        pq.pq_codebooks(emb, dim=4, m=3)
+    with _pytest.raises(ValueError, match="k must be positive"):
+        pq.pq_adc_topk(None, None, None, dim=4, m=2, k=0)
+    books = pq.pq_codebooks(emb, dim=4, m=2)
+    a = pq.pq_encode(emb, books, dim=4, m=2).collect()
+    b = pq.pq_encode(emb.repartition(7), books, dim=4, m=2).collect()
+    assert sorted((r.id, tuple(r.codes)) for r in a) == sorted(
+        (r.id, tuple(r.codes)) for r in b
+    )

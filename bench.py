@@ -76,11 +76,14 @@ HEADLINE = [
     # added round 5 (bin assembly, unlabeled IVF training)
     "packed_bins",
     "ivf_train_unlabeled",
-    # added round 7 (decontamination, unigram LM, SemDeDup, z-order)
+    # added round 7 (decontamination, unigram LM, SemDeDup, z-order,
+    # temperature resampling, product quantization)
     "decontamination_report",
     "unigram_doc_quality",
     "semantic_dedup_keep",
     "zorder_events_hist",
+    "lang_temperature_sample",
+    "pq_adc_topk",
 ]
 
 

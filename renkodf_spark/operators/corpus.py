@@ -755,3 +755,88 @@ def temperature_sample(
         .filter(h48 < F.col("__t"))
         .select(*df.columns)
     )
+
+
+def line_doc_frequencies(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-corpus line frequencies: documents split on newlines, each
+    line normalized (lowercase + trim) and keyed by its md5, counted by
+    the number of DISTINCT documents containing it. Returns
+    ``(line_key, n_docs)`` — the relation a C4-style boilerplate pass
+    joins against.
+
+    Scale shape: explode → per-(line_key, doc) dedup → one
+    map-side-combinable count keyed by line_key. The key cardinality
+    grows with the corpus's distinct-line count, never its payload; the
+    full text never shuffles (only 32-char digests do).
+    """
+    lines = F.split(F.col(text_col), r"\n")
+    keyed = df.select(
+        F.col(id_col).alias("id"), F.explode(lines).alias("line")
+    ).select("id", F.md5(F.lower(F.trim(F.col("line")))).alias("line_key"))
+    return (
+        keyed.distinct()
+        .groupBy("line_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs: int = 2,
+) -> DataFrame:
+    """C4-style cross-document boilerplate removal (Raffel et al. 2020
+    §2.2's "three-sentence" rule applied per line): any line whose
+    normalized form appears in more than ``max_docs`` distinct
+    documents is dropped from every document, and the survivors are
+    reassembled in original order. Returns ``(id_col, n_lines_kept,
+    n_lines_removed, clean_text)`` — a document whose every line is
+    boilerplate survives with ``clean_text = ''``.
+
+    Scale shape: two shuffles — the line-frequency aggregation (32-char
+    digest keys, see :func:`line_doc_frequencies`) and the per-document
+    reassembly — plus one equi-join of the exploded lines against the
+    frequency relation on ``line_key``. No global window, no driver
+    state; per-doc memory is bounded by the document's own line count
+    (the ``collect_list`` holds one document, same bound as
+    ``chunk_documents``).
+    """
+    lines = F.split(F.col(text_col), r"\n")
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.posexplode(lines).alias("pos", "line")
+    ).withColumn("line_key", F.md5(F.lower(F.trim(F.col("line")))))
+    freq = line_doc_frequencies(df, text_col=text_col, id_col=id_col)
+    flagged = exploded.join(freq, "line_key").withColumn(
+        "keep", F.col("n_docs") <= max_docs
+    )
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.sum(F.col("keep").cast("long")).alias("n_lines_kept"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_lines_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda s: s.line,
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_lines_kept",
+            "n_lines_removed",
+            "clean_text",
+        )
+    )

@@ -89,6 +89,100 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
 
+# the eight Gopher rule stopwords (Rae et al. 2021, Table A1) — presence
+# of at least `min_stop_hits` distinct ones is the "natural language"
+# smell test
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_avg_word_len: float = 3.0,
+    max_avg_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style rule-based document filter (Rae et al. 2021,
+    Appendix A1): per-doc rule features plus a 0/1 ``gopher_pass``
+    verdict under configurable thresholds — word-count bounds, mean
+    word length bounds, symbol-to-word ratio (``#`` and ellipses),
+    bullet-line and ellipsis-line fractions, alphabetic-word fraction,
+    and a minimum number of distinct stopword hits.
+
+    Every threshold comparison runs on the ROUNDed feature the row
+    exports, so the verdict is exactly reproducible cross-engine (the
+    tfidf/IVF round-then-compare convention).
+
+    Scale shape: a single narrow projection — every feature is a JVM
+    column expression over the row's own text (split / filter /
+    aggregate / rlike); no shuffle, no UDF, no state. At 100 TB this is
+    a pure map stage that pipelines with the scan.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    lines = F.split(F.col(text_col), r"\n")
+    n_words = F.size(toks)
+    n_lines = F.size(lines)
+    word_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    hashes = F.length(F.col(text_col)) - F.length(
+        F.replace(F.col(text_col), F.lit("#"), F.lit(""))
+    )
+    # non-overlapping left-to-right '...' occurrences (Java replace and
+    # DuckDB replace agree), plus single-char U+2026 ellipses
+    ell3 = (
+        (
+            F.length(F.col(text_col))
+            - F.length(F.replace(F.col(text_col), F.lit("..."), F.lit("")))
+        )
+        / 3
+    ).cast("long")
+    uell = F.length(F.col(text_col)) - F.length(
+        F.replace(F.col(text_col), F.lit("…"), F.lit(""))
+    )
+    bullet_lines = F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]")))
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))
+    )
+    alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    stop_hits = sum(
+        F.array_contains(toks, w).cast("int") for w in GOPHER_STOPWORDS
+    )
+
+    feat = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(F.try_divide(word_chars, n_words), 6).alias("avg_word_len"),
+        F.round(F.try_divide(hashes + ell3 + uell, n_words), 6).alias(
+            "symbol_word_ratio"
+        ),
+        F.round(F.try_divide(bullet_lines, n_lines), 6).alias("bullet_line_frac"),
+        F.round(F.try_divide(ellipsis_lines, n_lines), 6).alias(
+            "ellipsis_line_frac"
+        ),
+        F.round(F.try_divide(alpha_words, n_words), 6).alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+    )
+    passed = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("avg_word_len").between(min_avg_word_len, max_avg_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_frac)
+        & (F.col("stopword_hits") >= min_stop_hits)
+    )
+    return feat.withColumn("gopher_pass", passed.cast("int"))
+
+
 def repetition_signals(
     df: DataFrame,
     *,
@@ -220,6 +314,88 @@ def tfidf_top_terms(
         .select(
             F.col("id").alias(id_col), "rank", "term", "tf", "df", "score"
         )
+    )
+
+
+def build_vocab(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 1000,
+    min_count: int = 1,
+) -> DataFrame:
+    """Frequency-based vocabulary: the ``size`` most frequent whitespace
+    tokens (count descending, ties to the lexicographically smallest
+    term) with dense ids ``0..size-1`` assigned in that same order —
+    the word-level analogue of a tokenizer-vocab build pass. Returns
+    ``(term, cnt, token_id)``.
+
+    Scale shape: one map-side-combinable (term → count) aggregation —
+    the corpus text never shuffles, only term keys do — then the top-k
+    runs as a distributed TakeOrdered (``orderBy().limit()``), and only
+    the already-bounded ≤``size``-row result pays a single-partition
+    row_number for the dense ids. The global window never sees more
+    than ``size`` rows, so it is a driver-bounded constant, not a
+    corpus-scaling stage.
+    """
+    from pyspark.sql.window import Window
+
+    if size <= 0:
+        raise ValueError(f"size must be positive, got {size}")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    counts = (
+        df.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("term")).limit(size)
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    return top.withColumn("token_id", F.row_number().over(w) - 1)
+
+
+def encode_with_vocab(
+    df: DataFrame,
+    vocab: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk_id: int = -1,
+) -> DataFrame:
+    """Tokenize documents against a built vocabulary: whitespace tokens
+    map to their ``token_id``; out-of-vocabulary tokens become
+    ``unk_id``. Returns ``(id_col, n_tokens, n_unk, token_ids)`` with
+    ``token_ids`` in document order.
+
+    Scale shape: posexplode → broadcast join against the vocab (bounded
+    by the vocab-size parameter, so the broadcast is a declared
+    constant, not data-dependent) → one per-doc aggregation that
+    reassembles the id sequence by position. The corpus text shuffles
+    once, keyed by document.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    pairs = df.select(
+        F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "term")
+    )
+    joined = pairs.join(
+        F.broadcast(vocab.select("term", "token_id")), "term", "left"
+    ).select(
+        "id",
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(unk_id)).cast("int").alias("tid"),
+    )
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum((F.col("tid") == unk_id).cast("long")).alias("n_unk"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s.tid,
+            ).alias("token_ids"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "n_unk", "token_ids")
     )
 
 

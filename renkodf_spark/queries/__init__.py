@@ -22,6 +22,7 @@ from renkodf_spark.queries import renko_queries  # noqa: F401
 from renkodf_spark.queries import pipeline  # noqa: F401
 from renkodf_spark.queries import pipeline2  # noqa: F401
 from renkodf_spark.queries import pipeline3  # noqa: F401
+from renkodf_spark.queries import pipeline4  # noqa: F401
 
 # Gate-window priority (see module docstring). Rotation policy (ADVICE
 # r2, applied every round): queries that never had a gate row, plus
@@ -31,6 +32,12 @@ from renkodf_spark.queries import pipeline3  # noqa: F401
 # full-registry sweep so freshness never depends on the window at all.
 # Names not listed keep their module registration order after these.
 _PRIORITY = [
+    # -- new in round 7 phase 3: Gopher rules, boilerplate line
+    #    removal, vocab build + encode (never had a gate row)
+    "gopher_quality_filter",
+    "boilerplate_line_removal",
+    "vocab_top_terms",
+    "vocab_encoded_docs",
     # -- new in round 7: decontamination, semantic dedup, unigram-LM
     #    quality, z-order layout (never had a gate row)
     "decontamination_report",

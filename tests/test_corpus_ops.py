@@ -524,3 +524,77 @@ def test_temperature_sample_null_group_and_validation(spark):
         corpus.temperature_rates(df, alpha=0.0)
     with pytest.raises(ValueError, match="target_total"):
         corpus.temperature_rates(df, target_total=0)
+
+
+# ------------------------------------------- boilerplate line removal
+
+
+def test_remove_boilerplate_lines_basic(spark):
+    docs = _docs_df(
+        spark,
+        [
+            (1, "SHARED\nunique one\ntail"),
+            (2, "shared  \nunique two\ntail"),  # normalization collapses
+            (3, " Shared\nunique three\ntail"),
+            (4, "SHARED\ntail"),  # every line is boilerplate
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in corpus.remove_boilerplate_lines(docs, max_docs=2).collect()
+    }
+    # 'shared' (4 docs) and 'tail' (4 docs) removed; bodies kept
+    assert out[1].clean_text == "unique one"
+    assert out[2].clean_text == "unique two"
+    assert out[3].clean_text == "unique three"
+    assert out[4].clean_text == ""  # fully-boilerplate doc survives, empty
+    assert (out[4].n_lines_kept, out[4].n_lines_removed) == (0, 2)
+    assert (out[1].n_lines_kept, out[1].n_lines_removed) == (1, 2)
+
+
+def test_remove_boilerplate_lines_threshold_is_inclusive(spark):
+    docs = _docs_df(
+        spark,
+        [(1, "pair\nmine 1"), (2, "pair\nmine 2"), (3, "solo\nmine 3")],
+    )
+    out = {
+        r.doc_id: r.clean_text
+        for r in corpus.remove_boilerplate_lines(docs, max_docs=2).collect()
+    }
+    # 'pair' appears in exactly max_docs=2 docs -> kept
+    assert out[1] == "pair\nmine 1"
+    assert out[3] == "solo\nmine 3"
+
+
+def test_remove_boilerplate_lines_order_and_within_doc_repeats(spark):
+    # a line repeated WITHIN one doc counts that doc once; order survives
+    docs = _docs_df(
+        spark,
+        [(1, "x\na\nx\nb\nx"), (2, "c\nd")],
+    )
+    out = {
+        r.doc_id: r
+        for r in corpus.remove_boilerplate_lines(docs, max_docs=1).collect()
+    }
+    assert out[1].clean_text == "x\na\nx\nb\nx"  # x in 1 doc only: kept
+    assert out[1].n_lines_kept == 5
+
+
+def test_line_doc_frequencies_distinct_docs(spark):
+    docs = _docs_df(spark, [(1, "x\nx\ny"), (2, "x\nz")])
+    freq = {
+        r.line_key: r.n_docs
+        for r in corpus.line_doc_frequencies(docs).collect()
+    }
+    import hashlib
+
+    assert freq[hashlib.md5(b"x").hexdigest()] == 2  # not 3
+    assert freq[hashlib.md5(b"y").hexdigest()] == 1
+
+
+def test_remove_boilerplate_lines_layout_independent(spark):
+    rows = [(i, f"header\nbody {i}\nfooter {i % 3}") for i in range(30)]
+    docs = _docs_df(spark, rows)
+    a = corpus.remove_boilerplate_lines(docs.repartition(1), max_docs=2)
+    b = corpus.remove_boilerplate_lines(docs.repartition(7, "doc_id"), max_docs=2)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -756,6 +756,14 @@ def test_all_pipeline_operators_handle_empty_inputs(spark):
         "train_ivf_centroids": lambda: similarity.train_ivf_centroids(
             eemb, dim=4, n_planes=2, iters=1
         ),
+        # round-7 phase-3 additions
+        "gopher_rules": lambda: text.gopher_rules(edocs),
+        "build_vocab": lambda: text.build_vocab(edocs),
+        "encode_with_vocab": lambda: text.encode_with_vocab(
+            edocs, text.build_vocab(edocs)
+        ),
+        "line_doc_frequencies": lambda: corpus.line_doc_frequencies(edocs),
+        "remove_boilerplate_lines": lambda: corpus.remove_boilerplate_lines(edocs),
     }
     failures = {}
     for name, build in cases.items():
@@ -973,3 +981,102 @@ def test_pq_validation_and_layout_independence(spark):
     assert sorted((r.id, tuple(r.codes)) for r in a) == sorted(
         (r.id, tuple(r.codes)) for r in b
     )
+
+
+# ------------------------------------------------------------ gopher rules
+
+
+def test_gopher_rules_features_match_python(spark):
+    docs = [
+        (1, "the cat ran to the hill and sat there with a dog now"),
+        (2, "- bullet one\n- bullet two\nplain line ends here..."),
+        (3, "## code ## symbols ## here … and more… trailing"),
+        (4, "1234 5678 %% && !!"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.gopher_rules(df).collect()}
+
+    for doc_id, t in docs:
+        toks = re.split(r"\s+", t.strip())
+        lines = t.split("\n")
+        r = out[doc_id]
+        assert r.n_words == len(toks)
+        assert r.avg_word_len == round(sum(len(w) for w in toks) / len(toks), 6)
+        symbols = t.count("#") + t.count("...") + t.count("…")
+        assert r.symbol_word_ratio == round(symbols / len(toks), 6)
+        assert r.bullet_line_frac == round(
+            sum(bool(re.match(r"^\s*[-*•]", ln)) for ln in lines) / len(lines), 6
+        )
+        assert r.ellipsis_line_frac == round(
+            sum(bool(re.search(r"(\.\.\.|…)\s*$", ln)) for ln in lines) / len(lines), 6
+        )
+        assert r.alpha_word_frac == round(
+            sum(bool(re.search("[A-Za-z]", w)) for w in toks) / len(toks), 6
+        )
+        assert r.stopword_hits == sum(w in toks for w in text.GOPHER_STOPWORDS)
+
+
+def test_gopher_rules_each_threshold_trips(spark):
+    base = "the words keep flowing here with good shape and real text today fine"
+    cases = {
+        1: (base, 1),  # healthy: 13 words, stopwords the/with/and
+        2: ("the and with", 0),  # too few words
+        3: ("a b c d e f g h i j k l m the of", 0),  # mean word len < 3
+        4: (" ".join(["the and with okay fine"] + ["##"] * 9), 0),  # symbols
+        5: ("nice long words entirely missing stopwords here today", 0),
+    }
+    df = spark.createDataFrame(
+        [(k, v[0]) for k, v in cases.items()], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.gopher_pass
+        for r in text.gopher_rules(df, min_words=10, min_stop_hits=2).collect()
+    }
+    assert out == {k: v[1] for k, v in cases.items()}
+
+
+# ----------------------------------------------------- vocab build + encode
+
+
+def test_build_vocab_order_ties_and_truncation(spark):
+    df = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a d c")], "doc_id long, text string"
+    )
+    # counts: a=3, b=3, c=2, d=1; ties break lexicographically
+    rows = text.build_vocab(df, size=3).orderBy("token_id").collect()
+    assert [(r.term, r.cnt, r.token_id) for r in rows] == [
+        ("a", 3, 0),
+        ("b", 3, 1),
+        ("c", 2, 2),
+    ]
+    assert text.build_vocab(df, size=100).count() == 4  # no padding
+    with pytest.raises(ValueError):
+        text.build_vocab(df, size=0)
+
+
+def test_build_vocab_min_count(spark):
+    df = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+    rows = text.build_vocab(df, size=10, min_count=2).collect()
+    assert [(r.term, r.token_id) for r in rows] == [("a", 0)]
+
+
+def test_encode_with_vocab_order_and_unk(spark):
+    df = spark.createDataFrame(
+        [(1, "b a zz a"), (2, "zz yy")], "doc_id long, text string"
+    )
+    vocab = text.build_vocab(df, size=2)  # counts: a=2, zz=2, b=1, yy=1 -> a=0, zz=1
+    out = {r.doc_id: r for r in text.encode_with_vocab(df, vocab, unk_id=-1).collect()}
+    assert out[1].token_ids == [-1, 0, 1, 0]
+    assert (out[1].n_tokens, out[1].n_unk) == (4, 1)
+    assert out[2].token_ids == [1, -1]
+    assert (out[2].n_tokens, out[2].n_unk) == (2, 1)
+
+
+def test_encode_with_vocab_layout_independent(spark):
+    rows = [(i, f"w{i % 5} w{(i + 1) % 7} w{i % 3} common") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = text.build_vocab(df, size=6)
+    a = text.encode_with_vocab(df.repartition(1), vocab)
+    b = text.encode_with_vocab(df.repartition(13, "doc_id"), vocab)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

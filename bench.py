@@ -84,6 +84,10 @@ HEADLINE = [
     "zorder_events_hist",
     "lang_temperature_sample",
     "pq_adc_topk",
+    # added round 7 phase 3 (Gopher rules, boilerplate removal, vocab)
+    "gopher_quality_filter",
+    "boilerplate_line_removal",
+    "vocab_encoded_docs",
 ]
 
 

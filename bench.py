@@ -88,6 +88,7 @@ HEADLINE = [
     "gopher_quality_filter",
     "boilerplate_line_removal",
     "vocab_encoded_docs",
+    "similarity_ivfpq_topk",
 ]
 
 

@@ -117,12 +117,15 @@ def pq_encode(
     dim: int = 64,
     m: int = 8,
     round_digits: int = 6,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode every vector as ``m`` codebook indices: for each subspace,
     the code minimizing the ROUNDED squared L2 distance to the
     subvector (computed in dot form ``<x,x> - 2<x,c> + <c,c>`` so both
     engines fold identically), ties to the smallest code. Returns
-    ``(id, codes: array<int>)`` — the 100 TB-resident representation.
+    ``(id, *keep, codes: array<int>)`` — the 100 TB-resident
+    representation (``keep`` passes extra input columns through, e.g.
+    an IVF cell id).
 
     Scale: codebooks collapse to a single broadcast row; encoding is a
     narrow per-row ``array_sort`` over ``m x k`` struct entries — zero
@@ -157,9 +160,43 @@ def pq_encode(
         return F.element_at(ranked, 1)["code"]
 
     return (
-        emb.select(F.col(id_col).alias("id"), v.alias("__v"))
+        emb.select(F.col(id_col).alias("id"), v.alias("__v"), *[F.col(c) for c in keep])
         .crossJoin(F.broadcast(_books_row(codebooks)))
-        .select("id", F.array(*[best_code(s) for s in range(m)]).alias("codes"))
+        .select(
+            "id", *keep, F.array(*[best_code(s) for s in range(m)]).alias("codes")
+        )
+    )
+
+
+def _lut_entries(q_col, dsub: int):
+    """Per-row LUT over the broadcast ``__books`` list: (sub, code,
+    lut_micros) structs with each entry rounded ONCE to an integer
+    micro-unit — the exact-long-sum convention."""
+    return F.transform(
+        F.col("__books"),
+        lambda b: F.struct(
+            b["sub"].alias("sub"),
+            b["code"].cast("int").alias("code"),
+            F.round(
+                _dot(F.slice(q_col, b["sub"] * dsub + 1, dsub), b["subcentroid"])
+                * 1e6
+            )
+            .cast("long")
+            .alias("lut"),
+        ),
+    )
+
+
+def _adc_score(codes_col, luts_col):
+    """Exact long ADC score: sum of the ``m`` LUT entries matching the
+    row's codes."""
+    return F.aggregate(
+        F.filter(
+            luts_col,
+            lambda e: e["code"] == F.element_at(codes_col, e["sub"].cast("int") + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + e["lut"],
     )
 
 
@@ -203,27 +240,7 @@ def pq_adc_topk(
     luts = (
         queries.select(F.col(id_col).alias("query_id"), qv.alias("__q"))
         .crossJoin(F.broadcast(_books_row(codebooks)))
-        .select(
-            "query_id",
-            F.transform(
-                F.col("__books"),
-                lambda b: F.struct(
-                    b["sub"].alias("sub"),
-                    b["code"].cast("int").alias("code"),
-                    F.round(
-                        _dot(
-                            # __q is captured per-row; slice by the
-                            # entry's own sub index (1-based slice)
-                            F.slice(F.col("__q"), b["sub"] * dsub + 1, dsub),
-                            b["subcentroid"],
-                        )
-                        * 1e6
-                    )
-                    .cast("long")
-                    .alias("lut"),
-                ),
-            ).alias("__luts"),
-        )
+        .select("query_id", _lut_entries(F.col("__q"), dsub).alias("__luts"))
     )
     qrow = luts.agg(
         F.collect_list(F.struct(F.col("query_id"), F.col("__luts"))).alias("__qs")
@@ -238,15 +255,85 @@ def pq_adc_topk(
         .select(
             F.col("__q.query_id").alias("query_id"),
             "neighbor_id",
-            F.aggregate(
-                F.filter(
-                    F.col("__q.__luts"),
-                    lambda e: e["code"]
-                    == F.element_at(F.col("codes"), e["sub"].cast("int") + 1),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, e: acc + e["lut"],
-            ).alias("score_micros"),
+            _adc_score(F.col("codes"), F.col("__q.__luts")).alias("score_micros"),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micros"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score_micros")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    k: int = 5,
+    n_probe: int = 1,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the FAISS-style pairing of the two
+    scale paths: IVF routing bounds WHICH corpus rows are scored (only
+    the probed cells' members) and PQ bounds WHAT is read per row
+    (m small codes instead of dim floats). Corpus vectors route to
+    their single nearest centroid cell and are PQ-encoded in the same
+    narrow pass; each query probes its ``n_probe`` nearest cells and
+    precomputes one integer-micro LUT; scoring is the exact long ADC
+    sum, restricted to probed-cell members by a broadcast equi-join on
+    the cell key. Returns ``(query_id, neighbor_id, rank,
+    score_micros)``.
+
+    Recall contract: misses compound — a true neighbor outside the
+    probed cells is never scored (IVF term), and within-cell ranking
+    error is bounded by the quantization error (PQ term). Both dials
+    (``n_probe``, codebook size) trade recall for cost independently.
+
+    Scale: ONE corpus scan (routing + encoding fuse into a single
+    narrow stage over two broadcast rows — centroids and codebooks);
+    the cell join broadcasts |queries| x n_probe LUT rows, so the
+    corpus never shuffles; the per-query top-k rank is the only
+    shuffle. With a cell-partitioned persisted index (write_ivf_index)
+    the scan itself prunes to the probed fraction.
+    """
+    from renkodf_spark.operators.similarity import _probe_cells, nearest_centroid
+
+    dsub = _check_geometry(dim, m)
+    if k <= 0 or n_probe <= 0:
+        raise ValueError(f"k and n_probe must be positive, got k={k}, n_probe={n_probe}")
+
+    routed = nearest_centroid(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    enc = pq_encode(
+        routed, codebooks, id_col="id", vec_col="vec", dim=dim, m=m, keep=("cell",)
+    )
+    qluts = (
+        _probe_cells(
+            queries,
+            centroids,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_probe=n_probe,
+            round_digits=6,
+        )
+        .select(F.col("id").alias("query_id"), F.col("vec").alias("__q"), "cell")
+        .crossJoin(F.broadcast(_books_row(codebooks)))
+        .select("query_id", "cell", _lut_entries(F.col("__q"), dsub).alias("__luts"))
+    )
+    scored = (
+        enc.join(F.broadcast(qluts), "cell")
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            _adc_score(F.col("codes"), F.col("__luts")).alias("score_micros"),
         )
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )

@@ -38,6 +38,7 @@ _PRIORITY = [
     "boilerplate_line_removal",
     "vocab_top_terms",
     "vocab_encoded_docs",
+    "similarity_ivfpq_topk",
     # -- new in round 7: decontamination, semantic dedup, unigram-LM
     #    quality, z-order layout (never had a gate row)
     "decontamination_report",

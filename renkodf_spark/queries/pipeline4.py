@@ -12,8 +12,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from renkodf_spark.operators import corpus, text
-from renkodf_spark.queries.pipeline import _docs
+from renkodf_spark.operators import corpus, pq, similarity, text
+from renkodf_spark.queries.pipeline import _docs, _emb
+from renkodf_spark.queries.pipeline2 import _IVF_DIM
+from renkodf_spark.queries.pipeline3 import _PQ_ASSIGN_CTES, _PQ_DSUB, _PQ_M
 from renkodf_spark.queries.registry import query
 
 # --------------------------------------------------------- Gopher rules
@@ -222,4 +224,85 @@ def vocab_encoded_docs(spark, sf_dir):
                 F.transform("token_ids", lambda x: x.cast("string")), ","
             )
         ).alias("ids_digest"),
+    )
+
+
+# ----------------------------------------------------------------- IVF-PQ
+
+_IVFPQ_NPROBE = 2
+_IVFPQ_K = 5
+
+# routing replay (rounded cosine, ties to smallest cell — the
+# nearest_centroid convention) composed with pipeline3's codebook /
+# encode CTEs; the full-dim cell centroids are re-derived from the same
+# per-(code, dim) means the subspace books regroup
+_IVFPQ_ROUTE_RANK = """
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY ROUND(list_dot_product(v.v, c.cv)
+                            / (sqrt(list_dot_product(v.v, v.v))
+                               * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                      c.cell) AS rk
+"""
+
+_IVFPQ_ORACLE = (
+    _PQ_ASSIGN_CTES
+    + f""",
+cents AS (SELECT code AS cell, LIST(mval ORDER BY i) AS cv FROM mm GROUP BY 1),
+crt AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cell, {_IVFPQ_ROUTE_RANK}
+    FROM vecs v CROSS JOIN cents c)
+  WHERE rk = 1),
+qrt AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT v.vec_id, c.cell, {_IVFPQ_ROUTE_RANK}
+    FROM vecs v CROSS JOIN cents c
+    WHERE v.vec_id < 5)
+  WHERE rk <= {_IVFPQ_NPROBE}),
+qlut AS (
+  SELECT q.query_id, q.cell AS qcell, b.sub, CAST(b.code AS INT) AS code,
+         CAST(ROUND(list_dot_product(
+             v.v[b.sub * {_PQ_DSUB} + 1 : (b.sub + 1) * {_PQ_DSUB}], b.cv) * 1e6)
+           AS BIGINT) AS lutv
+  FROM qrt q JOIN vecs v ON v.vec_id = q.query_id CROSS JOIN books b),
+scored AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id, SUM(l.lutv) AS score_micros
+  FROM codes c
+  JOIN crt r ON r.vec_id = c.vec_id
+  JOIN qlut l ON r.cell = l.qcell AND c.sub = l.sub AND c.code = l.code
+  WHERE c.vec_id <> l.query_id
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, neighbor_id, CAST(score_micros AS BIGINT) AS score_micros,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_micros DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, score_micros
+FROM ranked WHERE rank <= {_IVFPQ_K}
+"""
+)
+
+
+@query(
+    "similarity_ivfpq_topk",
+    oracle=_IVFPQ_ORACLE,
+    doc="IVF-PQ top-5 (FAISS-style composition): IVF routing bounds "
+    "which rows are scored (n_probe=2 cells per query), PQ bounds what "
+    "is read per row (8 codes, exact long ADC sums) — one fused corpus "
+    "scan, broadcast cell join, zero corpus shuffle.",
+)
+def similarity_ivfpq_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cents = similarity.embedding_centroids(emb, dim=_IVF_DIM)
+    books = pq.pq_codebooks(emb, dim=_IVF_DIM, m=_PQ_M).cache()
+    return pq.ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        cents,
+        books,
+        dim=_IVF_DIM,
+        m=_PQ_M,
+        k=_IVFPQ_K,
+        n_probe=_IVFPQ_NPROBE,
     )

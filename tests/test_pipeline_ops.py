@@ -1080,3 +1080,53 @@ def test_encode_with_vocab_layout_independent(spark):
     a = text.encode_with_vocab(df.repartition(1), vocab)
     b = text.encode_with_vocab(df.repartition(13, "doc_id"), vocab)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ivfpq_probe_all_equals_plain_adc(spark):
+    """With every cell probed, IVF routing prunes nothing and IVF-PQ
+    must reproduce plain PQ ADC exactly (same scores, same ranks)."""
+    from renkodf_spark.operators import pq
+
+    emb = _pq_fixture(spark)
+    cents = similarity.embedding_centroids(emb, dim=4)
+    books = pq.pq_codebooks(emb, dim=4, m=2)
+    q = emb.filter(F.col("vec_id") < 2)
+    full = pq.ivfpq_topk(emb, q, cents, books, dim=4, m=2, k=4, n_probe=2)
+    codes = pq.pq_encode(emb, books, dim=4, m=2)
+    plain = pq.pq_adc_topk(codes, q, books, dim=4, m=2, k=4)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_ivfpq_neighbors_come_only_from_probed_cells(spark):
+    from renkodf_spark.operators import pq
+    from renkodf_spark.operators.similarity import _probe_cells, nearest_centroid
+
+    emb = _pq_fixture(spark)
+    cents = similarity.embedding_centroids(emb, dim=4)
+    books = pq.pq_codebooks(emb, dim=4, m=2)
+    q = emb.filter(F.col("vec_id") == 0)
+    out = pq.ivfpq_topk(emb, q, cents, books, dim=4, m=2, k=5, n_probe=1)
+    probed = {
+        r.cell
+        for r in _probe_cells(
+            q, cents, id_col="vec_id", vec_col="embedding", n_probe=1, round_digits=6
+        ).collect()
+    }
+    corpus_cells = {r.id: r.cell for r in nearest_centroid(emb, cents).collect()}
+    neighbors = [r.neighbor_id for r in out.collect()]
+    assert neighbors  # the probed cell is non-trivial
+    assert all(corpus_cells[n] in probed for n in neighbors)
+    # vec 0 (cell 0 with n_probe=1) must not see the cell-1 members
+    assert set(neighbors) == {1}
+
+
+def test_ivfpq_validation(spark):
+    from renkodf_spark.operators import pq
+
+    emb = _pq_fixture(spark)
+    cents = similarity.embedding_centroids(emb, dim=4)
+    books = pq.pq_codebooks(emb, dim=4, m=2)
+    with pytest.raises(ValueError):
+        pq.ivfpq_topk(emb, emb, cents, books, dim=4, m=2, k=0)
+    with pytest.raises(ValueError):
+        pq.ivfpq_topk(emb, emb, cents, books, dim=4, m=2, n_probe=0)

@@ -12,7 +12,7 @@ of the recurrence, and additionally differential-tested bit-exact
 against the reference in tests/test_vs_reference.py), the full
 relational Part-B surface, and the training-data pipeline extensions
 (dedup / similarity / text / corpus curation / multimodal) — every
-registered query (103/103) carries a DuckDB oracle; see the latest
+registered query carries a DuckDB oracle; see the latest
 CORRECTNESS_r{N}.json / scripts/check_entry.py sweep for the gate.
 """
 

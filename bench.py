@@ -89,6 +89,13 @@ HEADLINE = [
     "boilerplate_line_removal",
     "vocab_encoded_docs",
     "similarity_ivfpq_topk",
+    # added round 7 phase 4 (quality-aware keep, perplexity buckets,
+    # Bloom membership, DSIR, per-source stats)
+    "dedup_keep_best",
+    "perplexity_buckets",
+    "bloom_membership",
+    "dsir_weights_en",
+    "source_quality_report",
 ]
 
 

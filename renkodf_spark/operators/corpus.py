@@ -567,19 +567,22 @@ def _norm_gram_tokens(text_col: str):
     return F.split(norm, " ")
 
 
-def _gram_digests(text_col: str, n: int):
-    """Array of md5 digests of the overlapping normalized n-grams of
-    ``text_col`` (empty for docs shorter than ``n`` tokens). The digest
-    keeps join keys at 32 bytes regardless of ``n``."""
-    toks = _norm_gram_tokens(text_col)
+def _gram_digests_from(toks_col, n: int):
+    """Array of md5 digests of the overlapping ``n``-grams of a
+    MATERIALIZED token-array column (empty for docs shorter than ``n``
+    tokens). The digest keeps join keys at 32 bytes regardless of
+    ``n``. Callers must project :func:`_norm_gram_tokens` into a bound
+    column first: a lambda that inlines the tokenization expression
+    re-evaluates the O(len) regex pipeline once per ELEMENT — measured
+    10x slower on the gate corpus."""
     idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+        F.size(toks_col) >= n, F.sequence(F.lit(0), F.size(toks_col) - F.lit(n))
     ).otherwise(F.array().cast("array<int>"))
 
     # closure (not a 2-arg lambda): F.transform dispatches on arity and
     # a second parameter would become the element index
     def _at(i):
-        return F.md5(F.array_join(F.slice(toks, i + 1, n), " "))
+        return F.md5(F.array_join(F.slice(toks_col, i + 1, n), " "))
 
     return F.transform(idx, _at)
 
@@ -618,14 +621,14 @@ def contamination(
     eval_grams = (
         eval_df.select(
             F.col(eval_id_col).alias("__eval_id"),
-            F.explode(_gram_digests(eval_text_col, n)).alias("__gram"),
+            _norm_gram_tokens(eval_text_col).alias("__t"),
         )
+        .select("__eval_id", F.explode(_gram_digests_from(F.col("__t"), n)).alias("__gram"))
         .distinct()
     )
     train_grams = train.select(
-        F.col(id_col),
-        F.explode(_gram_digests(text_col, n)).alias("__gram"),
-    )
+        F.col(id_col), _norm_gram_tokens(text_col).alias("__t")
+    ).select(id_col, F.explode(_gram_digests_from(F.col("__t"), n)).alias("__gram"))
     hits = train_grams.join(F.broadcast(eval_grams), "__gram")
     return hits.groupBy(id_col).agg(
         F.countDistinct("__gram").alias("n_hit_grams"),
@@ -838,5 +841,214 @@ def remove_boilerplate_lines(
             "n_lines_kept",
             "n_lines_removed",
             "clean_text",
+        )
+    )
+
+
+# ------------------------------------------------- DSIR importance weights
+
+
+def _hashed_bucket_grams(toks_col, n_buckets: int):
+    """Array of hashed n-gram feature buckets (unigrams + bigrams, with
+    multiplicity) over a MATERIALIZED token-array column: bucket = the
+    first 8 hex chars of the gram's md5 digest mod ``n_buckets`` — a
+    positive 32-bit integer in any engine.
+
+    Takes a bound column (not the raw text) on purpose: a lambda that
+    inlines the tokenization expression re-evaluates the O(len) regex
+    pipeline once per ELEMENT (measured 10x on the gate corpus);
+    tokenizing once per row in the projection below keeps the
+    per-gram work at one md5. Bigrams index with ``element_at``
+    (O(1)) instead of slice+join, and the index sequence is guarded:
+    ``sequence(1, size-1)`` DESCENDS for single-token docs."""
+    to_bucket = lambda d: F.pmod(  # noqa: E731
+        F.conv(F.substring(d, 1, 8), 16, 10).cast("long"), F.lit(n_buckets)
+    )
+    uni = F.transform(toks_col, lambda x: to_bucket(F.md5(x)))
+    bi = F.when(
+        F.size(toks_col) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks_col) - 1),
+            lambda i: to_bucket(
+                F.md5(
+                    F.concat_ws(
+                        " ", F.element_at(toks_col, i), F.element_at(toks_col, i + 1)
+                    )
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return F.concat(uni, bi)
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_text_col: str = "text",
+    n_buckets: int = 16384,
+    alpha: int = 1,
+) -> DataFrame:
+    """DSIR (Xie et al. 2023) importance weights: score every raw
+    document by how target-like its hashed n-gram bag is —
+    ``log w(x) = Σ_g [log p_target(b(g)) - log p_raw(b(g))]`` with
+    unigram+bigram features hashed into ``n_buckets`` buckets and
+    add-``alpha`` smoothed bucket unigram models fit on the target and
+    raw corpora. High weight = looks like the target distribution;
+    selecting top-weight (or importance-resampling by weight) docs is
+    the standard "make 100 TB of crawl look like Wikipedia" move.
+
+    Cross-engine exactness: the per-BUCKET log-ratio is rounded once to
+    integer micro-nats (the same integer-log convention as
+    ``text.unigram_logprob``), so every per-doc sum is exact long
+    arithmetic in any association. Docs with no grams get weight 0.
+
+    Output: ``(id_col, n_grams, weight_micros, avg_weight)``.
+
+    Scale shape: two bucket-count aggregations (one per corpus, keyed
+    on ≤ ``n_buckets`` values — map-side combinable, the text payload
+    never shuffles), two scalar totals broadcast as one row each, and
+    the scoring join is doc-gram rows against the ≤ ``n_buckets``-row
+    model — broadcastable — followed by the per-doc fold keyed on the
+    id the rows already carry. The raw corpus is scanned twice (model
+    fit + scoring); persist the ≤ n_buckets-row model to make re-scores
+    one scan.
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    doc_grams = raw.select(
+        F.col(id_col).alias("id"), _norm_gram_tokens(text_col).alias("__t")
+    ).select("id", F.explode(_hashed_bucket_grams(F.col("__t"), n_buckets)).alias("bucket"))
+    raw_counts = doc_grams.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_counts = (
+        target.select(_norm_gram_tokens(target_text_col).alias("__t"))
+        .select(F.explode(_hashed_bucket_grams(F.col("__t"), n_buckets)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    raw_tot = raw_counts.agg(F.sum("cr").alias("__Tr"))
+    tgt_tot = tgt_counts.agg(F.sum("ct").alias("__Tt"))
+    b = F.lit(alpha * n_buckets)
+    lr_micros = F.round(
+        (
+            F.log((F.coalesce(F.col("ct"), F.lit(0)) + alpha) / (F.col("__Tt") + b))
+            - F.log((F.col("cr") + alpha) / (F.col("__Tr") + b))
+        )
+        * 1e6
+    ).cast("long")
+    model = (
+        raw_counts.join(tgt_counts, "bucket", "left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select("bucket", lr_micros.alias("__lr"))
+    )
+    scored = (
+        doc_grams.join(F.broadcast(model), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("__lr").cast("long").alias("weight_micros"),
+        )
+    )
+    return (
+        raw.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("weight_micros", F.lit(0).cast("long")).alias("weight_micros"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0.0)
+            )
+            .otherwise(F.round(F.col("weight_micros") / (F.col("n_grams") * F.lit(1e6)), 6))
+            .alias("avg_weight"),
+        )
+    )
+
+
+def dsir_top_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    keep: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_text_col: str = "text",
+    n_buckets: int = 16384,
+    alpha: int = 1,
+) -> DataFrame:
+    """DSIR selection: the ``keep`` highest-importance-weight documents
+    (ties toward the smallest id). ``orderBy().limit()`` compiles to
+    TakeOrdered — per-partition top-``keep`` heaps merged on the
+    driver, no global sort — so selection adds nothing to the
+    :func:`dsir_weights` cost. Returns the weight columns so the
+    selection is auditable."""
+    if keep <= 0:
+        raise ValueError(f"keep must be positive, got {keep}")
+    w = dsir_weights(
+        raw,
+        target,
+        text_col=text_col,
+        id_col=id_col,
+        target_text_col=target_text_col,
+        n_buckets=n_buckets,
+        alpha=alpha,
+    )
+    return w.orderBy(F.col("weight_micros").desc(), F.col(id_col)).limit(keep)
+
+
+# ------------------------------------------------- per-source curation stats
+
+
+def source_quality_report(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source (domain / crawl / feed) curation dashboard: document
+    count, distinct languages, mean and exact median document length,
+    and the exact-duplicate rate (fraction of the source's docs whose
+    normalized text digest appears more than once ANYWHERE in the
+    corpus — a source full of mirrors scores high even when the
+    originals live elsewhere). This is the table a curation pipeline
+    ranks to decide which domains to down-weight or drop.
+
+    Output: ``(source, n_docs, n_langs, avg_chars, p50_chars,
+    dup_frac)``.
+
+    Scale shape: one digest-count aggregation (map-side combinable,
+    32-byte keys) joined back broadcast-eligible only when the dup set
+    is small — the general path is an equi-join on the digest the rows
+    already carry — then one aggregation keyed on the (low-cardinality)
+    source. The text payload itself never shuffles; only digests and
+    lengths do. The exact median is a per-source ``percentile`` — at
+    extreme per-source cardinality swap for ``approx_percentile``.
+    """
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        F.length(F.col(text_col)).cast("long").alias("__len"),
+        F.md5(F.lower(F.trim(F.col(text_col)))).alias("__digest"),
+    )
+    dup_counts = keyed.groupBy("__digest").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        keyed.join(dup_counts, "__digest")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.round(F.avg("__len"), 4).alias("avg_chars"),
+            F.round(F.percentile("__len", F.lit(0.5)), 4).alias("p50_chars"),
+            F.round(F.sum((F.col("__n") > 1).cast("int")) / F.count(F.lit(1)), 6).alias(
+                "dup_frac"
+            ),
         )
     )

@@ -543,3 +543,49 @@ def simhash(
         lambda acc, x: acc + x,
     )
     return df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+
+
+def cluster_representatives(
+    docs: DataFrame,
+    labels: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+) -> DataFrame:
+    """Quality-aware dedup keep: given per-doc cluster labels (from
+    :func:`cluster_labels`), pick ONE representative per near-dup
+    cluster — the member with the highest ``score_col`` (ties broken
+    toward the smallest id) — instead of the naive "keep the lowest
+    id" policy. This is the real decision a dedup pipeline makes: when
+    five crawls of the same page survive LSH, keep the longest /
+    highest-quality capture and drop the rest.
+
+    Output: one row per doc ``(id_col, cluster_id, keep_id,
+    cluster_size, is_kept)`` — downstream keeps ``is_kept = 1``.
+
+    Scale shape: the join of labels with the (id, score) projection is
+    an equi-join on the id key; the representative election is a
+    map-side-combinable ``max_by`` aggregation on ``cluster_id`` (no
+    window, no sort — ``max_by(id, struct(score, -id))`` reduces
+    pairwise, so each partition sends one candidate per cluster); the
+    final fan-back-out is another equi-join on ``cluster_id``. The doc
+    payload never moves — only (id, cluster, score) triples shuffle.
+    """
+    scored = labels.join(
+        docs.select(F.col(id_col).alias("id"), F.col(score_col).cast("long").alias("__score")),
+        "id",
+    )
+    reps = scored.groupBy("cluster_id").agg(
+        # lexicographic struct max = highest score, then smallest id
+        F.max_by("id", F.struct(F.col("__score"), (-F.col("id")).alias("__nid"))).alias(
+            "keep_id"
+        ),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return scored.join(reps, "cluster_id").select(
+        F.col("id").alias(id_col),
+        "cluster_id",
+        "keep_id",
+        "cluster_size",
+        (F.col("id") == F.col("keep_id")).cast("int").alias("is_kept"),
+    )

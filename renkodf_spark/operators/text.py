@@ -462,3 +462,63 @@ def unigram_logprob(
             ),
         )
     )
+
+
+def logprob_buckets(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+    alpha: int = 1,
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing: score every doc
+    with :func:`unigram_logprob` and split each language into
+    ``n_buckets`` equal-population tiers by mean token log-prob —
+    bucket 1 ("head") is the most model-typical text, the last bucket
+    ("tail") the least. CCNet (Wenzek et al. 2020) keeps head+middle
+    as the clean crawl subset; the bucket column is the dial.
+
+    Ordering is cross-engine exact: the sort key is the IEEE-double
+    quotient of two exact longs (``sum_logp_micros / n_tokens`` —
+    identical in any engine), descending, with ``id_col`` as the total
+    tie-break, and ``ntile`` over that total order is deterministic.
+
+    Output: ``(id_col, lang, n_tokens, avg_logp, bucket, tier)`` with
+    ``tier`` one of head/middle/tail when ``n_buckets == 3``, else
+    ``b<k>``.
+
+    Scale shape: the unigram model costs what it costs (see
+    :func:`unigram_logprob` — the text payload never shuffles); the
+    bucketing window sees only the 4-column (id, lang, long, long)
+    score relation, never the document payload. The per-language sort
+    is the exact-quantile price — at extreme scale swap ``ntile`` for
+    approx-percentile cutoffs per language and a narrow comparison
+    (same output contract, rank precision traded for parallelism).
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    from pyspark.sql import Window
+
+    scores = unigram_logprob(df, text_col=text_col, id_col=id_col, alpha=alpha)
+    scored = scores.join(df.select(id_col, lang_col), id_col)
+    order_key = F.col("sum_logp_micros") / F.col("n_tokens")
+    w = Window.partitionBy(lang_col).orderBy(order_key.desc(), F.col(id_col))
+    bucket = F.ntile(n_buckets).over(w)
+    if n_buckets == 3:
+        tier = (
+            F.when(bucket == 1, F.lit("head"))
+            .when(bucket == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+    else:
+        tier = F.concat(F.lit("b"), bucket.cast("string"))
+    return scored.select(
+        id_col,
+        lang_col,
+        "n_tokens",
+        "avg_logp",
+        bucket.alias("bucket"),
+        tier.alias("tier"),
+    )

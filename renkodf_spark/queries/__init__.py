@@ -23,6 +23,7 @@ from renkodf_spark.queries import pipeline  # noqa: F401
 from renkodf_spark.queries import pipeline2  # noqa: F401
 from renkodf_spark.queries import pipeline3  # noqa: F401
 from renkodf_spark.queries import pipeline4  # noqa: F401
+from renkodf_spark.queries import pipeline5  # noqa: F401
 
 # Gate-window priority (see module docstring). Rotation policy (ADVICE
 # r2, applied every round): queries that never had a gate row, plus
@@ -32,6 +33,16 @@ from renkodf_spark.queries import pipeline4  # noqa: F401
 # full-registry sweep so freshness never depends on the window at all.
 # Names not listed keep their module registration order after these.
 _PRIORITY = [
+    # -- new in round 7 phase 4: quality-aware dedup keep, CCNet
+    #    perplexity buckets, Bloom membership sketch, DSIR weights,
+    #    per-source curation stats (never had a gate row)
+    "dedup_keep_best",
+    "perplexity_buckets",
+    "bloom_membership",
+    "bloom_fill_stats",
+    "dsir_weights_en",
+    "dsir_top_sample",
+    "source_quality_report",
     # -- new in round 7 phase 3: Gopher rules, boilerplate line
     #    removal, vocab build + encode (never had a gate row)
     "gopher_quality_filter",

@@ -1,0 +1,334 @@
+"""Round-7 phase-4 training-pipeline gate queries: quality-aware dedup
+keep (cluster representatives), CCNet perplexity bucketing, Bloom-filter
+membership sketches, DSIR importance resampling, and per-source
+curation stats.
+
+Oracles follow the house conventions (pipeline.py..pipeline4.py):
+md5-derived integers via the ``('0x' || substr(md5(x), 1, 8))::BIGINT``
+↔ ``F.conv(F.substring(F.md5(x), 1, 8), 16, 10)`` pair, per-term /
+per-bucket log values ROUNDed once to integer micro-nats so distributed
+sums are exact, and ``quantile_cont`` ↔ ``F.percentile`` for exact
+interpolated percentiles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from renkodf_spark.functions import bloom
+from renkodf_spark.operators import corpus, dedup, text
+from renkodf_spark.queries.pipeline import _PAIRS_CTES, _docs, _shared_pairs
+from renkodf_spark.queries.registry import query
+
+# ------------------------------------------- quality-aware dedup keep
+
+# the recursive min-label walk from dedup_cluster_labels, as CTEs, plus
+# the representative election: highest n_chars, ties to smallest id
+_KEEP_ORACLE = (
+    _PAIRS_CTES.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """,
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk(id, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.node
+),
+labels AS (SELECT id, MIN(node) AS cluster_id FROM walk GROUP BY id),
+scored AS (
+  SELECT l.id, l.cluster_id, d.n_chars::BIGINT AS score
+  FROM labels l JOIN documents d ON d.doc_id = l.id),
+reps AS (
+  SELECT cluster_id, id AS keep_id, cluster_size
+  FROM (SELECT cluster_id, id, score,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY score DESC, id) AS rn,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM scored)
+  WHERE rn = 1)
+SELECT s.id AS doc_id, s.cluster_id, r.keep_id,
+       r.cluster_size::BIGINT AS cluster_size,
+       (s.id = r.keep_id)::INT AS is_kept
+FROM scored s JOIN reps r USING (cluster_id)
+"""
+)
+
+
+@query(
+    "dedup_keep_best",
+    oracle=_KEEP_ORACLE,
+    doc="quality-aware dedup keep: one representative per LSH near-dup "
+    "cluster, elected by highest n_chars (ties to smallest id) via a "
+    "map-side-combinable max_by — the real keep/drop decision, instead "
+    "of the naive lowest-id policy; payload never shuffles.",
+)
+def dedup_keep_best(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    labels = dedup.cluster_labels(docs, _shared_pairs(spark, sf_dir))
+    return dedup.cluster_representatives(docs, labels)
+
+
+# ------------------------------------------- CCNet perplexity buckets
+
+# unigram-LM CTEs (same integer micro-nat replay as unigram_doc_quality
+# in pipeline3.py) + per-language NTILE over the exact-long quotient
+_BUCKETS_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+prs AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM prs GROUP BY 1, 2),
+counts AS (SELECT term, SUM(tf) AS cnt FROM tf GROUP BY 1),
+tot AS (SELECT SUM(cnt) AS T, COUNT(*) AS V FROM counts),
+model AS (
+  SELECT term,
+         CAST(ROUND(ln((cnt + 1) / (T + 1 * V)) * 1e6) AS BIGINT) AS lp
+  FROM counts CROSS JOIN tot),
+scores AS (
+  SELECT tf.doc_id,
+         CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         CAST(SUM(tf * lp) AS BIGINT) AS s
+  FROM tf JOIN model USING (term) GROUP BY 1)
+SELECT s.doc_id, d.lang, s.n_tokens,
+       ROUND(s.s / (s.n_tokens * 1e6), 6) AS avg_logp,
+       NTILE(3) OVER (PARTITION BY d.lang
+                      ORDER BY s.s::DOUBLE / s.n_tokens DESC, s.doc_id)
+         AS bucket,
+       CASE NTILE(3) OVER (PARTITION BY d.lang
+                           ORDER BY s.s::DOUBLE / s.n_tokens DESC, s.doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier
+FROM scores s JOIN documents d USING (doc_id)
+"""
+
+
+@query(
+    "perplexity_buckets",
+    oracle=_BUCKETS_ORACLE,
+    doc="CCNet head/middle/tail: per-language equal-population terciles "
+    "of the unigram-LM mean log-prob; the ntile window sees only the "
+    "4-column score relation (id, lang, two exact longs), never the "
+    "document payload, and its sort key is the IEEE quotient of two "
+    "exact longs with the doc id as total tie-break.",
+)
+def perplexity_buckets(spark, sf_dir):
+    return text.logprob_buckets(_docs(spark, sf_dir))
+
+
+# ------------------------------------------- Bloom membership sketch
+
+_BLOOM_BITS = 1024
+_BLOOM_K = 3
+_BLOOM_SPLIT = 250  # doc_id < split = the ingested history
+
+# sized small on purpose: at ~250 distinct history keys the fill is
+# ~0.5, so the gate exercises true positives, true negatives AND the
+# false-positive path (one-sided error: never a false negative)
+_BLOOM_CTES = f"""
+WITH keys AS (
+  SELECT doc_id, md5(lower(trim(text))) AS kk FROM documents),
+hist AS (SELECT DISTINCT kk FROM keys WHERE doc_id < {_BLOOM_SPLIT}),
+hpos AS (
+  SELECT (('0x' || substr(md5(kk), 1, 8))::BIGINT
+          + i * ('0x' || substr(md5(kk), 9, 8))::BIGINT) % {_BLOOM_BITS} AS pos
+  FROM (SELECT kk, unnest(range(0, {_BLOOM_K})) AS i FROM hist)),
+sketch AS (
+  SELECT pos // 32 AS word_idx, bit_or(1::BIGINT << (pos % 32)::INT) AS bits
+  FROM hpos GROUP BY 1)
+"""
+
+_BLOOM_MEMBER_ORACLE = (
+    _BLOOM_CTES
+    + f""",
+pr AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(kk), 1, 8))::BIGINT
+          + i * ('0x' || substr(md5(kk), 9, 8))::BIGINT) % {_BLOOM_BITS} AS pos
+  FROM (SELECT doc_id, kk, unnest(range(0, {_BLOOM_K})) AS i FROM keys)),
+hits AS (
+  SELECT doc_id,
+         CASE WHEN s.bits IS NULL THEN 0
+              WHEN (s.bits & (1::BIGINT << (p.pos % 32)::INT))
+                   = (1::BIGINT << (p.pos % 32)::INT) THEN 1
+              ELSE 0 END AS h
+  FROM pr p LEFT JOIN sketch s ON s.word_idx = p.pos // 32),
+mem AS (SELECT doc_id, MIN(h) AS might_contain FROM hits GROUP BY 1)
+SELECT m.doc_id, m.might_contain,
+       (k.kk IN (SELECT kk FROM hist))::INT AS in_history
+FROM mem m JOIN keys k USING (doc_id)
+"""
+)
+
+
+def _bloom_keys(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("key")
+    )
+
+
+@query(
+    "bloom_membership",
+    oracle=_BLOOM_MEMBER_ORACLE,
+    doc="Bloom-sketch membership probe: history (doc_id < 250) digests "
+    "summarized into a 1024-bit mergeable sketch (Kirsch-Mitzenmacher "
+    "double hashing off md5, 32-bit words in BIGINT), every doc probed "
+    "via a broadcast join against the <=32-row sketch. Emits the exact "
+    "membership flag beside the probe so the gate pins the one-sided "
+    "error: might_contain >= in_history row-by-row.",
+)
+def bloom_membership(spark, sf_dir):
+    keys = _bloom_keys(spark, sf_dir)
+    hist_keys = keys.filter(F.col("doc_id") < _BLOOM_SPLIT).select("key").distinct()
+    sketch = _bloom_sketch(spark, sf_dir)
+    mem = bloom.bloom_might_contain(
+        keys, sketch, "key", id_col="doc_id", n_bits=_BLOOM_BITS, k=_BLOOM_K
+    )
+    in_hist = keys.join(
+        F.broadcast(hist_keys.withColumn("__h", F.lit(1))), "key", "left"
+    ).select("doc_id", F.coalesce("__h", F.lit(0)).alias("in_history"))
+    return mem.join(in_hist, "doc_id")
+
+
+def _bloom_sketch(spark, sf_dir):
+    keys = _bloom_keys(spark, sf_dir)
+    hist = keys.filter(F.col("doc_id") < _BLOOM_SPLIT).select("key").distinct()
+    return bloom.bloom_build(hist, "key", n_bits=_BLOOM_BITS, k=_BLOOM_K)
+
+
+_BLOOM_STATS_ORACLE = (
+    _BLOOM_CTES
+    + f"""
+SELECT CAST(SUM(bit_count(bits)) AS BIGINT) AS set_bits,
+       ROUND(SUM(bit_count(bits)) / {_BLOOM_BITS}, 6) AS fill_frac,
+       ROUND(pow(SUM(bit_count(bits)) / {_BLOOM_BITS}, {_BLOOM_K}), 6) AS est_fpp
+FROM sketch
+"""
+)
+
+
+@query(
+    "bloom_fill_stats",
+    oracle=_BLOOM_STATS_ORACLE,
+    doc="Bloom sketch health: set-bit count, fill fraction, implied "
+    "false-positive rate fill^k — the resize dial for the membership "
+    "sketch.",
+)
+def bloom_fill_stats(spark, sf_dir):
+    return bloom.bloom_stats(_bloom_sketch(spark, sf_dir), n_bits=_BLOOM_BITS, k=_BLOOM_K)
+
+
+# ------------------------------------------- DSIR importance weights
+
+_DSIR_BUCKETS = 4096
+_DSIR_KEEP = 100
+
+# hashed unigram+bigram bag over the shared normalized tokens; target =
+# the English slice of the corpus (deterministic, needs no fixture)
+_DSIR_CTES = rf"""
+WITH nt AS (
+  SELECT doc_id, lang,
+         string_split(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+gr AS (
+  SELECT doc_id,
+         ('0x' || substr(g, 1, 8))::BIGINT % {_DSIR_BUCKETS} AS bucket
+  FROM (SELECT doc_id,
+               unnest(list_concat(
+                 list_transform(t, x -> md5(x)),
+                 list_transform(range(1, len(t)),
+                                i -> md5(t[i] || ' ' || t[i + 1])))) AS g
+        FROM nt)),
+tg AS (
+  SELECT ('0x' || substr(g, 1, 8))::BIGINT % {_DSIR_BUCKETS} AS bucket
+  FROM (SELECT unnest(list_concat(
+                 list_transform(t, x -> md5(x)),
+                 list_transform(range(1, len(t)),
+                                i -> md5(t[i] || ' ' || t[i + 1])))) AS g
+        FROM nt WHERE lang = 'en')),
+rc AS (SELECT bucket, COUNT(*) AS cr FROM gr GROUP BY 1),
+tc AS (SELECT bucket, COUNT(*) AS ct FROM tg GROUP BY 1),
+tot AS (SELECT (SELECT SUM(cr) FROM rc) AS Tr, (SELECT SUM(ct) FROM tc) AS Tt),
+model AS (
+  SELECT rc.bucket,
+         CAST(ROUND((ln((coalesce(ct, 0) + 1) / (Tt + {_DSIR_BUCKETS}))
+                     - ln((cr + 1) / (Tr + {_DSIR_BUCKETS}))) * 1e6) AS BIGINT)
+           AS lr
+  FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot),
+sc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(lr) AS BIGINT) AS weight_micros
+  FROM gr JOIN model USING (bucket) GROUP BY 1),
+wts AS (
+  SELECT d.doc_id,
+         coalesce(sc.n_grams, 0)::BIGINT AS n_grams,
+         coalesce(sc.weight_micros, 0)::BIGINT AS weight_micros,
+         CASE WHEN coalesce(sc.n_grams, 0) = 0 THEN 0.0
+              ELSE ROUND(sc.weight_micros / (sc.n_grams * 1e6), 6) END
+           AS avg_weight
+  FROM documents d LEFT JOIN sc USING (doc_id))
+"""
+
+
+def _dsir_args(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs, docs.filter(F.col("lang") == "en")
+
+
+@query(
+    "dsir_weights_en",
+    oracle=_DSIR_CTES + "SELECT doc_id, n_grams, weight_micros, avg_weight FROM wts",
+    doc="DSIR importance weights (Xie et al. 2023): hashed unigram+"
+    "bigram bag, add-1-smoothed bucket LMs for target (the English "
+    "slice) vs raw, per-bucket log-ratio rounded once to integer "
+    "micro-nats so per-doc sums are exact longs; the <=4096-row model "
+    "broadcasts and the corpus text never shuffles.",
+)
+def dsir_weights_en(spark, sf_dir):
+    raw, target = _dsir_args(spark, sf_dir)
+    return corpus.dsir_weights(raw, target, n_buckets=_DSIR_BUCKETS)
+
+
+@query(
+    "dsir_top_sample",
+    oracle=_DSIR_CTES
+    + f"""
+SELECT doc_id, n_grams, weight_micros, avg_weight FROM wts
+ORDER BY weight_micros DESC, doc_id LIMIT {_DSIR_KEEP}
+""",
+    doc="DSIR selection: top-100 docs by importance weight (ties to "
+    "smallest id) via TakeOrdered — per-partition heaps, no global "
+    "sort.",
+)
+def dsir_top_sample(spark, sf_dir):
+    raw, target = _dsir_args(spark, sf_dir)
+    return corpus.dsir_top_sample(raw, target, _DSIR_KEEP, n_buckets=_DSIR_BUCKETS)
+
+
+# ------------------------------------------- per-source curation stats
+
+
+@query(
+    "source_quality_report",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, source, lang, length(text)::BIGINT AS len,
+         md5(lower(trim(text))) AS dg
+  FROM documents),
+dc AS (SELECT dg, COUNT(*) AS n FROM keyed GROUP BY 1)
+SELECT source, COUNT(*)::BIGINT AS n_docs,
+       COUNT(DISTINCT lang)::BIGINT AS n_langs,
+       ROUND(AVG(len), 4) AS avg_chars,
+       ROUND(quantile_cont(len, 0.5), 4) AS p50_chars,
+       ROUND(SUM((n > 1)::INT) / COUNT(*), 6) AS dup_frac
+FROM keyed JOIN dc USING (dg)
+GROUP BY 1
+""",
+    doc="per-source curation dashboard: doc count, language spread, "
+    "mean/median length, exact-duplicate rate (digest seen >1 anywhere "
+    "in the corpus) — the table a pipeline ranks to down-weight or "
+    "drop domains; only digests and lengths shuffle.",
+)
+def source_quality_report(spark, sf_dir):
+    return corpus.source_quality_report(_docs(spark, sf_dir))

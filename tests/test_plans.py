@@ -202,3 +202,42 @@ def test_dedup_filter_shuffles_labels_not_documents(spark, sf_dir):
     # text reaches exactly one exchange boundary; with AQE the keeper
     # side usually broadcasts, making the text-side join shuffle-free
     assert plan.count("text") <= plan.count("Exchange") + plan.count("Broadcast")
+
+
+def test_bloom_probe_broadcasts_sketch(spark, sf_dir):
+    """The membership probe must broadcast the tiny sketch — the probed
+    corpus may not shuffle for the join (its only exchange is the
+    map-side-combinable per-id min fold)."""
+    plan = _executed(q.queries()["bloom_membership"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_model_broadcasts_and_text_never_shuffles(spark, sf_dir):
+    """DSIR scoring joins doc-gram rows against the <= n_buckets-row
+    model: the model side must broadcast, and no exchange may carry the
+    document text (only gram buckets, ids, and counts shuffle)."""
+    plan = _executed(q.queries()["dsir_weights_en"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    for frag in plan.split("Exchange hashpartitioning")[1:]:
+        keyspec = frag.split("\n", 1)[0]
+        assert "text" not in keyspec
+    # the per-doc sums are partial-aggregated before their exchange
+    assert "partial" in plan.lower()
+
+
+def test_keep_best_election_is_aggregation_not_window(spark, sf_dir):
+    """The representative election must compile to max_by aggregation
+    (map-side combinable), not a per-cluster window sort."""
+    from pyspark.sql import functions as F
+
+    from renkodf_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = docs.select(
+        F.col("doc_id").alias("id"), (F.col("doc_id") % 50).alias("cluster_id")
+    )
+    plan = _executed(dedup.cluster_representatives(docs, labels))
+    assert "max_by" in plan
+    assert "Window" not in plan

@@ -289,3 +289,103 @@ def quality_gate(
     return docs.filter(
         (n_words >= min_words) & (F.try_divide(punct, n_chars) <= max_punct_ratio)
     )
+
+
+def bloom_dedup_writer(
+    out_path: str,
+    sketch_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 1 << 20,
+    k: int = 4,
+):
+    """Sketch-based streaming exact-dedup for ``foreachBatch``: admit
+    only documents whose content digest the cumulative Bloom sketch
+    (``functions/bloom.py``) has never seen. This is the
+    admission-control shape for when the exact digest table is too big
+    or too hot to join per trigger: history is summarized into
+    ``n_bits`` bits, and each trigger probes it with a broadcast join
+    against ≤ ``n_bits/32`` rows — the history itself is never re-read.
+
+    Error contract (one-sided): a previously-admitted document is
+    ALWAYS dropped (no false negatives); a genuinely-new document is
+    wrongly dropped with probability ≈ fill^k — size ``n_bits`` for the
+    stream's lifetime volume, and watch :func:`renkodf_spark.functions.
+    bloom.bloom_stats` on the sketch to know when to widen. The exact
+    :func:`dedup_stream` is the precise (state-store) alternative when
+    dropping new documents is unacceptable.
+
+    State layout: ONE cumulative sketch snapshot per trigger, written
+    as a ``batch_id=N`` partition overwrite; each trigger reads only
+    the LATEST prior snapshot (not a union of all), so the state read
+    is O(n_bits) regardless of trigger count, and a replayed batch
+    recomputes against the same immutable prior snapshot — idempotent
+    under foreachBatch's at-least-once contract. Building the new
+    snapshot from the ADMITTED keys only is lossless: a dropped row's
+    bits are already all set in the prior sketch, so OR-ing it in would
+    change nothing.
+
+    Within a batch, the first occurrence of each digest (smallest
+    ``id_col``) wins — deterministic, so replays reproduce decisions.
+    """
+    import posixpath
+
+    from pyspark.sql import Window
+
+    from renkodf_spark.functions import bloom
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        keyed = batch.withColumn(
+            "__key", F.md5(F.lower(F.trim(F.col(text_col))))
+        )
+        w = Window.partitionBy("__key").orderBy(F.col(id_col))
+        firsts = keyed.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") == 1
+        )
+        try:
+            snaps = spark.read.parquet(sketch_path).filter(F.col("batch_id") < batch_id)
+            latest = snaps.agg(F.max("batch_id")).collect()[0][0]  # bounded scalar
+            prior = (
+                snaps.filter(F.col("batch_id") == latest).select("word_idx", "bits")
+                if latest is not None
+                else None
+            )
+        except Exception as exc:
+            if not _is_missing_path(exc):
+                raise
+            prior = None
+        if prior is None:
+            prior = spark.createDataFrame([], "word_idx long, bits long")
+        admitted = (
+            firsts.join(
+                bloom.bloom_might_contain(
+                    firsts, prior, "__key", id_col=id_col, n_bits=n_bits, k=k
+                ).filter(F.col("might_contain") == 0),
+                id_col,
+            )
+            .select(*batch.columns, "__key")
+        )
+        admitted.select(*batch.columns).write.mode("overwrite").parquet(
+            posixpath.join(out_path, f"batch_id={batch_id}")
+        )
+        new_sketch = (
+            prior.union(
+                bloom.bloom_build(
+                    spark.read.parquet(out_path)
+                    .filter(F.col("batch_id") == batch_id)
+                    .withColumn("__key", F.md5(F.lower(F.trim(F.col(text_col))))),
+                    "__key",
+                    n_bits=n_bits,
+                    k=k,
+                )
+            )
+            .groupBy("word_idx")
+            .agg(F.bit_or("bits").alias("bits"))
+        )
+        new_sketch.write.mode("overwrite").parquet(
+            posixpath.join(sketch_path, f"batch_id={batch_id}")
+        )
+
+    return write_batch

@@ -491,3 +491,109 @@ def test_quota_cap_corrupt_counts_fails_batch(spark, tmp_path):
     # Nothing from the failed batch landed.
     admitted = spark.read.parquet(out_path)
     assert admitted.filter(F.col("batch_id") == 1).count() == 0
+
+
+def test_bloom_dedup_stream_across_triggers(spark, tmp_path):
+    """Sketch-based streaming dedup: cross-trigger duplicates are
+    dropped via the cumulative Bloom snapshot (never re-reading
+    history), the latest snapshot equals a batch-built sketch over all
+    admitted keys, and exactly one snapshot partition is read per
+    trigger regardless of trigger count."""
+    from renkodf_spark.functions import bloom
+    from renkodf_spark.streaming.curation_stream import bloom_dedup_writer
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_batch(
+        src,
+        "b1.parquet",
+        [
+            (1, "2024-01-01 00:00:00", "alpha beta gamma"),
+            (2, "2024-01-01 00:00:01", "delta epsilon zeta"),
+            (3, "2024-01-01 00:00:02", "alpha beta gamma"),  # in-batch dup of 1
+        ],
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    out_path = str(tmp_path / "admitted")
+    sketch_path = str(tmp_path / "sketch")
+    n_bits, k = 4096, 4  # large enough that FPs are ~impossible here
+    writer = bloom_dedup_writer(out_path, sketch_path, n_bits=n_bits, k=k)
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = sorted(r["doc_id"] for r in spark.read.parquet(out_path).collect())
+        assert got1 == [1, 2]  # in-batch dup dropped, first id wins
+        _write_batch(
+            src,
+            "b2.parquet",
+            [
+                (4, "2024-01-01 00:01:00", "ALPHA BETA GAMMA  "),  # norm dup of 1
+                (5, "2024-01-01 00:01:01", "eta theta iota"),
+            ],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out_path).collect())
+    assert got == [1, 2, 5]  # cross-trigger normalized dup dropped
+
+    # the latest snapshot == a batch-built sketch over all admitted keys
+    snaps = spark.read.parquet(sketch_path)
+    latest = snaps.agg(F.max("batch_id")).collect()[0][0]
+    latest_rows = sorted(
+        (r["word_idx"], r["bits"])
+        for r in snaps.filter(F.col("batch_id") == latest).collect()
+    )
+    all_admitted = spark.read.parquet(out_path).withColumn(
+        "__key", F.md5(F.lower(F.trim(F.col("text"))))
+    )
+    batch_rows = sorted(
+        map(tuple, bloom.bloom_build(all_admitted, "__key", n_bits=n_bits, k=k).collect())
+    )
+    assert latest_rows == batch_rows
+    # one snapshot partition per trigger, each a full cumulative sketch
+    assert sorted(r["batch_id"] for r in snaps.select("batch_id").distinct().collect()) == [0, 1]
+
+
+def test_bloom_dedup_one_sided_under_tiny_sketch(spark, tmp_path):
+    """With a deliberately saturated sketch, previously-seen docs are
+    STILL always dropped (no false negatives) and the only error mode
+    is dropping some genuinely-new docs."""
+    from renkodf_spark.streaming.curation_stream import bloom_dedup_writer
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows1 = [(i, "2024-01-01 00:00:%02d" % (i % 60), f"first wave doc {i}") for i in range(30)]
+    _write_batch(src, "b1.parquet", rows1)
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    out_path = str(tmp_path / "admitted")
+    writer = bloom_dedup_writer(out_path, str(tmp_path / "sketch"), n_bits=64, k=2)
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        admitted1 = {r["doc_id"] for r in spark.read.parquet(out_path).collect()}
+        # replays of wave-1 texts + genuinely new texts
+        rows2 = [(100 + i, "2024-01-01 00:01:%02d" % (i % 60), f"first wave doc {i}") for i in range(30)]
+        rows2 += [(200 + i, "2024-01-01 00:02:%02d" % (i % 60), f"second wave doc {i}") for i in range(30)]
+        _write_batch(src, "b2.parquet", rows2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    admitted = {r["doc_id"] for r in spark.read.parquet(out_path).collect()}
+    # no false negatives: every wave-1 replay (ids 100-129) was dropped
+    assert not any(100 <= d < 130 for d in admitted)
+    # the saturated 64-bit sketch wrongly dropped MOST new docs — but
+    # whatever it admitted is a subset of the genuinely-new set
+    assert admitted - admitted1 <= {200 + i for i in range(30)}

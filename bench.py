@@ -96,6 +96,7 @@ HEADLINE = [
     "bloom_membership",
     "dsir_weights_en",
     "source_quality_report",
+    "jl_projected_topk",
 ]
 
 

@@ -1052,3 +1052,31 @@ def source_quality_report(
             ),
         )
     )
+
+
+# ------------------------------------------------- exact-k uniform sample
+
+
+def uniform_sample_exact(
+    df: DataFrame,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "uniform",
+) -> DataFrame:
+    """Exactly-``k`` deterministic uniform sample without replacement:
+    rank every row by the salted content-independent hash
+    ``md5(salt:id)`` (ties impossible — ids are distinct — but the id
+    is appended as a total tie-break anyway) and keep the ``k``
+    smallest. Unlike ``df.sample(fraction)`` this returns an exact
+    count, is independent of partitioning/layout, and is reproducible
+    across engines and runs — change ``salt`` for a fresh draw.
+
+    Scale shape: ``orderBy().limit()`` compiles to TakeOrdered —
+    per-partition ``k``-heaps merged on the driver, no global sort —
+    so cost is one scan plus O(partitions x k) merge.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    key = _sample_key(id_col, salt)
+    return df.orderBy(key, F.col(id_col)).limit(k)

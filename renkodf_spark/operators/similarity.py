@@ -551,3 +551,80 @@ def semantic_dedup(
     return routed.join(drops, "id", "left_anti").select(
         F.col("id").alias(id_col), "cell"
     )
+
+
+def random_project(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: reduce ``dim``-d
+    embeddings to ``out_dim`` components against the deterministic
+    :func:`rp_planes` matrix (uniform entries satisfy the JL distance
+    bound like Gaussian ones, and cosine is scale-invariant, so no
+    normalization constant is needed). The point at scale: downstream
+    pairwise work (brute-force rerank, clustering, near-dup) touches
+    ``out_dim/dim`` of the bytes.
+
+    Each component is rounded ONCE to integer micro-units and exported
+    as a long, so every downstream dot product is arithmetic over
+    identical integers in any engine (the quantize_embeddings
+    convention). Output: ``(id_col, proj array<long>)``.
+
+    Scale shape: a narrow zero-shuffle projection — the plane matrix is
+    ``out_dim x dim`` literals compiled into the expression.
+    """
+    if out_dim <= 0 or out_dim > dim:
+        raise ValueError(f"out_dim must be in 1..{dim}, got {out_dim}")
+    planes = rp_planes(out_dim, dim)
+    v = F.col(vec_col).cast("array<double>")
+    comps = [
+        F.round(_dot(v, F.array(*[F.lit(x) for x in planes[j]])) * 1e6).cast("long")
+        for j in range(out_dim)
+    ]
+    return emb.select(F.col(id_col), F.array(*comps).alias("proj"))
+
+
+def projected_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    out_dim: int = 16,
+    dim: int = 64,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Brute-force cosine top-k in the JL-projected space — the
+    reduced-dimension ANN baseline (recall < 1 only through the
+    projection's distortion; measure with the recall gate). Same
+    output contract as :func:`cosine_topk`:
+    ``(query_id, neighbor_id, rank, cos_sim)``.
+
+    Scale shape: identical to cosine_topk (broadcast queries x streamed
+    corpus + per-query top-k rank) but every dot is ``out_dim`` wide
+    instead of ``dim`` — the pairwise term shrinks by ``out_dim/dim``.
+    """
+    from pyspark.sql.window import Window
+
+    cp = random_project(
+        corpus, id_col=id_col, vec_col=vec_col, out_dim=out_dim, dim=dim
+    ).select(F.col(id_col).alias("neighbor_id"), F.col("proj").cast("array<double>").alias("cv"))
+    qp = random_project(
+        queries, id_col=id_col, vec_col=vec_col, out_dim=out_dim, dim=dim
+    ).select(F.col(id_col).alias("query_id"), F.col("proj").cast("array<double>").alias("qv"))
+    scored = cp.crossJoin(F.broadcast(qp)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("cos", round_digits).alias("cos_sim")
+        )
+    )

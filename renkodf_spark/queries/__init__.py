@@ -43,6 +43,10 @@ _PRIORITY = [
     "dsir_weights_en",
     "dsir_top_sample",
     "source_quality_report",
+    "jl_projection",
+    "jl_projected_topk",
+    "jl_recall_report",
+    "uniform_sample_200",
     # -- new in round 7 phase 3: Gopher rules, boilerplate line
     #    removal, vocab build + encode (never had a gate row)
     "gopher_quality_filter",

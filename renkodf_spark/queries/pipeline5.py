@@ -332,3 +332,167 @@ GROUP BY 1
 )
 def source_quality_report(spark, sf_dir):
     return corpus.source_quality_report(_docs(spark, sf_dir))
+
+
+# ------------------------------------------- JL random projection
+
+_JL_OUT = 16
+_JL_DIM = 64
+
+
+def _proj_sql(out_dim: int, dim: int) -> str:
+    """DuckDB BIGINT[] expression over a DOUBLE[] column named v —
+    inlines the exact rp_planes constants random_project compiles in,
+    with the same ROUND-once-to-micro-units convention."""
+    from renkodf_spark.operators.similarity import rp_planes
+
+    planes = rp_planes(out_dim, dim)
+    comps = []
+    for plane in planes:
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        comps.append(f"CAST(ROUND(list_dot_product(v, {lit}) * 1e6) AS BIGINT)")
+    return "[" + ", ".join(comps) + "]"
+
+
+_JL_CTES = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT vec_id, {_proj_sql(_JL_OUT, _JL_DIM)} AS proj FROM e)
+"""
+
+_JL_COS = (
+    "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+)
+
+_JL_TOPK_CTES = (
+    _JL_CTES
+    + f""",
+pd AS (SELECT vec_id, list_transform(proj, x -> x::DOUBLE) AS pv FROM p),
+q AS (SELECT vec_id AS query_id, pv AS qv FROM pd WHERE vec_id < {{nq}}),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id, {_JL_COS.replace('cv', 'c.pv')} AS cos
+  FROM pd c, q WHERE c.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+"""
+)
+
+
+@query(
+    "jl_projection",
+    oracle=_JL_CTES
+    + """
+SELECT vec_id,
+       md5(array_to_string(list_transform(proj, x -> x::VARCHAR), ',')) AS proj_digest
+FROM p
+""",
+    doc="Johnson-Lindenstrauss random projection 64d -> 16d against the "
+    "deterministic rp_planes matrix, components rounded once to integer "
+    "micro-units — a narrow zero-shuffle map; digest = md5 of the "
+    "position-ordered longs.",
+)
+def jl_projection(spark, sf_dir):
+    from renkodf_spark.queries.pipeline import _emb
+    from renkodf_spark.operators import similarity
+
+    proj = similarity.random_project(_emb(spark, sf_dir), out_dim=_JL_OUT, dim=_JL_DIM)
+    return proj.select(
+        "vec_id",
+        F.md5(
+            F.array_join(F.transform("proj", lambda x: x.cast("string")), ",")
+        ).alias("proj_digest"),
+    )
+
+
+@query(
+    "jl_projected_topk",
+    oracle=_JL_TOPK_CTES.format(nq=5)
+    + """
+SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cos_sim
+FROM ranked WHERE rank <= 5
+""",
+    doc="brute-force cosine top-5 in the 16d projected space — the "
+    "reduced-dimension ANN baseline; every dot is out_dim/dim the "
+    "width of the exact one.",
+)
+def jl_projected_topk(spark, sf_dir):
+    from renkodf_spark.queries.pipeline import _emb
+    from renkodf_spark.operators import similarity
+
+    emb = _emb(spark, sf_dir)
+    return similarity.projected_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 5), out_dim=_JL_OUT, dim=_JL_DIM
+    )
+
+
+_JL_RECALL_EXACT = f"""
+SELECT query_id, neighbor_id FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           list_dot_product(q.v, c.v)
+             / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+           c.vec_id) AS rank
+  FROM e c, e q WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+WHERE rank <= 5
+"""
+
+
+@query(
+    "jl_recall_report",
+    oracle=_JL_TOPK_CTES.format(nq=20)
+    + f""",
+jl AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+exact AS ({_JL_RECALL_EXACT})
+SELECT COUNT(jl.neighbor_id)::BIGINT AS hits, COUNT(*)::BIGINT AS total,
+       ROUND(COUNT(jl.neighbor_id)::DOUBLE / COUNT(*), 4) AS recall
+FROM exact LEFT JOIN jl USING (query_id, neighbor_id)
+""",
+    doc="recall@5 of the 16d JL-projected top-k against exact 64d brute "
+    "force over 20 queries — the measured distortion of the projection "
+    "(the honest number behind 'recall < 1 only through distortion').",
+)
+def jl_recall_report(spark, sf_dir):
+    from renkodf_spark.queries.pipeline import _emb
+    from renkodf_spark.operators import similarity
+
+    emb = _emb(spark, sf_dir)
+    q20 = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(emb, q20, k=5).select("query_id", "neighbor_id")
+    jl = similarity.projected_cosine_topk(emb, q20, k=5, out_dim=_JL_OUT, dim=_JL_DIM)
+    j = exact.join(
+        jl.select("query_id", "neighbor_id").withColumn("__h", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return j.agg(
+        F.sum("__h").cast("long").alias("hits"),
+        F.count(F.lit(1)).cast("long").alias("total"),
+        F.round(F.sum("__h") / F.count(F.lit(1)), 4).alias("recall"),
+    )
+
+
+# ------------------------------------------- exact-k uniform sample
+
+_USAMPLE_K = 200
+_USAMPLE_SALT = "u7"
+
+
+@query(
+    "uniform_sample_200",
+    oracle=f"""
+SELECT doc_id, lang, source FROM documents
+ORDER BY md5('{_USAMPLE_SALT}:' || CAST(doc_id AS VARCHAR)), doc_id
+LIMIT {_USAMPLE_K}
+""",
+    doc="exactly-k deterministic uniform sample without replacement: "
+    "rank by the salted id hash, keep the k smallest — layout-"
+    "independent, engine-reproducible, compiled to TakeOrdered "
+    "(per-partition heaps, no global sort).",
+)
+def uniform_sample_200(spark, sf_dir):
+    return corpus.uniform_sample_exact(
+        _docs(spark, sf_dir).select("doc_id", "lang", "source"),
+        _USAMPLE_K,
+        salt=_USAMPLE_SALT,
+    )

@@ -296,3 +296,85 @@ def test_source_quality_report(spark):
     lens_a = sorted(len(t) for _, t, _, s in [(r[0], r[1], r[2], r[3]) for r in rows] if s == "sA")
     assert out["sA"]["avg_chars"] == pytest.approx(round(sum(lens_a) / 3, 4))
     assert out["sA"]["p50_chars"] == pytest.approx(float(lens_a[1]))
+
+
+# -------------------------------------------------- JL random projection
+
+
+def test_random_project_matches_python_replay(spark):
+    import numpy as np
+
+    from renkodf_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(6)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: list(r["proj"])
+        for r in similarity.random_project(df, out_dim=3, dim=8).collect()
+    }
+    planes = similarity.rp_planes(3, 8)
+    for i, v in vecs:
+        exp = [_round_half_up(sum(a * b for a, b in zip(v, p)) * 1e6) for p in planes]
+        assert out[i] == exp
+
+    with pytest.raises(ValueError, match="out_dim"):
+        similarity.random_project(df, out_dim=9, dim=8)
+
+
+def test_projected_topk_ranks_in_reduced_space(spark):
+    import numpy as np
+
+    from renkodf_spark.operators import similarity
+
+    rng = np.random.default_rng(11)
+    vecs = [(i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(30)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = similarity.projected_cosine_topk(
+        df, df.filter("vec_id < 2"), k=3, out_dim=6, dim=16
+    ).collect()
+    # replay: project with the same planes, rank by cosine desc, id
+    planes = similarity.rp_planes(6, 16)
+    proj = {
+        i: [_round_half_up(sum(a * b for a, b in zip(v, p)) * 1e6) for p in planes]
+        for i, v in vecs
+    }
+
+    def cos(a, b):
+        import math
+
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    for qid in (0, 1):
+        order = sorted(
+            (i for i, _ in vecs if i != qid),
+            key=lambda i: (-cos(proj[qid], proj[i]), i),
+        )[:3]
+        rows = sorted(
+            ((r["rank"], r["neighbor_id"]) for r in got if r["query_id"] == qid)
+        )
+        assert [n for _, n in rows] == order
+
+
+# -------------------------------------------------- exact-k uniform sample
+
+
+def test_uniform_sample_exact_k(spark):
+    from renkodf_spark.operators import corpus
+
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(100)], "doc_id long, text string")
+    got = [r["doc_id"] for r in corpus.uniform_sample_exact(df, 10, salt="s").collect()]
+    exp = sorted(range(100), key=lambda i: (_md5(f"s:{i}"), i))[:10]
+    assert got == exp
+    # layout-independent: same draw under a different partitioning
+    got2 = [
+        r["doc_id"]
+        for r in corpus.uniform_sample_exact(df.repartition(7), 10, salt="s").collect()
+    ]
+    assert got2 == exp
+    # different salt -> different draw; k > n -> whole set
+    assert [r["doc_id"] for r in corpus.uniform_sample_exact(df, 10, salt="t").collect()] != exp
+    assert len(corpus.uniform_sample_exact(df, 500, salt="s").collect()) == 100
+    with pytest.raises(ValueError, match="k must"):
+        corpus.uniform_sample_exact(df, 0)

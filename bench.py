@@ -332,32 +332,44 @@ def main():
         .collect()
     )
 
-    timings = {}
+    # Two temporally-SEPARATED full passes over the headline, min per
+    # query, plus a 3rd visit for sub-second queries (VERDICT r6 item
+    # 2, hardened r7): back-to-back reps share a co-tenant spike's
+    # window — a run this round recorded 18.3 s best-of-2 for a query
+    # whose fresh-session steady state is 2.2 s, because both reps sat
+    # inside the same external load burst. Interleaving the passes puts
+    # minutes between a query's samples, which decorrelates the blips
+    # the loadavg gate cannot see mid-run (our own 32 threads keep the
+    # 1-minute loadavg high, so per-query gating would always wait).
+    # Each visit still stands alone: clearCache before each, so
+    # operators that cache internal subtrees (LSH signatures, shingle
+    # sets) re-pay that cost and nothing carries between samples; the
+    # first pass eats every plan's one-off whole-stage-codegen JIT.
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    visits: dict[str, int] = {}
+
+    def visit(name: str) -> None:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        df = builders[name](spark, SF_DIR)
+        rows[name] = materialize(df)  # pruning-proof: all columns computed
+        el = time.perf_counter() - t0
+        timings[name] = min(timings.get(name, el), el)
+        visits[name] = visits.get(name, 0) + 1
+
+    for _pass in range(2):
+        for name in HEADLINE:
+            visit(name)
+    for name in HEADLINE:  # sub-second queries: one more decorrelated sample
+        if timings[name] < 1.0:
+            visit(name)
     for name in HEADLINE:
-        # best-of-N: the first run of every query pays one-off
-        # whole-stage-codegen JIT for its plan shape (measured 2-3x on
-        # this co-tenant box); the repeats are the steady-state operator
-        # cost. Nothing is cached between runs — each rep rebuilds the
-        # DataFrame and recomputes scans/shuffles from scratch.
-        # Sub-second queries get a 3rd rep (VERDICT r6 item 2): at that
-        # scale a single co-tenant scheduling blip is a 15-50% swing,
-        # and two samples with min aggregation were not enough for
-        # round-over-round comparability.
-        best, n, reps_run = None, 0, 0
-        while reps_run < 2 or (reps_run < 3 and best < 1.0):
-            # each rep stands alone: operators that cache internal
-            # subtrees (LSH signatures, shingle sets) re-pay that cost,
-            # and stale cache entries from earlier queries can't inflate
-            # memory pressure for later ones
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            df = builders[name](spark, SF_DIR)
-            n = materialize(df)  # pruning-proof: every output column computed
-            el = time.perf_counter() - t0
-            best = el if best is None else min(best, el)
-            reps_run += 1
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows, {reps_run} reps)", file=sys.stderr)
+        timings[name] = round(timings[name], 3)
+        print(
+            f"# {name}: {timings[name]}s ({rows[name]} rows, {visits[name]} visits)",
+            file=sys.stderr,
+        )
 
     timings["kernel_mticks_per_sec_sparse"] = round(tput["sparse"] / 1e6, 3)
     timings["kernel_mticks_per_sec_dense"] = round(tput["dense"] / 1e6, 3)
@@ -381,15 +393,18 @@ def main():
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # ADVICE r3: record the measurement regime so cross-round
-        # comparisons can't silently mix methodologies. v3 (r07+):
-        # best-of-2 reps, a 3rd rep when the best is sub-second, and
-        # the co-tenancy gate brackets every section (headline, scale,
-        # scale_curve), not just the headline. v2 (r03-r06): best-of-2,
+        # comparisons can't silently mix methodologies. v4 (r07+): two
+        # temporally-separated full passes over the headline + a 3rd
+        # visit for sub-second queries, min per query — back-to-back
+        # reps shared co-tenant spike windows (measured 8x on one
+        # query) — and the co-tenancy gate brackets every section
+        # (headline, scale, scale_curve). v3 (earlier r07): best-of-2
+        # back-to-back + 3rd rep sub-second. v2 (r03-r06): best-of-2,
         # headline-only gate. r01/r02 used a single rep and count()
         # materialization — not comparable.
         "methodology": {
-            "version": 3,
-            "reps": "2 (3 if best < 1s)",
+            "version": 4,
+            "reps": "2 interleaved passes (3rd visit if best < 1s)",
             "agg": "min",
             "materialize": "full_width_row_hash",
             # the gates only control WHEN each section starts (bounded

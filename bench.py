@@ -97,6 +97,7 @@ HEADLINE = [
     "dsir_weights_en",
     "source_quality_report",
     "jl_projected_topk",
+    "substring_dup_pairs",
 ]
 
 

@@ -589,3 +589,62 @@ def cluster_representatives(
         "cluster_size",
         (F.col("id") == F.col("keep_id")).cast("int").alias("is_kept"),
     )
+
+
+def shared_ngram_pairs(
+    df: DataFrame,
+    *,
+    n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_gram_docs: int | None = None,
+) -> DataFrame:
+    """Exact-substring dedup discovery (the token-gram form of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): any two documents sharing at least one normalized
+    ``n``-token gram are a candidate pair — with ``n`` large (default
+    20) a shared gram IS a long verbatim substring. This catches the
+    partial copies MinHash misses by construction: a page quoting three
+    paragraphs of another has low global Jaccard but a long exact
+    overlap.
+
+    Output: ``(id_a, id_b, n_shared_grams)`` with ``id_a < id_b`` —
+    candidates for :func:`ngram_jaccard_pairs` / :func:`edit_distance_verify`
+    verification or direct span-level treatment.
+
+    Scale shape: one distinct (gram digest, doc) explosion (32-byte
+    keys, the text never shuffles) and one equi-self-join on the
+    digest. The join's quadratic term is per-gram fan-out; a gram
+    shared by d docs contributes d² pairs, so ``max_gram_docs`` (when
+    set) drops grams above the cap — such grams are corpus boilerplate,
+    which is :func:`renkodf_spark.operators.corpus.remove_boilerplate_lines`'s
+    job, not dedup's — bounding every join key like the LSH hot-bucket
+    cap. The count-and-filter adds one aggregation over digest keys.
+    """
+    from renkodf_spark.operators.corpus import _gram_digests_from, _norm_gram_tokens
+
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    if max_gram_docs is not None and max_gram_docs < 2:
+        raise ValueError(f"max_gram_docs must be >= 2, got {max_gram_docs}")
+    grams = (
+        df.select(F.col(id_col).alias("id"), _norm_gram_tokens(text_col).alias("__t"))
+        .select("id", F.explode(_gram_digests_from(F.col("__t"), n)).alias("gram"))
+        .distinct()
+    )
+    if max_gram_docs is not None:
+        ok = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .filter(F.col("__d") <= max_gram_docs)
+            .select("gram")
+        )
+        grams = grams.join(ok, "gram")
+    a = grams.select(F.col("id").alias("id_a"), "gram")
+    b = grams.select(F.col("id").alias("id_b"), "gram")
+    return (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
+    )

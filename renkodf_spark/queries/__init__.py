@@ -47,6 +47,7 @@ _PRIORITY = [
     "jl_projected_topk",
     "jl_recall_report",
     "uniform_sample_200",
+    "substring_dup_pairs",
     # -- new in round 7 phase 3: Gopher rules, boilerplate line
     #    removal, vocab build + encode (never had a gate row)
     "gopher_quality_filter",

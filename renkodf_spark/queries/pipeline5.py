@@ -496,3 +496,36 @@ def uniform_sample_200(spark, sf_dir):
         _USAMPLE_K,
         salt=_USAMPLE_SALT,
     )
+
+
+# ------------------------------------------- exact-substring discovery
+
+_SUBSTR_N = 10
+
+_SUBSTR_ORACLE = rf"""
+WITH nt AS (
+  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(t[s+1:s+{_SUBSTR_N}], ' ')) AS gram
+  FROM (SELECT doc_id, t,
+               unnest(range(0, greatest(len(t) - {_SUBSTR_N - 1}, 0))) AS s
+        FROM nt))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS n_shared_grams
+FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "substring_dup_pairs",
+    oracle=_SUBSTR_ORACLE,
+    doc="exact-substring dedup discovery (Lee et al. 2022 at token-gram "
+    "granularity): pairs sharing at least one normalized 10-token gram "
+    "— the partial copies MinHash misses (long local overlap, low "
+    "global Jaccard); digest self-join, text never shuffles, per-gram "
+    "fan-out boundable via max_gram_docs.",
+)
+def substring_dup_pairs(spark, sf_dir):
+    return dedup.shared_ngram_pairs(_docs(spark, sf_dir), n=_SUBSTR_N)

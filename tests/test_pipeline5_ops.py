@@ -378,3 +378,35 @@ def test_uniform_sample_exact_k(spark):
     assert len(corpus.uniform_sample_exact(df, 500, salt="s").collect()) == 100
     with pytest.raises(ValueError, match="k must"):
         corpus.uniform_sample_exact(df, 0)
+
+
+# ------------------------------------------ exact-substring discovery
+
+
+def test_shared_ngram_pairs(spark):
+    from renkodf_spark.operators import dedup as dd
+
+    shared = "one two three four five"
+    docs = [
+        (1, f"{shared} alpha beta gamma"),
+        (2, f"delta {shared} epsilon"),          # shares the 5-gram with 1
+        (3, "totally unrelated words here now"),
+        (4, f"{shared} alpha beta gamma"),        # exact dup of 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared_grams"]
+        for r in dd.shared_ngram_pairs(df, n=5).collect()
+    }
+    assert set(got) == {(1, 2), (1, 4), (2, 4)}
+    assert got[(1, 2)] == 1  # only the shared 5-gram window itself
+    assert got[(1, 4)] == 4  # all 4 distinct 5-grams of the 8-token doc
+    # a gram cap of 2 drops the 3-doc boilerplate gram: only the
+    # 2-doc-exclusive grams of the exact dup survive
+    capped = {
+        (r["id_a"], r["id_b"]): r["n_shared_grams"]
+        for r in dd.shared_ngram_pairs(df, n=5, max_gram_docs=2).collect()
+    }
+    assert set(capped) == {(1, 4)} and capped[(1, 4)] == 3
+    with pytest.raises(ValueError, match="max_gram_docs"):
+        dd.shared_ngram_pairs(df, n=5, max_gram_docs=1)

@@ -410,3 +410,71 @@ def test_shared_ngram_pairs(spark):
     assert set(capped) == {(1, 4)} and capped[(1, 4)] == 3
     with pytest.raises(ValueError, match="max_gram_docs"):
         dd.shared_ngram_pairs(df, n=5, max_gram_docs=1)
+
+
+# ---------------------------------------------- seeded randomized sweeps
+# (house style of the chunk-boundary fuzz: one seeded sweep over many
+# randomized cases per Spark job, instead of hypothesis-per-example
+# round trips)
+
+
+def test_bloom_randomized_sweep(spark):
+    import random
+
+    rng = random.Random(427)
+    alphabet = ["a", "b", "Z", "0", " ", "é", "中", "-", ".", ""]
+    keys = list({  # distinct, adversarial: empty, spaces, unicode
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+        for _ in range(120)
+    })
+    df = spark.createDataFrame([(s,) for s in keys], "key string")
+    probes = spark.createDataFrame(list(enumerate(keys * 2)), "doc_id long, key string")
+    for n_bits, k in [(64, 2), (256, 3), (1024, 5)]:
+        words = {}
+        for s in keys:
+            for p in _positions_py(s, n_bits, k):
+                words[p // 32] = words.get(p // 32, 0) | (1 << (p % 32))
+        sketch = bloom.bloom_build(df, "key", n_bits=n_bits, k=k)
+        assert {r["word_idx"]: r["bits"] for r in sketch.collect()} == words
+        got = {
+            r["doc_id"]: r["might_contain"]
+            for r in bloom.bloom_might_contain(
+                probes, sketch, "key", n_bits=n_bits, k=k
+            ).collect()
+        }
+        # every member key probes positive under every geometry
+        assert all(v == 1 for v in got.values())
+
+
+def test_dsir_randomized_sweep(spark):
+    import random
+
+    rng = random.Random(91)
+    vocab = ["alpha", "beta", "Gamma!", "delta", "x1", "中文", "", "e e"]
+    def doc():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15)))
+
+    raw_rows = [(i, doc()) for i in range(40)]
+    target_rows = [(100 + i, doc()) for i in range(10)]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    target = spark.createDataFrame(target_rows, "doc_id long, text string")
+    for n_buckets in (64, 1024):
+        out = {
+            r["doc_id"]: (r["n_grams"], r["weight_micros"])
+            for r in corpus.dsir_weights(raw, target, n_buckets=n_buckets).collect()
+        }
+        exp = _dsir_py(raw_rows, target_rows, n_buckets)
+        full = {i: exp.get(i, (0, 0)) for i, _ in raw_rows}
+        assert out == full, n_buckets
+
+
+def test_uniform_sample_randomized_sweep(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    for salt in ("a", "b", "long-salt-string"):
+        for k in (1, 7, 250, 500):
+            got = [
+                r["doc_id"]
+                for r in corpus.uniform_sample_exact(df, k, salt=salt).collect()
+            ]
+            exp = sorted(range(500), key=lambda i: (_md5(f"{salt}:{i}"), i))[:k]
+            assert got == exp, (salt, k)

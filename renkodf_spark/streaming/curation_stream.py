@@ -389,3 +389,62 @@ def bloom_dedup_writer(
         )
 
     return write_batch
+
+
+def sketch_rollup_writer(
+    sketch_path: str,
+    group_col: str,
+    value_col: str,
+    *,
+    lg_config_k: int = 12,
+):
+    """Streaming distinct-count observability for ``foreachBatch``:
+    maintain one mergeable HLL sketch per group over the stream's
+    lifetime (``functions/sketches.py`` is the batch half — this is the
+    same "the sketch is a value" story at ingestion time: per-trigger
+    sketches are built from each micro-batch alone and merged into the
+    persisted per-group state, so answering "how many distinct users /
+    digests per group so far" never rescans or re-shuffles history).
+
+    State layout mirrors :func:`bloom_dedup_writer`: ONE cumulative
+    snapshot per trigger under ``batch_id=N`` (partition overwrite —
+    replay recomputes against the same immutable prior snapshot, so
+    at-least-once replays are idempotent), and each trigger reads only
+    the LATEST prior snapshot: the state read is O(groups), not
+    O(triggers). Merge is ``hll_union_agg`` — commutative and
+    deterministic, so the lifetime sketch equals the batch sketch over
+    the concatenated stream.
+
+    Read the current estimates with a plain
+    ``spark.read.parquet(sketch_path).filter(batch_id == latest)``.
+    """
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        import posixpath
+
+        spark = batch.sparkSession
+        cur = batch.groupBy(F.col(group_col).alias("__grp")).agg(
+            F.hll_sketch_agg(value_col, F.lit(lg_config_k)).alias("sketch")
+        )
+        try:
+            snaps = spark.read.parquet(sketch_path).filter(F.col("batch_id") < batch_id)
+            latest = snaps.agg(F.max("batch_id")).collect()[0][0]  # bounded scalar
+            prior = (
+                snaps.filter(F.col("batch_id") == latest).select("__grp", "sketch")
+                if latest is not None
+                else None
+            )
+        except Exception as exc:
+            if not _is_missing_path(exc):
+                raise
+            prior = None
+        merged = cur if prior is None else (
+            prior.union(cur)
+            .groupBy("__grp")
+            .agg(F.hll_union_agg("sketch").alias("sketch"))
+        )
+        merged.withColumn("estimate", F.hll_sketch_estimate("sketch")).write.mode(
+            "overwrite"
+        ).parquet(posixpath.join(sketch_path, f"batch_id={batch_id}"))
+
+    return write_batch

@@ -597,3 +597,61 @@ def test_bloom_dedup_one_sided_under_tiny_sketch(spark, tmp_path):
     # the saturated 64-bit sketch wrongly dropped MOST new docs — but
     # whatever it admitted is a subset of the genuinely-new set
     assert admitted - admitted1 <= {200 + i for i in range(30)}
+
+
+def test_sketch_rollup_stream_equals_batch(spark, tmp_path):
+    """Lifetime per-group HLL state across triggers: after N triggers
+    the latest snapshot's estimates equal the batch sketch over the
+    concatenation of all triggers (hll merge is commutative and
+    deterministic), and only one snapshot partition is read per
+    trigger."""
+    from renkodf_spark.streaming.curation_stream import sketch_rollup_writer
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def rows(lo, hi):
+        return [
+            (i, "2024-01-01 00:00:%02d" % (i % 60), f"user{i % 7}")
+            for i in range(lo, hi)
+        ]
+
+    _write_batch(src, "b1.parquet", rows(0, 40))
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    sketch_path = str(tmp_path / "sketches")
+    lang = F.when(F.col("doc_id") % 2 == 0, "en").otherwise("de")
+    writer = sketch_rollup_writer(sketch_path, "lang", "text")
+    q = (
+        stream.withColumn("lang", lang)
+        .writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(src, "b2.parquet", rows(20, 80))  # overlaps trigger 1
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    snaps = spark.read.parquet(sketch_path)
+    latest = snaps.agg(F.max("batch_id")).collect()[0][0]
+    got = {
+        r["__grp"]: r["estimate"]
+        for r in snaps.filter(F.col("batch_id") == latest).collect()
+    }
+    all_rows = spark.createDataFrame(
+        [(i, f"user{i % 7}", "en" if i % 2 == 0 else "de") for i in range(80)],
+        "doc_id long, text string, lang string",
+    )
+    exp = {
+        r["lang"]: r["estimate"]
+        for r in all_rows.groupBy("lang")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("text", F.lit(12))).alias("estimate"))
+        .collect()
+    }
+    assert got == exp  # merge-of-trigger-sketches == one-shot sketch
+    assert sorted(
+        r["batch_id"] for r in snaps.select("batch_id").distinct().collect()
+    ) == [0, 1]

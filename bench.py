@@ -98,6 +98,7 @@ HEADLINE = [
     "source_quality_report",
     "jl_projected_topk",
     "substring_dup_pairs",
+    "substring_span_removal",
 ]
 
 

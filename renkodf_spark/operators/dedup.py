@@ -648,3 +648,88 @@ def shared_ngram_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    *,
+    n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The *apply* stage of exact-substring dedup (Lee et al. 2022):
+    delete, from each document, every token covered by a normalized
+    ``n``-gram that also occurs in a LOWER-id document — the first
+    occurrence of a span survives, later verbatim copies are cut out,
+    and the unique remainder of the later documents is kept. This is
+    the span-level counterpart of whole-doc dedup: a page quoting three
+    paragraphs keeps its own prose and loses only the quoted block.
+
+    Keep rule, precisely: token ``i`` of doc ``x`` is dropped iff some
+    gram window ``[s, s+n)`` with ``s <= i < s+n`` has a digest whose
+    minimum owning doc id is ``< x``. Deterministic — no tie-breaking
+    beyond the id order.
+
+    Output: ``(id_col, n_tokens, n_tokens_dropped, clean_digest)``
+    with ``clean_digest`` the md5 of the space-joined kept tokens (the
+    gate compares digests; a pipeline would export the joined text).
+
+    Scale shape: one (digest -> min doc) aggregation over 32-byte keys
+    (map-side combinable; the text never shuffles), an equi-join of the
+    per-doc gram list against that table, and a per-doc fold. The
+    covered-index explosion is bounded by ``n x`` the number of DUP
+    grams only — clean corpora explode almost nothing. Reassembly
+    sorts each doc's own tokens (array_sort on (pos, token) structs
+    inside the row), never a cross-doc window.
+    """
+    from renkodf_spark.operators.corpus import _norm_gram_tokens
+
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    toked = df.select(
+        F.col(id_col).alias("id"), _norm_gram_tokens(text_col).alias("__t")
+    ).localCheckpoint(eager=False)
+
+    def _at(i):
+        return F.md5(F.array_join(F.slice(F.col("__t"), i + 1, n), " "))
+
+    starts = F.when(
+        F.size("__t") >= n, F.sequence(F.lit(0), F.size("__t") - F.lit(n))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toked.select(
+        "id", F.posexplode(F.transform(starts, _at)).alias("__junk", "gram"), 
+    ).select("id", F.col("__junk").alias("s"), "gram")
+    first_owner = grams.groupBy("gram").agg(F.min("id").alias("__first"))
+    dup_spans = (
+        grams.join(first_owner, "gram")
+        .filter(F.col("id") > F.col("__first"))
+        .select("id", F.explode(F.sequence(F.col("s"), F.col("s") + n - 1)).alias("pos"))
+        .distinct()
+    )
+    tokens = toked.select("id", F.posexplode("__t").alias("pos", "tok"))
+    kept = (
+        tokens.join(dup_spans.withColumn("__drop", F.lit(1)), ["id", "pos"], "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.coalesce("__drop", F.lit(0))).cast("long").alias("n_tokens_dropped"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("__drop").isNull(),
+                                    F.struct(F.col("pos"), F.col("tok")),
+                                )
+                            )
+                        ),
+                        lambda st: st.getField("tok"),
+                    ),
+                    " ",
+                )
+            ).alias("clean_digest"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "n_tokens_dropped", "clean_digest")
+    )
+    return kept

@@ -48,6 +48,7 @@ _PRIORITY = [
     "jl_recall_report",
     "uniform_sample_200",
     "substring_dup_pairs",
+    "substring_span_removal",
     # -- new in round 7 phase 3: Gopher rules, boilerplate line
     #    removal, vocab build + encode (never had a gate row)
     "gopher_quality_filter",

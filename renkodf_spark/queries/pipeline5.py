@@ -529,3 +529,45 @@ GROUP BY 1, 2
 )
 def substring_dup_pairs(spark, sf_dir):
     return dedup.shared_ngram_pairs(_docs(spark, sf_dir), n=_SUBSTR_N)
+
+
+_SPAN_ORACLE = rf"""
+WITH nt AS (
+  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id, s, md5(array_to_string(t[s+1:s+{_SUBSTR_N}], ' ')) AS gram
+  FROM (SELECT doc_id, t,
+               unnest(range(0, greatest(len(t) - {_SUBSTR_N - 1}, 0))) AS s
+        FROM nt)),
+fo AS (SELECT gram, MIN(doc_id) AS first FROM g GROUP BY 1),
+ds AS (
+  SELECT DISTINCT g.doc_id, g.s + u.i AS pos
+  FROM g JOIN fo USING (gram)
+       CROSS JOIN (SELECT unnest(range(0, {_SUBSTR_N})) AS i) u
+  WHERE g.doc_id > fo.first),
+tk AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM nt))
+SELECT tk.doc_id,
+       COUNT(*)::BIGINT AS n_tokens,
+       SUM((ds.pos IS NOT NULL)::INT)::BIGINT AS n_tokens_dropped,
+       md5(coalesce(string_agg(CASE WHEN ds.pos IS NULL THEN tok END, ' '
+                               ORDER BY tk.pos), '')) AS clean_digest
+FROM tk LEFT JOIN ds ON ds.doc_id = tk.doc_id AND ds.pos = tk.pos
+GROUP BY 1
+"""
+
+
+@query(
+    "substring_span_removal",
+    oracle=_SPAN_ORACLE,
+    doc="the apply stage of exact-substring dedup (Lee et al. 2022): "
+    "tokens covered by a 10-gram whose first owner is a lower-id doc "
+    "are cut out — first occurrence survives, later copies lose only "
+    "the duplicated span; covered-index explosion bounded by n x dup "
+    "grams, reassembly sorts within each row, never across docs.",
+)
+def substring_span_removal(spark, sf_dir):
+    return dedup.remove_duplicated_spans(_docs(spark, sf_dir), n=_SUBSTR_N)

@@ -478,3 +478,29 @@ def test_uniform_sample_randomized_sweep(spark):
             ]
             exp = sorted(range(500), key=lambda i: (_md5(f"{salt}:{i}"), i))[:k]
             assert got == exp, (salt, k)
+
+
+def test_remove_duplicated_spans(spark):
+    from renkodf_spark.operators import dedup as dd
+
+    shared = "one two three four five"
+    docs = [
+        (1, f"{shared} alpha beta"),           # first owner: keeps everything
+        (2, f"gamma {shared} delta"),          # loses the 5-token span
+        (3, "no overlap at all here"),
+        (4, f"{shared} alpha beta"),           # exact dup of 1: loses all
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dd.remove_duplicated_spans(df, n=5).collect()
+    }
+    assert out[1]["n_tokens_dropped"] == 0
+    assert out[1]["clean_digest"] == _md5(f"{shared} alpha beta")
+    assert out[2]["n_tokens_dropped"] == 5
+    assert out[2]["clean_digest"] == _md5("gamma delta")
+    assert out[3]["n_tokens_dropped"] == 0
+    assert out[4]["n_tokens"] == 7 and out[4]["n_tokens_dropped"] == 7
+    assert out[4]["clean_digest"] == _md5("")
+    with pytest.raises(ValueError, match="n must"):
+        dd.remove_duplicated_spans(df, n=0)

@@ -209,6 +209,17 @@ def scale_block(spark, rep: int) -> dict:
     out["dedup_minhash_lsh_sec"] = round(best, 3)
     out["docs_rows"] = docs.count()
 
+    # span-level exact-substring dedup at scale (r7p5): the replicated
+    # corpus is the adversarial case — nearly every gram is duplicated
+    # across the rep copies, so the covered-index explosion hits its
+    # linear worst case (tokens x n), never a quadratic pair term (the
+    # operator computes min-owner per gram, not pairs).
+    from renkodf_spark.operators.dedup import remove_duplicated_spans
+
+    t0 = time.perf_counter()
+    out["span_removal_rows"] = materialize(remove_duplicated_spans(docs, n=10))
+    out["span_removal_sec"] = round(time.perf_counter() - t0, 3)
+
     # Hot-symbol skew (VERDICT r3 item 7): one symbol carries ~50% of
     # all replicated ticks — the regime where per-symbol sequential
     # operators hurt. renko_chunked is the declared answer (windowed

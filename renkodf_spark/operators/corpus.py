@@ -1080,3 +1080,75 @@ def uniform_sample_exact(
         raise ValueError(f"k must be positive, got {k}")
     key = _sample_key(id_col, salt)
     return df.orderBy(key, F.col(id_col)).limit(k)
+
+
+# ------------------------------------------------- corpus shard export
+
+
+def write_corpus_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    split_col: str = "split",
+    group_col: str | None = "lang",
+    shards_per_group: int = 4,
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+    salt: str = "shard",
+) -> None:
+    """Terminal export of a curated corpus: directory-partitioned
+    parquet (``split=<v>/<group>=<v>/shard=<k>/``) with exactly
+    ``shards_per_group`` similarly-sized shards per leaf, assigned by
+    the salted content-free id hash — shard membership is a pure
+    function of ``(salt, id)``, stable across runs, cluster sizes, and
+    input layouts. Data loaders stripe readers over the deterministic
+    shard directories, and partition pruning serves "give me train/en"
+    (or one shard of it) without touching other leaves.
+
+    Scale shape: one shuffle keyed by (split, group, shard), so every
+    shard is produced by exactly one task and lands as exactly one
+    file — file count and size are deliberate instead of inheriting
+    the upstream partitioning (the classic small-files failure of a
+    naive partitioned write). With very hot groups raise
+    ``shards_per_group`` — it is the per-leaf parallelism dial.
+    """
+    if shards_per_group <= 0:
+        raise ValueError(f"shards_per_group must be positive, got {shards_per_group}")
+    shard = F.pmod(
+        F.conv(F.substring(_sample_key(id_col, salt), 1, 8), 16, 10).cast("long"),
+        F.lit(shards_per_group),
+    ).cast("int")
+    partition_cols = [split_col] + ([group_col] if group_col else []) + ["shard"]
+    (
+        df.withColumn("shard", shard)
+        .repartition(*[F.col(c) for c in partition_cols])
+        .write.mode(mode)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def corpus_manifest(
+    spark,
+    path: str,
+    *,
+    split_col: str = "split",
+    group_col: str | None = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Manifest over an exported corpus: one row per (split, group)
+    leaf with document and whitespace-token counts — the table a
+    training job reads to plan its data mixture. Pure aggregation over
+    the partitioned layout; partition pruning applies to any filtered
+    read."""
+    cols = [split_col] + ([group_col] if group_col else [])
+    return (
+        spark.read.parquet(path)
+        .groupBy(*cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )

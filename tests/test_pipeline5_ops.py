@@ -504,3 +504,62 @@ def test_remove_duplicated_spans(spark):
     assert out[4]["clean_digest"] == _md5("")
     with pytest.raises(ValueError, match="n must"):
         dd.remove_duplicated_spans(df, n=0)
+
+
+# ------------------------------------------------- corpus shard export
+
+
+def test_write_corpus_shards_roundtrip(spark, tmp_path):
+    import os
+
+    from renkodf_spark.operators import corpus as co
+
+    df = spark.createDataFrame(
+        [
+            (i, f"doc number {i} body", "en" if i % 3 else "de",
+             "train" if i % 10 < 8 else "test")
+            for i in range(200)
+        ],
+        "doc_id long, text string, lang string, split string",
+    )
+    path = str(tmp_path / "corpus")
+    co.write_corpus_shards(df, path, shards_per_group=3)
+    # layout: split/lang/shard dirs, each shard exactly ONE data file
+    for split in ("train", "test"):
+        for lang in ("en", "de"):
+            leaf = os.path.join(path, f"split={split}", f"lang={lang}")
+            shards = sorted(d for d in os.listdir(leaf) if d.startswith("shard="))
+            assert shards == ["shard=0", "shard=1", "shard=2"], (leaf, shards)
+            for sh in shards:
+                files = [
+                    f
+                    for f in os.listdir(os.path.join(leaf, sh))
+                    if f.endswith(".parquet")
+                ]
+                assert len(files) == 1, (leaf, sh, files)
+    # roundtrip: nothing lost, nothing duplicated
+    back = spark.read.parquet(path)
+    assert sorted(r["doc_id"] for r in back.collect()) == list(range(200))
+    # manifest counts match direct aggregation
+    man = {
+        (r["split"], r["lang"]): (r["n_docs"], r["n_tokens"])
+        for r in co.corpus_manifest(spark, path).collect()
+    }
+    from pyspark.sql import functions as FF
+
+    exp = {
+        (r["split"], r["lang"]): (r["n"], r["t"])
+        for r in df.groupBy("split", "lang")
+        .agg(
+            FF.count(FF.lit(1)).cast("long").alias("n"),
+            FF.sum(FF.size(FF.split(FF.trim("text"), r"\s+"))).cast("long").alias("t"),
+        )
+        .collect()
+    }
+    assert man == exp
+    # determinism: rewriting yields byte-identical shard membership
+    co.write_corpus_shards(df, path, shards_per_group=3)
+    again = spark.read.parquet(path)
+    assert sorted(r["doc_id"] for r in again.collect()) == list(range(200))
+    with pytest.raises(ValueError, match="shards_per_group"):
+        co.write_corpus_shards(df, path, shards_per_group=0)

@@ -99,6 +99,7 @@ HEADLINE = [
     "jl_projected_topk",
     "substring_dup_pairs",
     "substring_span_removal",
+    "curation_end_to_end",
 ]
 
 

@@ -571,3 +571,70 @@ GROUP BY 1
 )
 def substring_span_removal(spark, sf_dir):
     return dedup.remove_duplicated_spans(_docs(spark, sf_dir), n=_SUBSTR_N)
+
+
+# ------------------------------------------- end-to-end curation DAG
+
+_E2E_QUOTA = 25
+_E2E_SALT = "e2e"
+
+
+def _e2e_oracle() -> str:
+    """Compose the exact-dedup, Gopher-filter, and quota stages into
+    one DuckDB program by reusing pipeline4's Gopher CTE text verbatim
+    (rebased from `documents` onto the deduped CTE), so the composed
+    oracle cannot drift from the single-stage one."""
+    from renkodf_spark.queries.pipeline4 import _GOPHER_ORACLE
+
+    head, tail = _GOPHER_ORACLE.rsplit("SELECT feat.*,", 1)
+    gopher_ctes = (
+        head.replace("WITH f AS", ",\nf AS", 1).replace("FROM documents)", "FROM dd)", 1)
+        + ", gp AS (SELECT feat.doc_id,"
+        + tail.rstrip()
+        + ")"
+    )
+    return (
+        """
+WITH dd AS (
+  SELECT d.* FROM documents d
+  JOIN (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+    USING (doc_id))"""
+        + gopher_ctes
+        + f""",
+fl AS (SELECT dd.* FROM dd JOIN gp ON gp.doc_id = dd.doc_id AND gp.gopher_pass = 1),
+ranked AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY md5('{_E2E_SALT}:' || CAST(doc_id AS VARCHAR)), doc_id)
+           AS sample_rank
+  FROM fl)
+SELECT doc_id, lang, n_chars, sample_rank FROM ranked
+WHERE sample_rank <= {_E2E_QUOTA}
+"""
+    )
+
+
+@query(
+    "curation_end_to_end",
+    oracle=_e2e_oracle(),
+    doc="one declarative DAG chaining exact dedup (keep first "
+    "occurrence) -> Gopher rule filter -> per-language quota sample — "
+    "the operators compose without materialization barriers, so "
+    "Catalyst plans the whole pipeline at once (shared scans, pushed "
+    "filters); oracle is the composed replay of the three stage "
+    "oracles.",
+)
+def curation_end_to_end(spark, sf_dir):
+    from renkodf_spark.queries.pipeline4 import _G_MIN_STOP, _G_MIN_WORDS
+
+    docs = _docs(spark, sf_dir)
+    keepers = dedup.exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
+    dd = docs.join(keepers, "doc_id")
+    passing = (
+        text.gopher_rules(dd, min_words=_G_MIN_WORDS, min_stop_hits=_G_MIN_STOP)
+        .filter(F.col("gopher_pass") == 1)
+        .select("doc_id")
+    )
+    filtered = dd.join(passing, "doc_id")
+    sel = corpus.quota_sample(filtered, "lang", per_group=_E2E_QUOTA, salt=_E2E_SALT)
+    return sel.select("doc_id", "lang", "n_chars", "sample_rank")

@@ -50,6 +50,7 @@ _PRIORITY = [
     "substring_dup_pairs",
     "substring_span_removal",
     "curation_end_to_end",
+    "order_value_distribution",
     # -- new in round 7 phase 3: Gopher rules, boilerplate line
     #    removal, vocab build + encode (never had a gate row)
     "gopher_quality_filter",

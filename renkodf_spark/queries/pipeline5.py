@@ -638,3 +638,45 @@ def curation_end_to_end(spark, sf_dir):
     filtered = dd.join(passing, "doc_id")
     sel = corpus.quota_sample(filtered, "lang", per_group=_E2E_QUOTA, salt=_E2E_SALT)
     return sel.select("doc_id", "lang", "n_chars", "sample_rank")
+
+
+# ------------------------------------- window-rank distribution depth
+
+
+@query(
+    "order_value_distribution",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS second_biggest_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+""",
+    doc="rank-distribution windows: percent_rank / cume_dist over a "
+    "total per-customer order, plus nth_value with an explicit "
+    "unbounded frame — rounds out the declared window surface beyond "
+    "row_number/ntile/lag/frames.",
+)
+def order_value_distribution(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from renkodf_spark.queries.relational import _t
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wn = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(wn).alias("second_biggest_order"),
+    )

@@ -100,6 +100,14 @@ HEADLINE = [
     "substring_dup_pairs",
     "substring_span_removal",
     "curation_end_to_end",
+    # added round 7 phase 5 (bin-bucketed range joins, funnel, cohort,
+    # snapshot diff, count-min sketch)
+    "range_clicks_in_purchase_windows",
+    "interval_overlap_daily_spans",
+    "funnel_signup_view_click_purchase",
+    "cohort_retention_weekly",
+    "orders_snapshot_diff",
+    "countmin_user_estimates",
 ]
 
 

@@ -24,6 +24,7 @@ from renkodf_spark.queries import pipeline2  # noqa: F401
 from renkodf_spark.queries import pipeline3  # noqa: F401
 from renkodf_spark.queries import pipeline4  # noqa: F401
 from renkodf_spark.queries import pipeline5  # noqa: F401
+from renkodf_spark.queries import relational3  # noqa: F401
 
 # Gate-window priority (see module docstring). Rotation policy (ADVICE
 # r2, applied every round): queries that never had a gate row, plus
@@ -33,6 +34,17 @@ from renkodf_spark.queries import pipeline5  # noqa: F401
 # full-registry sweep so freshness never depends on the window at all.
 # Names not listed keep their module registration order after these.
 _PRIORITY = [
+    # -- new in round 7 phase 5: bin-bucketed range joins, funnel,
+    #    cohort retention, snapshot diff, count-min sketch (never had
+    #    a gate row)
+    "range_clicks_in_purchase_windows",
+    "interval_overlap_daily_spans",
+    "funnel_signup_view_click_purchase",
+    "funnel_view_click_purchase_2h",
+    "cohort_retention_weekly",
+    "orders_snapshot_diff",
+    "countmin_sketch_users",
+    "countmin_user_estimates",
     # -- new in round 7 phase 4: quality-aware dedup keep, CCNet
     #    perplexity buckets, Bloom membership sketch, DSIR weights,
     #    per-source curation stats (never had a gate row)

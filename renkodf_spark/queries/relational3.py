@@ -1,0 +1,392 @@
+"""Round-7 phase-5 gate queries: bin-bucketed range joins
+(point-in-interval and interval-overlap), funnel step analysis, weekly
+cohort retention, snapshot differencing, and count-min frequency
+sketches.
+
+Oracles follow the house conventions: DuckDB inequality joins replay
+the range joins directly (the bin bucketing is an execution strategy,
+not a semantics change — the oracle proves exactly that), timestamps
+compare exactly (µs on both engines), md5-derived integers use the
+``('0x' || substr(md5(x), 1, 8))::BIGINT`` ↔
+``F.conv(F.substring(F.md5(x), 1, 8), 16, 10)`` pair, and the count-min
+oracle replays every counter bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+from pyspark.sql import functions as F
+
+from renkodf_spark.functions import countmin
+from renkodf_spark.operators.funnel import cohort_retention, funnel_steps
+from renkodf_spark.operators.rangejoin import (
+    interval_overlap_join,
+    point_in_interval_join,
+)
+from renkodf_spark.operators.snapshot import snapshot_diff
+from renkodf_spark.queries.registry import query
+from renkodf_spark.sources.tables import load_table
+
+
+def _t(spark, sf_dir, name):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return load_table(spark, sf_dir, name)
+
+
+# ------------------------------------------------------ range joins
+
+@query(
+    "range_clicks_in_purchase_windows",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts,
+             ts + INTERVAL 2 HOUR AS end_ts
+      FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click')
+    SELECT p.purchase_id, p.user_id,
+           COUNT(*)::BIGINT AS n_clicks,
+           MIN(c.click_ts)  AS first_click_ts
+    FROM p JOIN c
+      ON c.user_id = p.user_id
+     AND c.click_ts >= p.p_ts AND c.click_ts < p.end_ts
+    GROUP BY p.purchase_id, p.user_id
+    """,
+    doc="Point-in-interval range join (clicks within 2h after each "
+    "purchase) via bin bucketing — equi-join on (user, time-bin), "
+    "never a nested-loop plan; the oracle is the plain inequality join.",
+)
+def range_clicks_in_purchase_windows(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    j = point_in_interval_join(
+        clicks,
+        purchases,
+        point_col="click_ts",
+        start_col="p_ts",
+        end_col="end_ts",
+        on=["user_id"],
+        bin_width=timedelta(hours=2),
+    )
+    return j.groupBy("purchase_id", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clicks"),
+        F.min("click_ts").alias("first_click_ts"),
+    )
+
+
+@query(
+    "interval_overlap_daily_spans",
+    oracle="""
+    WITH s AS (
+      SELECT date_trunc('day', ts) AS day, user_id, MIN(ts) AS s
+      FROM events GROUP BY 1, 2),
+    iv AS (SELECT day, user_id, s, s + INTERVAL 30 MINUTE AS e FROM s)
+    SELECT a.day, a.user_id AS user_a, b.user_id AS user_b,
+           epoch_us(LEAST(a.e, b.e)) - epoch_us(GREATEST(a.s, b.s)) AS overlap_us
+    FROM iv a JOIN iv b
+      ON a.day = b.day AND a.user_id < b.user_id
+     AND a.s < b.e AND b.s < a.e
+    """,
+    doc="Interval-overlap range join (concurrent 30-min first-activity "
+    "spans per day) with the first-shared-bin dedup rule; oracle = "
+    "plain overlap inequality join.",
+)
+def interval_overlap_daily_spans(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    spans = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .agg(F.min("ts").alias("s"))
+        .withColumn("e", F.col("s") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    a = spans.select(
+        "day",
+        F.col("user_id").alias("user_a"),
+        F.col("s").alias("start_a"),
+        F.col("e").alias("end_a"),
+    )
+    b = spans.select(
+        "day",
+        F.col("user_id").alias("user_b"),
+        F.col("s").alias("start_b"),
+        F.col("e").alias("end_b"),
+    )
+    ov = interval_overlap_join(
+        a,
+        b,
+        left_start="start_a",
+        left_end="end_a",
+        right_start="start_b",
+        right_end="end_b",
+        on=["day"],
+        bin_width=timedelta(minutes=30),
+    )
+    return ov.filter(F.col("user_a") < F.col("user_b")).select(
+        "day",
+        "user_a",
+        "user_b",
+        (
+            F.unix_micros(F.least("end_a", "end_b"))
+            - F.unix_micros(F.greatest("start_a", "start_b"))
+        ).alias("overlap_us"),
+    )
+
+
+# ------------------------------------------------------ funnel / cohort
+
+_FUNNEL4_ORACLE = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+       WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+       JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+       JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY 1),
+s4 AS (SELECT e.user_id, MIN(e.ts) AS t4 FROM events e
+       JOIN s3 ON s3.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY 1)
+SELECT u.user_id, t1 AS step1_ts, t2 AS step2_ts,
+       t3 AS step3_ts, t4 AS step4_ts,
+       ((t1 IS NOT NULL)::INT + (t2 IS NOT NULL)::INT
+        + (t3 IS NOT NULL)::INT + (t4 IS NOT NULL)::INT)::BIGINT
+         AS steps_completed
+FROM u
+LEFT JOIN s1 ON s1.user_id = u.user_id
+LEFT JOIN s2 ON s2.user_id = u.user_id
+LEFT JOIN s3 ON s3.user_id = u.user_id
+LEFT JOIN s4 ON s4.user_id = u.user_id
+"""
+
+
+@query(
+    "funnel_signup_view_click_purchase",
+    oracle=_FUNNEL4_ORACLE,
+    doc="4-step funnel (earliest chain signup→view→click→purchase) as "
+    "k layered window-minimums over one user-keyed exchange; oracle = "
+    "the textbook CTE chain of per-step MIN joins.",
+)
+def funnel_signup_view_click_purchase(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = funnel_steps(
+        ev,
+        user_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        steps=["signup", "view", "click", "purchase"],
+    )
+    return out.withColumn("steps_completed", F.col("steps_completed").cast("long"))
+
+
+_FUNNEL_H_ORACLE = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+       WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+       JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t1
+         AND epoch_us(e.ts) <= epoch_us(s1.t1) + 7200000000 GROUP BY 1),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+       JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+         AND epoch_us(e.ts) <= epoch_us(s2.t2) + 7200000000 GROUP BY 1)
+SELECT u.user_id, t1 AS step1_ts, t2 AS step2_ts, t3 AS step3_ts,
+       ((t1 IS NOT NULL)::INT + (t2 IS NOT NULL)::INT
+        + (t3 IS NOT NULL)::INT)::BIGINT AS steps_completed
+FROM u
+LEFT JOIN s1 ON s1.user_id = u.user_id
+LEFT JOIN s2 ON s2.user_id = u.user_id
+LEFT JOIN s3 ON s3.user_id = u.user_id
+"""
+
+
+@query(
+    "funnel_view_click_purchase_2h",
+    oracle=_FUNNEL_H_ORACLE,
+    doc="3-step funnel with a 2h per-step horizon (exact integer µs, "
+    "the asof tolerance rule) — the horizon makes drop-off real.",
+)
+def funnel_view_click_purchase_2h(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = funnel_steps(
+        ev,
+        user_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        steps=["view", "click", "purchase"],
+        horizon=timedelta(hours=2),
+    )
+    return out.withColumn("steps_completed", F.col("steps_completed").cast("long"))
+
+
+@query(
+    "cohort_retention_weekly",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY 1),
+    act AS (
+      SELECT DISTINCT e.user_id,
+             date_trunc('week', f.first_ts) AS cohort_week,
+             (date_diff('day',
+                        CAST(date_trunc('week', f.first_ts) AS DATE),
+                        CAST(date_trunc('week', e.ts) AS DATE)) // 7)::BIGINT
+               AS week_index
+      FROM events e JOIN firsts f ON f.user_id = e.user_id)
+    SELECT cohort_week, week_index, COUNT(*)::BIGINT AS n_users
+    FROM act GROUP BY 1, 2
+    """,
+    doc="Weekly cohort retention matrix: users bucketed by "
+    "first-activity week, distinct-user counts per weeks-since offset.",
+)
+def cohort_retention_weekly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, user_col="user_id", ts_col="ts")
+
+
+# ------------------------------------------------------ snapshot diff
+
+@query(
+    "orders_snapshot_diff",
+    oracle="""
+    WITH newt AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 89 = 0)
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_totalprice = n.o_totalprice
+                 AND o.o_orderstatus = n.o_orderstatus
+                 AND o.o_orderpriority = n.o_orderpriority
+                  THEN 'unchanged'
+                ELSE 'changed' END AS change_type
+    FROM orders o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
+    """,
+    doc="Snapshot diff change feed (added/removed/changed/unchanged) — "
+    "key+digest reduction, one full-outer equi-join; the 'new' "
+    "snapshot is a deterministic perturbation of orders so the gate "
+    "needs no fixture. The oracle classifies by direct column "
+    "comparison, proving the digest path (operators/snapshot.py) "
+    "equivalent.",
+)
+def orders_snapshot_diff(spark, sf_dir):
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"]
+    old = _t(spark, sf_dir, "orders").select(*cols)
+    key = F.col("o_orderkey")
+    new = (
+        old.filter(key % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(key % 13 == 0, F.col("o_totalprice") + 1.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            old.filter(key % 89 == 0).select(
+                (key + 10000000).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderstatus",
+                "o_orderpriority",
+            )
+        )
+    )
+    diff = snapshot_diff(old, new, keys=["o_orderkey"])
+    return diff.select("o_orderkey", "change_type")
+
+
+# ------------------------------------------------------ count-min sketch
+
+_CMS_W, _CMS_D = 64, 4
+
+_CMS_CELLS = """
+WITH k AS (SELECT CAST(user_id AS VARCHAR) AS kk FROM events),
+h AS (SELECT ('0x' || substr(md5(kk), 1, 8))::BIGINT AS h1,
+             ('0x' || substr(md5(kk), 9, 8))::BIGINT AS h2
+      FROM k),
+cells AS (
+  SELECT d."row", (h1 + d."row" * h2) % 64 AS "col"
+  FROM h CROSS JOIN (VALUES (0), (1), (2), (3)) AS d("row"))
+"""
+
+
+@query(
+    "countmin_sketch_users",
+    oracle=_CMS_CELLS
+    + """
+    SELECT "row"::INT AS "row", "col"::BIGINT AS "col",
+           COUNT(*)::BIGINT AS count
+    FROM cells GROUP BY 1, 2
+    """,
+    doc="Count-min sketch build over per-event user keys (width 64 × "
+    "depth 4, Kirsch-Mitzenmacher double hashing) — the oracle replays "
+    "every counter exactly; width 64 << 150 users so collisions are "
+    "live in the gate.",
+)
+def countmin_sketch_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("kk")
+    )
+    return countmin.cms_build(ev, "kk", width=_CMS_W, depth=_CMS_D)
+
+
+@query(
+    "countmin_user_estimates",
+    oracle=_CMS_CELLS
+    + """,
+    sketch AS (
+      SELECT "row", "col", COUNT(*)::BIGINT AS cnt FROM cells GROUP BY 1, 2),
+    probes AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS kk FROM events),
+    pcells AS (
+      SELECT p.kk, d."row",
+             (('0x' || substr(md5(p.kk), 1, 8))::BIGINT
+              + d."row" * ('0x' || substr(md5(p.kk), 9, 8))::BIGINT) % 64
+               AS "col"
+      FROM probes p CROSS JOIN (VALUES (0), (1), (2), (3)) AS d("row")),
+    est AS (
+      SELECT pc.kk, MIN(COALESCE(s.cnt, 0))::BIGINT AS est_count
+      FROM pcells pc LEFT JOIN sketch s
+        ON s."row" = pc."row" AND s."col" = pc."col"
+      GROUP BY pc.kk),
+    exact AS (
+      SELECT CAST(user_id AS VARCHAR) AS kk, COUNT(*)::BIGINT AS exact_count
+      FROM events GROUP BY 1)
+    SELECT e.kk AS user_key, est.est_count, e.exact_count,
+           (est.est_count >= e.exact_count)::INT AS is_overestimate
+    FROM exact e JOIN est ON est.kk = e.kk
+    """,
+    doc="Count-min estimates vs exact counts per user — the oracle "
+    "replays the estimate bit-for-bit AND pins the one-sided error "
+    "guarantee (est >= exact on every row).",
+)
+def countmin_user_estimates(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("kk")
+    )
+    sketch = countmin.cms_build(ev, "kk", width=_CMS_W, depth=_CMS_D)
+    est = countmin.cms_estimate(ev, sketch, "kk", width=_CMS_W, depth=_CMS_D)
+    exact = ev.groupBy("kk").agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+    return (
+        exact.join(est, "kk")
+        .select(
+            F.col("kk").alias("user_key"),
+            "est_count",
+            "exact_count",
+            (F.col("est_count") >= F.col("exact_count")).cast("int").alias(
+                "is_overestimate"
+            ),
+        )
+    )

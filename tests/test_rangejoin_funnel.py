@@ -1,0 +1,281 @@
+"""Unit tests for the round-7 phase-5 operators: bin-bucketed range
+joins, funnel steps, cohort retention, snapshot diff, and the count-min
+sketch."""
+
+import random
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from renkodf_spark.functions import countmin
+from renkodf_spark.operators.funnel import cohort_retention, funnel_steps
+from renkodf_spark.operators.rangejoin import (
+    interval_overlap_join,
+    point_in_interval_join,
+)
+from renkodf_spark.operators.snapshot import snapshot_diff
+
+
+# ------------------------------------------------------------ rangejoin
+
+def _random_case(seed):
+    rng = random.Random(seed)
+    points = [(i, rng.randint(0, 1), rng.randint(0, 1000)) for i in range(120)]
+    intervals = []
+    for j in range(60):
+        s = rng.randint(-50, 1000)
+        intervals.append((j, rng.randint(0, 1), s, s + rng.randint(0, 120)))
+    return points, intervals
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+@pytest.mark.parametrize("bounds", ["[)", "[]"])
+def test_point_in_interval_matches_naive(spark, seed, bounds):
+    points, intervals = _random_case(seed)
+    p = spark.createDataFrame(points, "pid long, k long, x long")
+    iv = spark.createDataFrame(intervals, "iid long, k long, s long, e long")
+    for width in (7, 64, 5000):
+        got = (
+            point_in_interval_join(
+                p, iv, point_col="x", start_col="s", end_col="e",
+                on=["k"], bin_width=width, bounds=bounds,
+            )
+            .select("pid", "iid")
+            .collect()
+        )
+        upper = F.col("x") < F.col("e") if bounds == "[)" else F.col("x") <= F.col("e")
+        want = (
+            p.join(iv, "k")
+            .filter((F.col("x") >= F.col("s")) & upper)
+            .select("pid", "iid")
+            .collect()
+        )
+        assert sorted(got) == sorted(want), f"width={width}"
+        assert len(got) == len(set(got))  # each pair exactly once
+
+
+@pytest.mark.parametrize("seed", [4, 5])
+@pytest.mark.parametrize("bounds", ["[)", "[]"])
+def test_interval_overlap_matches_naive(spark, seed, bounds):
+    _, left = _random_case(seed)
+    _, right = _random_case(seed + 100)
+    l = spark.createDataFrame(left, "lid long, k long, ls long, le long")
+    r = spark.createDataFrame(
+        [(i, k, s, e) for (i, k, s, e) in right], "rid long, k long, rs long, re long"
+    )
+    for width in (13, 100, 4000):
+        got = (
+            interval_overlap_join(
+                l, r, left_start="ls", left_end="le", right_start="rs",
+                right_end="re", on=["k"], bin_width=width, bounds=bounds,
+            )
+            .select("lid", "rid")
+            .collect()
+        )
+        if bounds == "[)":
+            cond = (F.col("ls") < F.col("re")) & (F.col("rs") < F.col("le"))
+        else:
+            cond = (F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le"))
+        want = l.join(r, "k").filter(cond).select("lid", "rid").collect()
+        assert sorted(got) == sorted(want), f"width={width}"
+        assert len(got) == len(set(got))  # first-shared-bin dedup exact
+
+
+def test_point_in_interval_left_join_keeps_unmatched(spark):
+    p = spark.createDataFrame([(1, 5), (2, 500)], "pid long, x long")
+    iv = spark.createDataFrame([(10, 0, 10)], "iid long, s long, e long")
+    out = point_in_interval_join(
+        p, iv, point_col="x", start_col="s", end_col="e",
+        bin_width=8, how="left",
+    )
+    rows = {r.pid: r.iid for r in out.collect()}
+    assert rows == {1: 10, 2: None}
+
+
+def test_timestamp_domain_and_timedelta_width(spark):
+    t0 = datetime(2024, 1, 1)
+    p = spark.createDataFrame(
+        [(1, t0 + timedelta(minutes=10)), (2, t0 + timedelta(hours=3))],
+        "pid long, x timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(7, t0, t0 + timedelta(hours=1))], "iid long, s timestamp, e timestamp"
+    )
+    out = point_in_interval_join(
+        p, iv, point_col="x", start_col="s", end_col="e",
+        bin_width=timedelta(minutes=30),
+    )
+    assert [r.pid for r in out.collect()] == [1]
+
+
+def test_max_bins_guard_raises(spark):
+    p = spark.createDataFrame([(1, 5)], "pid long, x long")
+    iv = spark.createDataFrame([(1, 0, 10_000_000)], "iid long, s long, e long")
+    out = point_in_interval_join(
+        p, iv, point_col="x", start_col="s", end_col="e",
+        bin_width=2, max_bins_per_interval=100,
+    )
+    with pytest.raises(Exception, match="rangejoin"):
+        out.collect()
+
+
+def test_rangejoin_rejects_shared_names(spark):
+    p = spark.createDataFrame([(1, 5)], "x long, v long")
+    iv = spark.createDataFrame([(0, 10, 3)], "s long, e long, v long")
+    with pytest.raises(ValueError, match="disjoint"):
+        point_in_interval_join(
+            p, iv, point_col="x", start_col="s", end_col="e", bin_width=8
+        )
+
+
+def test_rangejoin_plan_has_no_nested_loop(spark):
+    p = spark.createDataFrame([(i, i % 3, i * 7) for i in range(100)],
+                              "pid long, k long, x long")
+    iv = spark.createDataFrame([(j, j % 3, j * 5, j * 5 + 40) for j in range(50)],
+                               "iid long, k long, s long, e long")
+    out = point_in_interval_join(
+        p, iv, point_col="x", start_col="s", end_col="e", on=["k"], bin_width=32
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert "Cartesian" not in plan
+
+
+# ------------------------------------------------------------ funnel
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [Row(user_id=u, ts=datetime(2024, 1, 1) + timedelta(minutes=m), event_type=t)
+         for (u, m, t) in rows]
+    )
+
+
+def test_funnel_chain_and_dropoff(spark):
+    rows = [
+        # user 1 completes a->b->c in order
+        (1, 0, "a"), (1, 5, "b"), (1, 9, "c"),
+        # user 2: b precedes the first a, so step2 must use the LATER b
+        (2, 0, "b"), (2, 3, "a"), (2, 8, "b"), (2, 1, "c"),
+        # user 3 never does step 1
+        (3, 2, "b"), (3, 4, "c"),
+    ]
+    out = funnel_steps(
+        _ev(spark, rows), user_col="user_id", ts_col="ts",
+        type_col="event_type", steps=["a", "b", "c"],
+    )
+    got = {r.user_id: (r.step1_ts, r.step2_ts, r.step3_ts, r.steps_completed)
+           for r in out.collect()}
+    t = lambda m: datetime(2024, 1, 1) + timedelta(minutes=m)
+    assert got[1] == (t(0), t(5), t(9), 3)
+    assert got[2] == (t(3), t(8), None, 2)  # c@1 is before b@8 -> no step3
+    assert got[3] == (None, None, None, 0)
+
+
+def test_funnel_horizon_cuts_late_steps(spark):
+    rows = [(1, 0, "a"), (1, 61, "b"), (2, 0, "a"), (2, 59, "b")]
+    out = funnel_steps(
+        _ev(spark, rows), user_col="user_id", ts_col="ts",
+        type_col="event_type", steps=["a", "b"], horizon=timedelta(hours=1),
+    )
+    got = {r.user_id: r.steps_completed for r in out.collect()}
+    assert got == {1: 1, 2: 2}  # 61 min > horizon, 59 min within
+
+
+def test_funnel_single_exchange_plan(spark):
+    ev = _ev(spark, [(u, m, t) for u in range(10) for m, t in
+                     [(0, "a"), (1, "b"), (2, "c")]])
+    out = funnel_steps(ev, user_col="user_id", ts_col="ts",
+                       type_col="event_type", steps=["a", "b", "c"])
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]  # AQE echoes the pre-plan too
+    # the k window layers + final agg share the user-key partitioning:
+    # exactly one real exchange (plus AQE readers)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_cohort_retention_small(spark):
+    rows = [
+        (1, 0, "a"), (1, 60 * 24 * 8, "a"),        # week 0 and week 1
+        (2, 60 * 24 * 2, "a"),                     # week 0 only
+        (3, 60 * 24 * 7, "a"), (3, 60 * 24 * 20, "a"),  # cohort wk1, +1wk
+    ]
+    out = cohort_retention(_ev(spark, rows), user_col="user_id", ts_col="ts")
+    got = {(r.cohort_week, r.week_index): r.n_users for r in out.collect()}
+    w0 = datetime(2024, 1, 1)  # 2024-01-01 is a Monday
+    w1 = datetime(2024, 1, 8)
+    assert got == {(w0, 0): 2, (w0, 1): 1, (w1, 0): 1, (w1, 1): 1}
+
+
+# ------------------------------------------------------------ snapshot diff
+
+def test_snapshot_diff_classifies_all_types(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (None, "n", 9.0)],
+        "k long, v string, x double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", None), (4, "d", 4.0), (None, "n", 9.0)],
+        "k long, v string, x double",
+    )
+    out = snapshot_diff(old, new, keys=["k"])
+    got = {r.k: r.change_type for r in out.collect()}
+    # NULL keys match null-safely -> unchanged, not added+removed
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added",
+                   None: "unchanged"}
+
+
+def test_snapshot_diff_null_vs_empty_string_differ(spark):
+    old = spark.createDataFrame([(1, None)], "k long, v string")
+    new = spark.createDataFrame([(1, "")], "k long, v string")
+    out = snapshot_diff(old, new, keys=["k"])
+    assert out.collect()[0].change_type == "changed"
+
+
+def test_snapshot_diff_requires_compare_cols(spark):
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="compare"):
+        snapshot_diff(df, df, keys=["k"])
+
+
+# ------------------------------------------------------------ count-min
+
+def test_cms_overestimates_and_is_exact_when_wide(spark):
+    rows = [(f"k{i % 10}",) for i in range(200)] + [("hot",)] * 300
+    df = spark.createDataFrame(rows, "kk string")
+    exact = {r.kk: r.c for r in
+             df.groupBy("kk").agg(F.count(F.lit(1)).alias("c")).collect()}
+    # narrow sketch: one-sided error
+    sk = countmin.cms_build(df, "kk", width=8, depth=3)
+    est = {r.kk: r.est_count for r in
+           countmin.cms_estimate(df, sk, "kk", width=8, depth=3).collect()}
+    assert all(est[k] >= exact[k] for k in exact)
+    # wide sketch: no collisions -> exact
+    sk2 = countmin.cms_build(df, "kk", width=4096, depth=3)
+    est2 = {r.kk: r.est_count for r in
+            countmin.cms_estimate(df, sk2, "kk", width=4096, depth=3).collect()}
+    assert est2 == exact
+
+
+def test_cms_merge_equals_combined_build(spark):
+    a = spark.createDataFrame([(f"k{i % 7}",) for i in range(50)], "kk string")
+    b = spark.createDataFrame([(f"k{i % 5}",) for i in range(80)], "kk string")
+    merged = countmin.cms_merge(
+        countmin.cms_build(a, "kk", width=32, depth=4),
+        countmin.cms_build(b, "kk", width=32, depth=4),
+    )
+    combined = countmin.cms_build(a.unionByName(b), "kk", width=32, depth=4)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, combined.collect())
+    )
+
+
+def test_cms_weighted_and_unseen_key(spark):
+    df = spark.createDataFrame([("a", 5), ("a", 7), ("b", 1)], "kk string, w int")
+    sk = countmin.cms_build(df, "kk", width=1024, depth=4, weight_col="w")
+    probe = spark.createDataFrame([("a",), ("b",), ("zzz",)], "kk string")
+    est = {r.kk: r.est_count for r in
+           countmin.cms_estimate(probe, sk, "kk", width=1024, depth=4).collect()}
+    assert est == {"a": 12, "b": 1, "zzz": 0}

@@ -36,6 +36,24 @@ QUIET_TIMEOUT = float(os.environ.get("SPARK_GRAFT_QUIET_TIMEOUT", "300"))
 QUIET_GATES: dict[str, dict] = {}
 
 
+def spin_probe(window: float = 0.15) -> float:
+    """Achieved single-thread Python M-iterations/sec over a short wall
+    window. Loadavg cannot see co-tenant CPU *steal* mid-run (our own
+    executor threads keep it high anyway); this probe measures the
+    compute rate this process actually achieves — a stolen core shows
+    up as a proportionally lower number regardless of what the load
+    average reports (NOTES round-8 candidate #6). Absolute values are
+    machine-specific; compare ratios across sections of one run and
+    across rounds on the same box."""
+    end = time.perf_counter() + window
+    n = 0
+    while time.perf_counter() < end:
+        for _ in range(1000):
+            pass
+        n += 1000
+    return round(n / window / 1e6, 2)
+
+
 def wait_for_quiet(section: str) -> dict:
     start = list(os.getloadavg())
     t0 = time.time()
@@ -46,6 +64,9 @@ def wait_for_quiet(section: str) -> dict:
         "start_loadavg": [round(x, 2) for x in start],
         "gated_loadavg": [round(x, 2) for x in os.getloadavg()],
         "waited_sec": round(time.time() - t0, 1),
+        # taken at section start, while our own Spark jobs are idle —
+        # dominated by co-tenant pressure, not our executors
+        "spin_miters": spin_probe(),
     }
     QUIET_GATES[section] = outcome
     if outcome["waited_sec"]:
@@ -432,6 +453,10 @@ def main():
             # the gates only control WHEN each section starts (bounded
             # wait for co-tenant quiet); measurement semantics unchanged
             "quiet_gate": QUIET_GATES,
+            # run-end probe: compare against the per-section
+            # spin_miters values to see whether co-tenant pressure
+            # changed while the run was in flight
+            "spin_miters_end": spin_probe(),
         },
         # co-tenancy context: this box's load swings 6x+ (NOTES.md
         # postmortem); a high load average here means absolute numbers

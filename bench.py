@@ -129,6 +129,8 @@ HEADLINE = [
     "cohort_retention_weekly",
     "orders_snapshot_diff",
     "countmin_user_estimates",
+    "scd2_point_in_time_purchases",
+    "phrase_search_table_table",
 ]
 
 

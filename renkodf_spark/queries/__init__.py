@@ -37,6 +37,12 @@ _PRIORITY = [
     # -- new in round 7 phase 5: bin-bucketed range joins, funnel,
     #    cohort retention, snapshot diff, count-min sketch (never had
     #    a gate row)
+    "scd2_user_status",
+    "scd2_point_in_time_purchases",
+    "inverted_term_stats",
+    "inverted_postings_spark",
+    "boolean_and_search",
+    "phrase_search_table_table",
     "range_clicks_in_purchase_windows",
     "interval_overlap_daily_spans",
     "funnel_signup_view_click_purchase",

@@ -390,3 +390,177 @@ def countmin_user_estimates(spark, sf_dir):
             ),
         )
     )
+
+
+# ------------------------------------------------------ SCD2 / temporal
+
+from renkodf_spark.operators.scd import point_in_time_join, scd2_from_changelog  # noqa: E402
+
+_SCD2_CTES = """
+WITH ch AS (
+  SELECT user_id, ts, event_id, event_type AS status
+  FROM events WHERE event_type IN ('signup', 'view', 'click')),
+d AS (
+  SELECT *, LAG(status) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev
+  FROM ch),
+ep0 AS (SELECT user_id, status, ts, event_id FROM d
+        WHERE prev IS NULL OR prev <> status),
+ep AS (
+  SELECT user_id, status, ts AS effective_from,
+         LEAD(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS effective_to
+  FROM ep0)
+"""
+
+
+@query(
+    "scd2_user_status",
+    oracle=_SCD2_CTES
+    + """
+    SELECT user_id, status, effective_from, effective_to,
+           (effective_to IS NULL)::INT AS is_current
+    FROM ep
+    """,
+    doc="SCD Type-2 build from a change log: collapse consecutive "
+    "identical per-user statuses into [from, to) episodes via one "
+    "key-partitioned window pass (lag-collapse + lead-close); "
+    "event_id breaks equal-timestamp ties deterministically.",
+)
+def scd2_user_status(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "view", "click")
+    )
+    return scd2_from_changelog(
+        ev.select("user_id", "ts", "event_id",
+                  F.col("event_type").alias("status")),
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_cols=["status"],
+        seq_col="event_id",
+    )
+
+
+@query(
+    "scd2_point_in_time_purchases",
+    oracle=_SCD2_CTES
+    + """
+    SELECT f.event_id, f.user_id, f.ts, s.status AS status_pit
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') f
+    ASOF LEFT JOIN ep s
+      ON f.user_id = s.user_id AND f.ts >= s.effective_from
+    """,
+    doc="Point-in-time (temporal) join: each purchase gets the SCD2 "
+    "status version valid AT its timestamp — the backward non-strict "
+    "as-of composition; episodes partition time per key, so no "
+    "interval filter is needed. The leakage-free feature join.",
+)
+def scd2_point_in_time_purchases(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    dim = scd2_from_changelog(
+        ev.filter(F.col("event_type").isin("signup", "view", "click")).select(
+            "user_id", "ts", "event_id", F.col("event_type").alias("status")
+        ),
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_cols=["status"],
+        seq_col="event_id",
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return point_in_time_join(
+        facts, dim, on=["user_id"], fact_time="ts", attr_cols=["status"]
+    ).select("event_id", "user_id", "ts", F.col("status_pit"))
+
+
+# ------------------------------------------------------ inverted index
+
+from renkodf_spark.operators import search as search_ops  # noqa: E402
+
+_TOKS_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, t.toks[i + 1] AS term, i AS pos
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents) t,
+  LATERAL (SELECT unnest(range(len(t.toks))) AS i))
+"""
+
+
+@query(
+    "inverted_term_stats",
+    oracle=_TOKS_CTE
+    + """
+    SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df,
+           COUNT(*)::BIGINT AS cf
+    FROM toks GROUP BY term
+    """,
+    doc="Inverted-index dictionary: per-term document and collection "
+    "frequency from the postings relation (one corpus-sized (term, "
+    "doc) shuffle with map-side partials).",
+)
+def inverted_term_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return search_ops.term_stats(search_ops.build_inverted_index(docs))
+
+
+@query(
+    "inverted_postings_spark",
+    oracle=_TOKS_CTE
+    + """
+    SELECT doc_id, COUNT(*)::BIGINT AS tf, MIN(pos) AS first_pos,
+           MAX(pos) AS last_pos
+    FROM toks WHERE term = 'spark' GROUP BY doc_id
+    """,
+    doc="One term's postings with positional metadata (0-based token "
+    "offsets, sorted for layout determinism).",
+)
+def inverted_postings_spark(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    idx = search_ops.build_inverted_index(docs)
+    return idx.filter(F.col("term") == "spark").select(
+        "doc_id",
+        "tf",
+        F.element_at("positions", 1).alias("first_pos"),
+        F.element_at("positions", -1).alias("last_pos"),
+    )
+
+
+@query(
+    "boolean_and_search",
+    oracle=_TOKS_CTE
+    + """
+    SELECT doc_id FROM toks
+    WHERE term IN ('spark', 'vector', 'stream')
+    GROUP BY doc_id HAVING COUNT(DISTINCT term) = 3
+    """,
+    doc="AND query over the inverted index: postings intersection — "
+    "only the three query terms' postings move, the corpus text is "
+    "never rescanned.",
+)
+def boolean_and_search(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    idx = search_ops.build_inverted_index(docs)
+    return search_ops.search_all_terms(idx, ["spark", "vector", "stream"])
+
+
+@query(
+    "phrase_search_table_table",
+    oracle=_TOKS_CTE
+    + """
+    SELECT a.doc_id, COUNT(*)::BIGINT AS n_matches,
+           MIN(a.pos) AS first_pos
+    FROM toks a JOIN toks b
+      ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    WHERE a.term = 'table' AND b.term = 'table'
+    GROUP BY a.doc_id
+    """,
+    doc="Exact-phrase query ('table table') via the positional "
+    "adjacency walk: position-list intersection per doc, overlapping "
+    "occurrences counted like the naive positional self-join.",
+)
+def phrase_search_table_table(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    idx = search_ops.build_inverted_index(docs)
+    return search_ops.phrase_search(idx, ["table", "table"])

@@ -1,0 +1,144 @@
+"""Unit tests for SCD Type-2 builds / point-in-time joins and the
+inverted-index search operators."""
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from renkodf_spark.operators import search as search_ops
+from renkodf_spark.operators.scd import point_in_time_join, scd2_from_changelog
+
+
+def _t(m):
+    return datetime(2024, 1, 1) + timedelta(minutes=m)
+
+
+# ------------------------------------------------------------ SCD2
+
+def _changelog(spark):
+    rows = [
+        # user 1: a a b a  -> episodes a@[0,20), b@[20,30), a@[30,)
+        (1, _t(0), 1, "a"), (1, _t(10), 2, "a"),
+        (1, _t(20), 3, "b"), (1, _t(30), 4, "a"),
+        # user 2: NULL NULL c -> NULL-safe collapse, then c
+        (2, _t(0), 5, None), (2, _t(5), 6, None), (2, _t(9), 7, "c"),
+        # user 3: equal-ts tie broken by seq: seq 8 ('x') then 9 ('y')
+        (3, _t(0), 8, "x"), (3, _t(0), 9, "y"),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, seq long, status string"
+    )
+
+
+def test_scd2_collapses_and_closes_episodes(spark):
+    out = scd2_from_changelog(
+        _changelog(spark), key_cols=["user_id"], ts_col="ts",
+        attr_cols=["status"], seq_col="seq",
+    )
+    got = {
+        (r.user_id, r.status, r.effective_from, r.effective_to, r.is_current)
+        for r in out.collect()
+    }
+    assert got == {
+        (1, "a", _t(0), _t(20), 0),
+        (1, "a", _t(30), None, 1),
+        (1, "b", _t(20), _t(30), 0),
+        (2, None, _t(0), _t(9), 0),   # NULL-safe collapse of two NULLs
+        (2, "c", _t(9), None, 1),
+        (3, "x", _t(0), _t(0), 0),    # tie order: seq 8 then 9
+        (3, "y", _t(0), None, 1),
+    }
+
+
+def test_scd2_layout_independent(spark):
+    log = _changelog(spark)
+    a = scd2_from_changelog(log.repartition(1), key_cols=["user_id"],
+                            ts_col="ts", attr_cols=["status"], seq_col="seq")
+    b = scd2_from_changelog(log.repartition(7), key_cols=["user_id"],
+                            ts_col="ts", attr_cols=["status"], seq_col="seq")
+    assert set(map(tuple, a.collect())) == set(map(tuple, b.collect()))
+
+
+def test_point_in_time_join_edges(spark):
+    dim = scd2_from_changelog(
+        _changelog(spark), key_cols=["user_id"], ts_col="ts",
+        attr_cols=["status"], seq_col="seq",
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, _t(20)),   # exactly at an episode start -> that episode
+            (101, 1, _t(25)),   # inside [20, 30) -> 'b'
+            (102, 1, _t(999)),  # after last -> open episode 'a'
+            (103, 2, _t(0) - timedelta(minutes=5)),  # before first -> NULL
+        ],
+        "fact_id long, user_id long, ts timestamp",
+    )
+    out = point_in_time_join(
+        facts, dim, on=["user_id"], fact_time="ts", attr_cols=["status"]
+    )
+    got = {r.fact_id: r.status_pit for r in out.collect()}
+    assert got == {100: "b", 101: "b", 102: "a", 103: None}
+
+
+def test_scd2_validates(spark):
+    df = _changelog(spark)
+    with pytest.raises(ValueError, match="non-empty"):
+        scd2_from_changelog(df, key_cols=[], ts_col="ts", attr_cols=["status"])
+
+
+# ------------------------------------------------------------ search
+
+def _docs(spark):
+    rows = [
+        (1, "x x x y z"),        # overlapping 'x x' at 0 and 1
+        (2, "a b c a b"),
+        (3, "z  y   x"),         # multi-space split
+        (4, "b"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_index_postings_and_stats(spark):
+    idx = search_ops.build_inverted_index(_docs(spark))
+    got = {(r.term, r.doc_id): (r.tf, r.positions) for r in idx.collect()}
+    assert got[("x", 1)] == (3, [0, 1, 2])
+    assert got[("b", 2)] == (2, [1, 4])
+    assert got[("x", 3)] == (1, [2])
+    stats = {r.term: (r.df, r.cf) for r in search_ops.term_stats(idx).collect()}
+    assert stats["x"] == (2, 4)
+    assert stats["b"] == (2, 3)
+
+
+def test_index_layout_independent(spark):
+    docs = _docs(spark)
+    a = search_ops.build_inverted_index(docs.repartition(1)).collect()
+    b = search_ops.build_inverted_index(docs.repartition(5)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_and_search(spark):
+    idx = search_ops.build_inverted_index(_docs(spark))
+    assert sorted(
+        r.doc_id for r in search_ops.search_all_terms(idx, ["x", "y"]).collect()
+    ) == [1, 3]
+    assert search_ops.search_all_terms(idx, ["x", "nope"]).count() == 0
+
+
+def test_phrase_search_overlap_and_multiterm(spark):
+    idx = search_ops.build_inverted_index(_docs(spark))
+    # overlapping repeated-term phrase
+    got = {r.doc_id: (r.n_matches, r.first_pos)
+           for r in search_ops.phrase_search(idx, ["x", "x"]).collect()}
+    assert got == {1: (2, 0)}
+    # 3-term phrase occurs twice in doc 2? 'a b c a b': 'a b' at 0 and 3
+    got2 = {r.doc_id: (r.n_matches, r.first_pos)
+            for r in search_ops.phrase_search(idx, ["a", "b"]).collect()}
+    assert got2 == {2: (2, 0)}
+    got3 = {r.doc_id: (r.n_matches, r.first_pos)
+            for r in search_ops.phrase_search(idx, ["a", "b", "c"]).collect()}
+    assert got3 == {2: (1, 0)}
+    # single-term phrase degenerates to the postings
+    got4 = {r.doc_id: r.n_matches
+            for r in search_ops.phrase_search(idx, ["z"]).collect()}
+    assert got4 == {1: 1, 3: 1}

@@ -131,6 +131,7 @@ HEADLINE = [
     "countmin_user_estimates",
     "scd2_point_in_time_purchases",
     "phrase_search_table_table",
+    "lang_token_budget_sample",
 ]
 
 

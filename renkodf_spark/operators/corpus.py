@@ -1152,3 +1152,149 @@ def corpus_manifest(
             .alias("n_tokens"),
         )
     )
+
+
+def token_budget_admitted(
+    df: DataFrame,
+    group_col: str,
+    *,
+    budget: int,
+    tokens_col: str,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+    admit_factor: int = 2,
+) -> DataFrame:
+    """The over-admission pre-filter feeding
+    :func:`token_budget_sample`'s cumulative window — the token-weighted
+    analogue of :func:`quota_admitted`: returns rows whose hash-rank
+    prefix provably contains the group's true budget-filling selection,
+    in expectation carrying ``admit_factor * budget`` TOKENS per group
+    instead of the whole group.
+
+    Exactness argument: admission is a PREFIX of the per-group hash
+    rank order (lexicographic fixed-width hex == numeric leading-48-bit
+    order), so the cumulative token sum over admitted rows equals the
+    full-group cumulative sum on those rows.  The selection is "rows
+    whose preceding cumulative sum is < budget"; if the admitted
+    prefix's total token mass reaches ``budget`` (or the whole group
+    was admitted), every selected row lies inside the prefix — any row
+    beyond it has a preceding sum >= the prefix total >= budget.  A
+    per-group safety aggregation checks exactly that and routes any
+    under-admitted group (binomial tail; in expectation the prefix
+    carries ``admit_factor``× the needed mass) through UNFILTERED.
+
+    The threshold is ``admit_factor * budget * 2^48 DIV group_tokens``
+    computed in DECIMAL(38,0) (a BIGINT product overflows for budgets
+    over ~32k tokens), clamped to full admission.  Group joins are
+    NULL-safe and unhinted (the quota_admitted AQE rationale).
+    """
+    if admit_factor < 1:
+        raise ValueError(f"admit_factor must be >= 1, got {admit_factor}")
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    h48 = F.conv(F.substring(_sample_key(id_col, salt), 1, 12), 16, 10).cast("long")
+    totals = (
+        df.groupBy(F.col(group_col).alias("__grp"))
+        .agg(
+            F.sum(F.col(tokens_col)).cast("long").alias("__T"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .withColumn(
+            "__thresh",
+            F.expr(
+                f"CAST(LEAST(FLOOR(CAST({admit_factor} AS DECIMAL(38,0)) * {budget} "
+                f"* {_H48_LIM} / __T), CAST({_H48_LIM} AS DECIMAL(38,0))) AS BIGINT)"
+            ),
+        )
+    )
+    on_grp = F.col(group_col).eqNullSafe(F.col("__grp"))
+    admitted_stats = (
+        df.select(group_col, F.col(tokens_col).alias("__tok"), h48.alias("__h48"))
+        .join(totals, on_grp)
+        .filter(F.col("__h48") <= F.col("__thresh"))
+        .groupBy("__grp")
+        .agg(
+            F.count(F.lit(1)).alias("__m"),
+            F.sum("__tok").cast("long").alias("__s"),
+        )
+    )
+    stats = (
+        totals.join(admitted_stats, "__grp", "left")
+        .withColumn("__m", F.coalesce("__m", F.lit(0)))
+        .withColumn("__s", F.coalesce("__s", F.lit(0)))
+        .withColumn(
+            "__safe",
+            (F.col("__s") >= F.lit(int(budget))) | (F.col("__m") == F.col("__n")),
+        )
+        .select("__grp", "__thresh", "__safe")
+    )
+    return (
+        df.join(stats, on_grp)
+        .filter((~F.col("__safe")) | (h48 <= F.col("__thresh")))
+        .select(*df.columns)
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    *,
+    budget: int,
+    tokens_col: str,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+    admit_factor: int | None = 2,
+) -> DataFrame:
+    """Deterministic per-group TOKEN-budget sample: within each group,
+    walk rows in ``md5(salt || id)`` hash order and keep rows while the
+    cumulative token count BEFORE the row is still under ``budget`` —
+    the mixture-planning primitive ("give me ~1B tokens of each
+    language, reproducibly"), where :func:`quota_sample` counts
+    documents and document lengths vary 1000×.  The first row crossing
+    the budget is kept (overshoot < one document; every non-empty group
+    yields at least one row).
+
+    Returns the sampled rows plus ``sample_rank`` (position in the
+    group's hash order) and ``cum_tokens`` (tokens up to and including
+    the row).
+
+    Scale: the naive per-group cumulative window funnels the hottest
+    group through one reducer; by default the window input is
+    :func:`token_budget_admitted` — an exact hash-prefix pre-filter
+    carrying ~``admit_factor * budget`` tokens per group with a
+    safety fallback — so a group holding 90% of a 100 TB corpus
+    contributes ~2× budget tokens to the sort, not half the corpus.
+    ``admit_factor=None`` ranks every row; results are identical
+    either way, bit-for-bit.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    key = _sample_key(id_col, salt)
+    w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
+    src = (
+        df
+        if admit_factor is None
+        else token_budget_admitted(
+            df,
+            group_col,
+            budget=budget,
+            tokens_col=tokens_col,
+            id_col=id_col,
+            salt=salt,
+            admit_factor=admit_factor,
+        )
+    )
+    cum_before = F.coalesce(
+        F.sum(tokens_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    ).cast("long")
+    return (
+        src.withColumn("__cum_before", cum_before)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("__cum_before") < F.lit(int(budget)))
+        .withColumn(
+            "cum_tokens",
+            (F.col("__cum_before") + F.col(tokens_col)).cast("long"),
+        )
+        .drop("__cum_before")
+    )

@@ -37,6 +37,7 @@ _PRIORITY = [
     # -- new in round 7 phase 5: bin-bucketed range joins, funnel,
     #    cohort retention, snapshot diff, count-min sketch (never had
     #    a gate row)
+    "lang_token_budget_sample",
     "scd2_user_status",
     "scd2_point_in_time_purchases",
     "inverted_term_stats",

@@ -564,3 +564,53 @@ def phrase_search_table_table(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     idx = search_ops.build_inverted_index(docs)
     return search_ops.phrase_search(idx, ["table", "table"])
+
+
+# ------------------------------------------------------ token budget
+
+from renkodf_spark.operators import corpus as corpus_ops  # noqa: E402
+
+
+@query(
+    "lang_token_budget_sample",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
+             md5('tokbudget:' || CAST(doc_id AS VARCHAR)) AS key
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY key, doc_id)
+               AS sample_rank
+      FROM d)
+    SELECT doc_id, lang, n_tokens, sample_rank::BIGINT AS sample_rank,
+           (cum_before + n_tokens)::BIGINT AS cum_tokens
+    FROM c WHERE cum_before < 2000
+    """,
+    doc="Per-language TOKEN-budget sample (~2000 tokens per lang in "
+    "deterministic hash order, first crossing doc kept) — the mixture-"
+    "planning primitive where quota_sample counts documents; the "
+    "window input is bounded by the exact token-mass over-admission "
+    "pre-filter at any skew. Oracle replays the full cumulative "
+    "window, proving the pre-filtered path bit-identical.",
+)
+def lang_token_budget_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    return corpus_ops.token_budget_sample(
+        docs,
+        "lang",
+        budget=2000,
+        tokens_col="n_tokens",
+        salt="tokbudget",
+    ).select("doc_id", "lang", "n_tokens",
+             F.col("sample_rank").cast("long").alias("sample_rank"),
+             "cum_tokens")

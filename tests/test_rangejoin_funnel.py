@@ -279,3 +279,92 @@ def test_cms_weighted_and_unseen_key(spark):
     est = {r.kk: r.est_count for r in
            countmin.cms_estimate(probe, sk, "kk", width=1024, depth=4).collect()}
     assert est == {"a": 12, "b": 1, "zzz": 0}
+
+
+# ------------------------------------------------------------ token budget
+
+from renkodf_spark.operators.corpus import (  # noqa: E402
+    token_budget_admitted,
+    token_budget_sample,
+)
+
+
+def _token_corpus(spark, n=400, hot_frac=0.9):
+    # 90%-hot language, doc lengths varying 1..60 tokens
+    rows = [
+        (i, "hot" if i < n * hot_frac else f"g{i % 5}", 1 + (i * 7) % 60)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+
+
+def test_token_budget_prefilter_is_exact(spark):
+    docs = _token_corpus(spark)
+    for budget in (1, 50, 300, 10_000, 10_000_000):
+        fast = token_budget_sample(docs, "lang", budget=budget,
+                                   tokens_col="n_tokens").collect()
+        full = token_budget_sample(docs, "lang", budget=budget,
+                                   tokens_col="n_tokens",
+                                   admit_factor=None).collect()
+        assert sorted(map(tuple, fast)) == sorted(map(tuple, full)), budget
+
+
+def test_token_budget_semantics(spark):
+    docs = _token_corpus(spark)
+    out = token_budget_sample(docs, "lang", budget=300,
+                              tokens_col="n_tokens").collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.lang, []).append(r)
+    totals = {r.lang: 0 for r in docs.collect()}
+    for g, rows in by_grp.items():
+        rows.sort(key=lambda r: r.sample_rank)
+        # cum_tokens is a proper running sum
+        c = 0
+        for r in rows:
+            c += r.n_tokens
+            assert r.cum_tokens == c
+        # every group fills the budget with overshoot < one doc:
+        # all but the last admitted row start strictly under budget
+        for r in rows[:-1]:
+            assert r.cum_tokens - r.n_tokens < 300
+        assert rows[-1].cum_tokens - rows[-1].n_tokens < 300
+    # non-empty groups always yield at least one row even if budget
+    # is smaller than the smallest doc
+    tiny = token_budget_sample(docs, "lang", budget=1,
+                               tokens_col="n_tokens").collect()
+    langs = {r.lang for r in docs.collect()}
+    assert {r.lang for r in tiny} == langs
+    assert all(r.sample_rank == 1 for r in tiny)
+
+
+def test_token_budget_admitted_bounds_hot_group(spark):
+    docs = _token_corpus(spark, n=2000)
+    admitted = token_budget_admitted(docs, "lang", budget=300,
+                                     tokens_col="n_tokens")
+    hot = admitted.filter(F.col("lang") == "hot")
+    hot_tokens = hot.agg(F.sum("n_tokens")).collect()[0][0]
+    hot_n = docs.filter(F.col("lang") == "hot").count()
+    # expectation is admit_factor * budget = 600 tokens; allow generous
+    # variance but pin that the hot group's ~55k tokens did NOT pass
+    assert hot_tokens >= 300  # enough mass to fill the budget
+    assert hot_tokens < 6000  # a tiny fraction of the group's total
+    assert hot.count() < hot_n / 10
+
+
+def test_token_budget_layout_independent(spark):
+    docs = _token_corpus(spark)
+    a = token_budget_sample(docs.repartition(1), "lang", budget=500,
+                            tokens_col="n_tokens").collect()
+    b = token_budget_sample(docs.repartition(13), "lang", budget=500,
+                            tokens_col="n_tokens").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_token_budget_validates(spark):
+    docs = _token_corpus(spark, n=10)
+    with pytest.raises(ValueError, match="budget"):
+        token_budget_sample(docs, "lang", budget=0, tokens_col="n_tokens")
+    with pytest.raises(ValueError, match="admit_factor"):
+        token_budget_admitted(docs, "lang", budget=5, tokens_col="n_tokens",
+                              admit_factor=0)

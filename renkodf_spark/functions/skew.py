@@ -90,3 +90,44 @@ def salted_agg(
     salted = df.withColumn("__salt", content_salt(df, buckets))
     stage1 = salted.groupBy(*keys, "__salt").agg(*partials)
     return stage1.groupBy(*keys).agg(*finals)
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: list[str] | str,
+    *,
+    how: str = "inner",
+    buckets: int = 32,
+) -> DataFrame:
+    """Skew-resistant equi-join: replicate the (smaller) ``dim`` side
+    ``buckets``× and salt the ``facts`` side by row-content hash, so a
+    hot join key's fact rows spread over ``buckets`` reducers instead
+    of funneling through one.
+
+    When to reach for it: AQE's skew-join splitting handles most cases
+    at runtime, but it only splits *partitions*, not single oversized
+    keys inside a co-partitioned cache, and it is unavailable when the
+    join feeds an operator that pins the partitioning. This is the
+    explicit, deterministic fallback — same algebra, different layout.
+
+    Semantics: identical to ``facts.join(dim, on, how)`` for ``inner``
+    and ``left`` (every fact row carries exactly one salt; the dim
+    replica with that salt provides exactly the rows the plain join
+    would). ``right``/``full`` are rejected — the replicated side
+    would multiply unmatched dim rows.
+
+    Scale shape: dim rows shuffle ``buckets``× (cheap for a dimension
+    orders of magnitude smaller than the facts); the facts shuffle
+    once on (key..., salt), which is the point.  The salt reuses
+    ``content_salt`` so stage outputs are bit-stable under retry and
+    speculative execution.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    on = [on] if isinstance(on, str) else list(on)
+    salted_facts = facts.withColumn("__salt", content_salt(facts, buckets))
+    replicated = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    return salted_facts.join(replicated, [*on, "__salt"], how).drop("__salt")

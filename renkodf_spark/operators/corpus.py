@@ -1298,3 +1298,57 @@ def token_budget_sample(
         )
         .drop("__cum_before")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    group_col: str | None = None,
+    *,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (top-k per
+    group, or global with ``group_col=None``): the Efraimidis-Spirakis
+    exponential-key scheme, with the uniform draw derandomized to the
+    salted 48-bit id hash — row ``i`` ranks by ``u_i^(1/w_i)``
+    (equivalently ``ln(u_i)/w_i``, the form computed here) and the top
+    ``k`` keys win.  Inclusion probability is proportional to weight at
+    each of the k draws, the sample is a pure function of ``(salt,
+    id, weight)``, and — like every sampler in this module — it is
+    layout- and cluster-size-independent.
+
+    Rows with NULL or non-positive weight are excluded (a zero-weight
+    row can never win a draw).
+
+    Cross-engine caveat (the tfidf_top_terms convention): ``ln`` is a
+    libm call, so the ES key is ROUNDed to ``round_digits`` before
+    ranking and ties break on the id — last-ulp differences between
+    engines cannot flip the selection.
+
+    Scale: one narrow projection computes the keys; per-group top-k is
+    a rank window (global top-k compiles to TakeOrdered).  For huge
+    groups the window input can be cut with an over-admission
+    pre-filter on the hash like quota_admitted — not built in here
+    because weights change the admission bound per row; at the corpus
+    sizes where that matters, pre-filter on ``rate_sample`` first.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h48 = F.conv(F.substring(_sample_key(id_col, salt), 1, 12), 16, 10).cast("long")
+    u = (h48 + F.lit(1)).cast("double") / F.lit(float(_H48_LIM))  # (0, 1]
+    w = F.col(weight_col).cast("double")
+    es_key = F.round(F.log(u) / w, round_digits)
+
+    keyed = df.filter(w.isNotNull() & (w > 0)).withColumn("__es_key", es_key)
+    part = [group_col] if group_col is not None else []
+    win = Window.partitionBy(*part).orderBy(
+        F.desc("__es_key"), F.col(id_col).asc()
+    )
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(win))
+        .filter(F.col("sample_rank") <= k)
+        .drop("__es_key")
+    )

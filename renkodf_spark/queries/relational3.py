@@ -614,3 +614,69 @@ def lang_token_budget_sample(spark, sf_dir):
     ).select("doc_id", "lang", "n_tokens",
              F.col("sample_rank").cast("long").alias("sample_rank"),
              "cum_tokens")
+
+
+# ------------------------------------------------------ skew / weighted
+
+from renkodf_spark.functions.skew import salted_join  # noqa: E402
+
+
+@query(
+    "salted_join_orders_customers",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_nationkey
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    doc="Skew-resistant salted equi-join (dim replicated x8, facts "
+    "salted by content hash) — row-identical to the plain join, which "
+    "is exactly what the oracle pins; the layout change spreads a hot "
+    "key over 8 reducers.",
+)
+def salted_join_orders_customers(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_nationkey"
+    )
+    return salted_join(orders, cust, "o_custkey", buckets=8).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_nationkey"
+    )
+
+
+@query(
+    "lang_weighted_sample",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars,
+             ('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)),
+                             1, 12))::BIGINT AS h48
+      FROM documents),
+    keyed AS (
+      SELECT doc_id, lang, n_chars,
+             ROUND(ln(CAST(h48 + 1 AS DOUBLE) / 281474976710656.0)
+                   / CAST(n_chars AS DOUBLE), 6) AS es_key
+      FROM d WHERE n_chars IS NOT NULL AND n_chars > 0)
+    SELECT doc_id, lang, n_chars, sample_rank FROM (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY es_key DESC, doc_id)::BIGINT
+               AS sample_rank
+      FROM keyed)
+    WHERE sample_rank <= 30
+    """,
+    doc="Weighted sampling without replacement (Efraimidis-Spirakis "
+    "exponential keys, derandomized to the salted id hash; longer docs "
+    "proportionally likelier) — per-language top-30; ES keys ROUNDed "
+    "before ranking so libm ln ulp differences can't flip selection.",
+)
+def lang_weighted_sample(spark, sf_dir):
+    from renkodf_spark.operators.corpus import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample(
+        docs, "lang", k=30, weight_col="n_chars", salt="wsample"
+    ).select(
+        "doc_id", "lang", "n_chars",
+        F.col("sample_rank").cast("long").alias("sample_rank"),
+    )

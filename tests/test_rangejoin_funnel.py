@@ -368,3 +368,70 @@ def test_token_budget_validates(spark):
     with pytest.raises(ValueError, match="admit_factor"):
         token_budget_admitted(docs, "lang", budget=5, tokens_col="n_tokens",
                               admit_factor=0)
+
+
+# ------------------------------------------------------------ salted join
+
+from renkodf_spark.functions.skew import salted_join  # noqa: E402
+
+
+def test_salted_join_matches_plain(spark):
+    facts = spark.createDataFrame(
+        [(i, i % 5 if i % 7 else None, i * 1.5) for i in range(200)],
+        "fid long, k long, v double",
+    )
+    dim = spark.createDataFrame(
+        [(j, f"d{j}") for j in range(4)], "k long, name string"
+    )
+    canon = lambda rows: sorted(repr(tuple(r)) for r in rows)
+    for how in ("inner", "left"):
+        got = salted_join(facts, dim, "k", how=how, buckets=16).collect()
+        want = facts.join(dim, "k", how).collect()
+        assert canon(got) == canon(want), how
+
+
+def test_salted_join_rejects_outer(spark):
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, "k", how="full")
+
+
+# ------------------------------------------------------------ weighted sample
+
+from renkodf_spark.operators.corpus import weighted_sample  # noqa: E402
+
+
+def test_weighted_sample_all_when_k_large(spark):
+    df = spark.createDataFrame(
+        [(i, "g", 1.0 + i) for i in range(10)], "doc_id long, g string, w double"
+    )
+    out = weighted_sample(df, "g", k=100, weight_col="w")
+    assert out.count() == 10
+    assert sorted(r.sample_rank for r in out.collect()) == list(range(1, 11))
+
+
+def test_weighted_sample_prefers_heavy_weight(spark):
+    rows = [(i, "g", 0.001) for i in range(50)] + [(999, "g", 1e9)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+    top = weighted_sample(df, "g", k=1, weight_col="w").collect()
+    assert [r.doc_id for r in top] == [999]
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    rows = [(1, "g", 2.0), (2, "g", 0.0), (3, "g", -1.0), (4, "g", None)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+    out = weighted_sample(df, "g", k=10, weight_col="w")
+    assert [r.doc_id for r in out.collect()] == [1]
+
+
+def test_weighted_sample_layout_independent_and_global(spark):
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", 1.0 + (i % 7)) for i in range(60)],
+        "doc_id long, g string, w double",
+    )
+    a = weighted_sample(df.repartition(1), "g", k=5, weight_col="w").collect()
+    b = weighted_sample(df.repartition(9), "g", k=5, weight_col="w").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # global (no group) top-k
+    g = weighted_sample(df, None, k=7, weight_col="w")
+    assert g.count() == 7

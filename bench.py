@@ -132,6 +132,7 @@ HEADLINE = [
     "scd2_point_in_time_purchases",
     "phrase_search_table_table",
     "lang_token_budget_sample",
+    "hamming_topk",
 ]
 
 

@@ -628,3 +628,95 @@ def projected_cosine_topk(
             "query_id", "neighbor_id", "rank", F.round("cos", round_digits).alias("cos_sim")
         )
     )
+
+
+def binary_quantize(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Binary (sign-bit) quantization: each vector becomes ``dim`` bits
+    packed into ``dim/32`` 32-bit words stored in BIGINT (the Bloom
+    convention — no shift ever reaches the sign bit in any engine).
+    Bit ``i`` is set iff component ``i`` is >= 0.  256× compression at
+    float64, and Hamming distance on the codes approximates angular
+    distance (the classic sign-random-projection estimator — here
+    applied to the raw components; compose with
+    :func:`random_project` for an oblivious rotation first).
+
+    Pure integer outputs — the one quantization with ZERO cross-engine
+    float caveats beyond the >= 0 sign test itself.  Zero-shuffle
+    narrow map.
+    """
+    if dim <= 0 or dim % 32 != 0:
+        raise ValueError(f"dim must be a positive multiple of 32, got {dim}")
+    v = F.col(vec_col).cast("array<double>")
+    words = []
+    for w in range(dim // 32):
+        expr = F.lit(0).cast("long")
+        for j in range(32):
+            expr = expr + F.when(
+                F.element_at(v, w * 32 + j + 1) >= 0,
+                F.lit(1 << j).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        words.append(expr)
+    return emb.select(F.col(id_col), F.array(*words).alias("words"))
+
+
+def hamming_topk(
+    codes: DataFrame,
+    query_codes: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact Hamming top-k over binary codes: score = popcount of the
+    XOR, summed over words — an exact long, so ranking is bit-stable in
+    any engine.  Returns ``(query_id, neighbor_id, rank, hamming)``,
+    rank by (distance asc, neighbor id).
+
+    Scale shape mirrors ``cosine_topk``: queries collapse to one
+    broadcast row, the corpus streams its ~dim/32 longs per row through
+    a broadcast NLJ (this is the bandwidth point — 16 bytes per vector
+    instead of 512), and the per-query top-k is the only shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    qrow = query_codes.agg(
+        F.collect_list(
+            F.struct(F.col(id_col).alias("query_id"), F.col("words").alias("qwords"))
+        ).alias("__qs")
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("words"),
+            F.col("__q.qwords"),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(qrow))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            "words",
+            F.explode("__qs").alias("__q"),
+        )
+        .select(
+            F.col("__q.query_id").alias("query_id"),
+            "neighbor_id",
+            dist.alias("hamming"),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "hamming")
+    )

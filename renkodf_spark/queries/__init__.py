@@ -37,6 +37,8 @@ _PRIORITY = [
     # -- new in round 7 phase 5: bin-bucketed range joins, funnel,
     #    cohort retention, snapshot diff, count-min sketch (never had
     #    a gate row)
+    "binary_quantize_codes",
+    "hamming_topk",
     "salted_join_orders_customers",
     "lang_weighted_sample",
     "lang_token_budget_sample",

@@ -680,3 +680,74 @@ def lang_weighted_sample(spark, sf_dir):
         "doc_id", "lang", "n_chars",
         F.col("sample_rank").cast("long").alias("sample_rank"),
     )
+
+
+# ------------------------------------------------------ binary quantization
+
+_BQ_CODES_CTE = """
+WITH idx AS (SELECT unnest(range(64)) AS i),
+bits AS (
+  SELECT vec_id, (i // 32) AS word_idx,
+         CASE WHEN embedding[i + 1] >= 0
+              THEN (CAST(1 AS BIGINT) << (i % 32)) ELSE 0 END AS b
+  FROM embeddings, idx),
+codes AS (
+  SELECT vec_id, word_idx, SUM(b)::BIGINT AS word
+  FROM bits GROUP BY 1, 2)
+"""
+
+
+@query(
+    "binary_quantize_codes",
+    oracle=_BQ_CODES_CTE
+    + """
+    SELECT vec_id, word_idx::INT AS word_idx, word FROM codes
+    """,
+    doc="Sign-bit binary quantization: 64 dims -> two 32-bit words in "
+    "BIGINT (256x compression; no sign-bit shifts in either engine); "
+    "exported one row per word for the cross-engine-safe projection.",
+)
+def binary_quantize_codes(spark, sf_dir):
+    from renkodf_spark.operators.similarity import binary_quantize
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = binary_quantize(emb, dim=64)
+    return codes.select(
+        "vec_id",
+        F.posexplode("words").alias("word_idx", "word"),
+    )
+
+
+@query(
+    "hamming_topk",
+    oracle=_BQ_CODES_CTE
+    + """,
+    wide AS (
+      SELECT vec_id,
+             MAX(CASE WHEN word_idx = 0 THEN word END) AS w0,
+             MAX(CASE WHEN word_idx = 1 THEN word END) AS w1
+      FROM codes GROUP BY vec_id),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             (bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)))::BIGINT
+               AS hamming
+      FROM wide q JOIN wide c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5)
+    SELECT query_id, neighbor_id, rank, hamming FROM (
+      SELECT query_id, neighbor_id, hamming,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY hamming, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+    doc="Exact Hamming top-5 over the binary codes (popcount of XOR, "
+    "exact long): queries vec_id < 5 broadcast, corpus streams 16 "
+    "bytes/vector — the bandwidth-bound ANN scale path with zero "
+    "float caveats.",
+)
+def hamming_topk(spark, sf_dir):
+    from renkodf_spark.operators.similarity import binary_quantize, hamming_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = binary_quantize(emb, dim=64)
+    return hamming_topk(codes, codes.filter(F.col("vec_id") < 5), k=5)

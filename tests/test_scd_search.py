@@ -142,3 +142,61 @@ def test_phrase_search_overlap_and_multiterm(spark):
     got4 = {r.doc_id: r.n_matches
             for r in search_ops.phrase_search(idx, ["z"]).collect()}
     assert got4 == {1: 1, 3: 1}
+
+
+# ------------------------------------------------------------ binary quant
+
+from renkodf_spark.operators.similarity import (  # noqa: E402
+    binary_quantize,
+    hamming_topk,
+)
+
+
+def test_binary_quantize_known_words(spark):
+    # dims 0..31 -> word 0, dims 32..63 -> word 1; set bits 0, 2 in
+    # word 0 and bit 31 in word 1 (the sign-bit-safe top of the word)
+    vec = [-1.0] * 64
+    vec[0] = 1.0
+    vec[2] = 0.0   # >= 0 counts as set
+    vec[63] = 5.0
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<double>")
+    out = binary_quantize(df, dim=64).collect()[0]
+    assert out.words == [1 + 4, 1 << 31]
+
+
+def test_binary_quantize_validates(spark):
+    df = spark.createDataFrame([(1, [0.0] * 48)], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="multiple of 32"):
+        binary_quantize(df, dim=48)
+
+
+def test_hamming_topk_matches_python(spark):
+    import random
+
+    rng = random.Random(11)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    codes = binary_quantize(df, dim=64)
+    got = hamming_topk(codes, codes.filter(F.col("vec_id") < 3), k=4).collect()
+
+    def pack(v):
+        return [
+            sum(1 << j for j in range(32) if v[w * 32 + j] >= 0)
+            for w in range(2)
+        ]
+
+    packed = {i: pack(v) for i, v in vecs}
+    import itertools
+
+    want = []
+    for qid in range(3):
+        dists = sorted(
+            (
+                (sum(bin(a ^ b).count("1") for a, b in zip(packed[qid], packed[nid])), nid)
+                for nid in packed
+                if nid != qid
+            ),
+        )
+        for rank, (d, nid) in enumerate(dists[:4], start=1):
+            want.append((qid, nid, rank, d))
+    assert sorted((r.query_id, r.neighbor_id, r.rank, r.hamming) for r in got) == sorted(want)

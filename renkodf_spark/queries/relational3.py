@@ -751,3 +751,63 @@ def hamming_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     codes = binary_quantize(emb, dim=64)
     return hamming_topk(codes, codes.filter(F.col("vec_id") < 5), k=5)
+
+
+# ------------------------------------------------------ table profiling
+
+from renkodf_spark.operators.profile import profile_table  # noqa: E402
+
+
+@query(
+    "orders_profile",
+    oracle="""
+    WITH base AS (SELECT COUNT(*)::BIGINT AS n FROM orders)
+    SELECT 'o_orderkey' AS "column", n AS n_rows,
+           (SELECT COUNT(*) FILTER (o_orderkey IS NULL) FROM orders)::BIGINT AS n_nulls,
+           (SELECT COUNT(DISTINCT o_orderkey) FROM orders)::BIGINT AS n_distinct,
+           (SELECT ROUND(MIN(o_orderkey), 4) FROM orders)::DOUBLE AS numeric_min,
+           (SELECT ROUND(MAX(o_orderkey), 4) FROM orders)::DOUBLE AS numeric_max,
+           (SELECT ROUND(AVG(o_orderkey), 4) FROM orders)::DOUBLE AS numeric_avg,
+           NULL::BIGINT AS ts_min_us, NULL::BIGINT AS ts_max_us,
+           NULL::VARCHAR AS str_min, NULL::VARCHAR AS str_max,
+           NULL::DOUBLE AS avg_len
+    FROM base
+    UNION ALL
+    SELECT 'o_totalprice', n,
+           (SELECT COUNT(*) FILTER (o_totalprice IS NULL) FROM orders)::BIGINT,
+           (SELECT COUNT(DISTINCT o_totalprice) FROM orders)::BIGINT,
+           (SELECT ROUND(MIN(o_totalprice), 4) FROM orders)::DOUBLE,
+           (SELECT ROUND(MAX(o_totalprice), 4) FROM orders)::DOUBLE,
+           (SELECT ROUND(AVG(o_totalprice), 4) FROM orders)::DOUBLE,
+           NULL, NULL, NULL, NULL, NULL
+    FROM base
+    UNION ALL
+    SELECT 'o_orderstatus', n,
+           (SELECT COUNT(*) FILTER (o_orderstatus IS NULL) FROM orders)::BIGINT,
+           (SELECT COUNT(DISTINCT o_orderstatus) FROM orders)::BIGINT,
+           NULL, NULL, NULL, NULL, NULL,
+           (SELECT MIN(o_orderstatus) FROM orders),
+           (SELECT MAX(o_orderstatus) FROM orders),
+           (SELECT ROUND(AVG(LENGTH(o_orderstatus)), 4) FROM orders)::DOUBLE
+    FROM base
+    UNION ALL
+    SELECT 'o_orderdate', n,
+           (SELECT COUNT(*) FILTER (o_orderdate IS NULL) FROM orders)::BIGINT,
+           (SELECT COUNT(DISTINCT o_orderdate) FROM orders)::BIGINT,
+           NULL, NULL, NULL,
+           (SELECT MIN(epoch_us(o_orderdate)) FROM orders)::BIGINT,
+           (SELECT MAX(epoch_us(o_orderdate)) FROM orders)::BIGINT,
+           NULL, NULL, NULL
+    FROM base
+    """,
+    doc="One-pass per-column table profile (completeness, exact "
+    "cardinality, typed min/max/avg: numeric rounded, timestamps in "
+    "exact integer µs, strings lexicographic + mean length) — the "
+    "before/after data-quality report of every ingest.",
+)
+def orders_profile(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return profile_table(
+        orders,
+        ["o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"],
+    )

@@ -200,3 +200,48 @@ def test_hamming_topk_matches_python(spark):
         for rank, (d, nid) in enumerate(dists[:4], start=1):
             want.append((qid, nid, rank, d))
     assert sorted((r.query_id, r.neighbor_id, r.rank, r.hamming) for r in got) == sorted(want)
+
+
+# ------------------------------------------------------------ profiling
+
+from renkodf_spark.operators.profile import profile_table  # noqa: E402
+
+
+def test_profile_table_small(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 2.5, "ab", datetime(2024, 1, 1)),
+            (2, None, "c", datetime(2024, 1, 2)),
+            (2, 7.5, None, None),
+        ],
+        "k long, v double, s string, ts timestamp",
+    )
+    out = {r.column: r for r in profile_table(df).collect()}
+    assert set(out) == {"k", "v", "s", "ts"}
+    k = out["k"]
+    assert (k.n_rows, k.n_nulls, k.n_distinct) == (3, 0, 2)
+    assert (k.numeric_min, k.numeric_max) == (1.0, 2.0)
+    v = out["v"]
+    assert (v.n_nulls, v.n_distinct, v.numeric_avg) == (1, 2, 5.0)
+    s = out["s"]
+    assert (s.str_min, s.str_max, s.avg_len) == ("ab", "c", 1.5)
+    assert s.numeric_min is None
+    ts = out["ts"]
+    assert ts.ts_min_us == int(datetime(2024, 1, 1).timestamp() * 0) + 1704067200000000
+    assert ts.n_nulls == 1
+
+
+def test_profile_single_pass_plan(spark):
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    prof = profile_table(df)
+    prof.collect()
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    # one logical pass: no join nodes, no repeated scans
+    assert "Join" not in plan
+
+
+def test_profile_validates(spark):
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="non-empty"):
+        profile_table(df, [])

@@ -448,3 +448,59 @@ def sketch_rollup_writer(
         ).parquet(posixpath.join(sketch_path, f"batch_id={batch_id}"))
 
     return write_batch
+
+
+def cms_rollup_writer(
+    sketch_path: str,
+    key_col: str,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+    weight_col: str | None = None,
+):
+    """Streaming frequency observability for ``foreachBatch``: maintain
+    one lifetime count-min sketch over the stream (the third mergeable
+    sketch state next to the Bloom membership writer and the HLL rollup
+    writer — "have we seen it" / "how many distinct" / "how OFTEN").
+    Count-min counters are linear, so per-trigger sketches built from
+    each micro-batch alone SUM into the persisted state, and the
+    lifetime sketch is exactly the batch sketch of the concatenated
+    stream — heavy-hitter estimates over all history with an
+    O(width × depth) state read at any trigger count.
+
+    State layout mirrors :func:`bloom_dedup_writer` /
+    :func:`sketch_rollup_writer`: one cumulative snapshot per trigger
+    under ``batch_id=N`` (partition overwrite → at-least-once replays
+    are idempotent), each trigger reading only the LATEST prior
+    snapshot.
+
+    Probe the current state with ``functions.countmin.cms_estimate``
+    against ``spark.read.parquet(path).filter(batch_id == latest)``.
+    """
+    from renkodf_spark.functions import countmin
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        import posixpath
+
+        spark = batch.sparkSession
+        cur = countmin.cms_build(
+            batch, key_col, width=width, depth=depth, weight_col=weight_col
+        )
+        try:
+            snaps = spark.read.parquet(sketch_path).filter(F.col("batch_id") < batch_id)
+            latest = snaps.agg(F.max("batch_id")).collect()[0][0]  # bounded scalar
+            prior = (
+                snaps.filter(F.col("batch_id") == latest).select("row", "col", "count")
+                if latest is not None
+                else None
+            )
+        except Exception as exc:
+            if not _is_missing_path(exc):
+                raise
+            prior = None
+        merged = cur if prior is None else countmin.cms_merge(prior, cur)
+        merged.write.mode("overwrite").parquet(
+            posixpath.join(sketch_path, f"batch_id={batch_id}")
+        )
+
+    return write_batch

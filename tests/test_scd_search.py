@@ -313,3 +313,41 @@ def test_indexed_reader_honors_stored_meta(spark, tmp_path):
     # reader derives bucket ids from the sidecar, not its own default
     got = {(r.term, r.doc_id) for r in read_postings(spark, path, ["b"]).collect()}
     assert got == {("b", 2), ("b", 4)}
+
+
+# ------------------------------------------------------------ merge into
+
+from renkodf_spark.operators.snapshot import merge_into  # noqa: E402
+
+
+def test_merge_into_update_insert_delete(spark):
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (None, "n")], "k long, v string"
+    )
+    source = spark.createDataFrame(
+        [
+            (2, "B", False),     # update
+            (4, "d", False),     # insert
+            (3, None, True),     # delete existing
+            (99, "x", True),     # delete of missing key -> no-op
+            (None, "N", False),  # null-key update (null-safe match)
+        ],
+        "k long, v string, del boolean",
+    )
+    out = merge_into(target, source, keys=["k"], delete_col="del")
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {1: "a", 2: "B", 4: "d", None: "N"}
+
+
+def test_merge_into_without_delete_col(spark):
+    target = spark.createDataFrame([(1, 10)], "k long, v long")
+    source = spark.createDataFrame([(1, 20), (2, 30)], "k long, v long")
+    out = merge_into(target, source, keys=["k"])
+    assert {(r.k, r.v) for r in out.collect()} == {(1, 20), (2, 30)}
+
+
+def test_merge_into_validates_schema(spark):
+    target = spark.createDataFrame([(1, 10)], "k long, v long")
+    source = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="missing target columns"):
+        merge_into(target, source, keys=["k"])

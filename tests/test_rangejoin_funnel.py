@@ -435,3 +435,73 @@ def test_weighted_sample_layout_independent_and_global(spark):
     # global (no group) top-k
     g = weighted_sample(df, None, k=7, weight_col="w")
     assert g.count() == 7
+
+
+def test_rangejoin_batched_adversarial_cases(spark):
+    """60 random cases evaluated in ONE join (case id as key):
+    boundary-aligned endpoints (exact multiples of the bin width),
+    zero-length intervals, negative domains, giant spans."""
+    rng = random.Random(99)
+    width = 16
+    points, intervals = [], []
+    for case in range(60):
+        for i in range(25):
+            # half the points exactly on bin boundaries
+            x = rng.randrange(-320, 320)
+            if i % 2 == 0:
+                x = (x // width) * width
+            points.append((case * 1000 + i, case, x))
+        for j in range(12):
+            s = rng.randrange(-320, 320)
+            if j % 3 == 0:
+                s = (s // width) * width          # aligned start
+            ln = rng.choice([0, 1, width - 1, width, width + 1, 5 * width])
+            intervals.append((case * 1000 + j, case, s, s + ln))
+    p = spark.createDataFrame(points, "pid long, k long, x long")
+    iv = spark.createDataFrame(intervals, "iid long, k long, s long, e long")
+    for bounds in ("[)", "[]"):
+        got = (
+            point_in_interval_join(
+                p, iv, point_col="x", start_col="s", end_col="e",
+                on=["k"], bin_width=width, bounds=bounds,
+            )
+            .select("pid", "iid")
+            .collect()
+        )
+        upper = F.col("x") < F.col("e") if bounds == "[)" else F.col("x") <= F.col("e")
+        want = (
+            p.join(iv, "k")
+            .filter((F.col("x") >= F.col("s")) & upper)
+            .select("pid", "iid")
+            .collect()
+        )
+        assert sorted(got) == sorted(want), bounds
+        assert len(got) == len(set(got))
+        ov_got = (
+            interval_overlap_join(
+                iv.select("iid", "k", F.col("s").alias("ls"), F.col("e").alias("le")),
+                iv.select(F.col("iid").alias("rid"), "k",
+                          F.col("s").alias("rs"), F.col("e").alias("re")),
+                left_start="ls", left_end="le", right_start="rs",
+                right_end="re", on=["k"], bin_width=width, bounds=bounds,
+            )
+            .select("iid", "rid")
+            .collect()
+        )
+        if bounds == "[)":
+            cond = (F.col("ls") < F.col("re")) & (F.col("rs") < F.col("le"))
+        else:
+            cond = (F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le"))
+        ov_want = (
+            iv.select("iid", "k", F.col("s").alias("ls"), F.col("e").alias("le"))
+            .join(
+                iv.select(F.col("iid").alias("rid"), "k",
+                          F.col("s").alias("rs"), F.col("e").alias("re")),
+                "k",
+            )
+            .filter(cond)
+            .select("iid", "rid")
+            .collect()
+        )
+        assert sorted(ov_got) == sorted(ov_want), bounds
+        assert len(ov_got) == len(set(ov_got))

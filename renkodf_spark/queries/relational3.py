@@ -860,3 +860,45 @@ def orders_merge_upsert(spark, sf_dir):
     deletes = target.filter(key % 97 == 0).withColumn("del", F.lit(True))
     source = updates.unionByName(inserts).unionByName(deletes)
     return merge_into(target, source, keys=["o_orderkey"], delete_col="del")
+
+
+# ------------------------------------------------------ range frames
+
+@query(
+    "customer_7day_order_sum",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           SUM((ROUND(o_totalprice * 100))::BIGINT) OVER (
+             PARTITION BY o_custkey
+             ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+           )::BIGINT AS window_cents,
+           COUNT(*) OVER (
+             PARTITION BY o_custkey
+             ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+           )::BIGINT AS window_orders
+    FROM orders
+    """,
+    doc="RANGE-interval window frame: per customer, the trailing-7-day "
+    "order total at every order — a VALUE-range frame (all orders "
+    "within 604800s), not a row count; sums in integer cents so frame "
+    "re-association across engines is exact (the house frame rule).",
+)
+def customer_7day_order_sum(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-604800, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(cents).over(w).cast("long").alias("window_cents"),
+        F.count(F.lit(1)).over(w).cast("long").alias("window_orders"),
+    )

@@ -133,6 +133,7 @@ HEADLINE = [
     "phrase_search_table_table",
     "lang_token_budget_sample",
     "hamming_topk",
+    "bm25_search_spark_vector",
 ]
 
 

@@ -200,3 +200,78 @@ def phrase_search_indexed(spark, path: str, phrase: Sequence[str]) -> DataFrame:
     to :func:`phrase_search`, touching only the phrase terms'
     buckets."""
     return phrase_search(read_postings(spark, path, phrase), phrase)
+
+
+def bm25_topk(
+    index: DataFrame,
+    terms: Sequence[str],
+    *,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval over the postings: ``(doc_id,
+    score_micros, rank)`` for the top-``k`` documents by the classic
+    Robertson / Lucene formula
+
+        score(D, Q) = Σ_t  ln(1 + (N - df_t + .5)/(df_t + .5))
+                        · tf·(k1+1) / (tf + k1·(1 − b + b·|D|/avgdl))
+
+    Determinism: each term's contribution is ROUNDed once to integer
+    micro-units, so the per-doc score is an exact long sum in any
+    aggregation order (the unigram_logprob convention); ``ln`` ulp
+    differences across engines are absorbed by the rounding, and ties
+    break on doc_id.  ``|D|/avgdl`` is computed as
+    ``dl · N_docs / total_tokens`` — a single IEEE-exact expression
+    from three exact longs, no pre-divided average to drift.
+
+    Scale shape: doc lengths are one aggregate over the postings;
+    corpus-wide N/total collapse to a broadcast row; only the query
+    terms' postings are scored (term-partition-prunable via
+    ``read_postings``); the final top-k is one rank ordering.
+    """
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    doclen = index.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("__dl"))
+    glob = index.groupBy().agg(
+        F.count_distinct("doc_id").cast("long").alias("__N"),
+        F.sum("tf").cast("long").alias("__total"),
+    )
+    dfreq = (
+        index.filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("__df"))
+    )
+
+    posts = (
+        index.filter(F.col("term").isin(terms))
+        .join(F.broadcast(dfreq), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(glob))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__N") - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+    )
+    norm_len = F.col("__dl") * F.col("__N") / F.col("__total")  # |D| / avgdl
+    tf = F.col("tf").cast("double")
+    contrib = F.round(
+        idf * (tf * (k1 + 1.0)) / (tf + F.lit(k1) * (1.0 - b + F.lit(b) * norm_len))
+        * 1e6
+    ).cast("long")
+
+    from pyspark.sql.window import Window
+
+    scored = posts.select("doc_id", contrib.alias("__c")).groupBy("doc_id").agg(
+        F.sum("__c").alias("score_micros")
+    )
+    w = Window.orderBy(F.desc("score_micros"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "score_micros", "rank")
+    )

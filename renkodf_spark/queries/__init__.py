@@ -37,6 +37,7 @@ _PRIORITY = [
     # -- new in round 7 phase 5: bin-bucketed range joins, funnel,
     #    cohort retention, snapshot diff, count-min sketch (never had
     #    a gate row)
+    "bm25_search_spark_vector",
     "customer_7day_order_sum",
     "orders_merge_upsert",
     "orders_profile",

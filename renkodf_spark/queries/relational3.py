@@ -902,3 +902,46 @@ def customer_7day_order_sum(spark, sf_dir):
         F.sum(cents).over(w).cast("long").alias("window_cents"),
         F.count(F.lit(1)).over(w).cast("long").alias("window_orders"),
     )
+
+
+@query(
+    "bm25_search_spark_vector",
+    oracle=_TOKS_CTE
+    + """,
+    postings AS (
+      SELECT term, doc_id, COUNT(*)::BIGINT AS tf
+      FROM toks GROUP BY term, doc_id),
+    doclen AS (SELECT doc_id, SUM(tf)::BIGINT AS dl FROM postings GROUP BY 1),
+    gstats AS (SELECT COUNT(DISTINCT doc_id)::BIGINT AS n,
+                    SUM(tf)::BIGINT AS total FROM postings),
+    dfreq AS (SELECT term, COUNT(*)::BIGINT AS df FROM postings
+              WHERE term IN ('spark', 'vector') GROUP BY 1),
+    contrib AS (
+      SELECT p.doc_id,
+             ROUND(
+               ln(1.0 + (g.n - f.df + 0.5) / (f.df + 0.5))
+               * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * d.dl * g.n / g.total))
+               * 1e6)::BIGINT AS c
+      FROM postings p
+      JOIN dfreq f ON f.term = p.term
+      JOIN doclen d ON d.doc_id = p.doc_id
+      CROSS JOIN gstats g
+      WHERE p.term IN ('spark', 'vector')),
+    scored AS (SELECT doc_id, SUM(c)::BIGINT AS score_micros
+               FROM contrib GROUP BY 1)
+    SELECT doc_id, score_micros, rank FROM (
+      SELECT doc_id, score_micros,
+             ROW_NUMBER() OVER (ORDER BY score_micros DESC, doc_id) AS rank
+      FROM scored)
+    WHERE rank <= 20
+    """,
+    doc="BM25 ranked retrieval ('spark vector', top-20, k1=1.2 "
+    "b=0.75): per-term contributions ROUNDed once to integer "
+    "micro-units so per-doc scores are exact long sums in any "
+    "aggregation order; |D|/avgdl computed as dl*N/total from three "
+    "exact longs. The oracle replays the full formula.",
+)
+def bm25_search_spark_vector(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    idx = search_ops.build_inverted_index(docs)
+    return search_ops.bm25_topk(idx, ["spark", "vector"], k=20)

@@ -351,3 +351,50 @@ def test_merge_into_validates_schema(spark):
     source = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError, match="missing target columns"):
         merge_into(target, source, keys=["k"])
+
+
+# ------------------------------------------------------------ BM25
+
+def test_bm25_matches_python_reference(spark):
+    import math
+
+    from renkodf_spark.operators.search import bm25_topk, build_inverted_index
+
+    docs = _docs(spark)
+    idx = build_inverted_index(docs)
+    got = {r.doc_id: (r.score_micros, r.rank)
+           for r in bm25_topk(idx, ["x", "b"], k=10).collect()}
+
+    corpus = {1: "x x x y z".split(), 2: "a b c a b".split(),
+              3: "z y x".split(), 4: ["b"]}
+    N = len(corpus)
+    total = sum(len(t) for t in corpus.values())
+    want = {}
+    for d, toks in corpus.items():
+        score = 0
+        for t in ("x", "b"):
+            tf = toks.count(t)
+            if not tf:
+                continue
+            df = sum(1 for tt in corpus.values() if t in tt)
+            idf = math.log(1.0 + (N - df + 0.5) / (df + 0.5))
+            denom = tf + 1.2 * (1 - 0.75 + 0.75 * len(toks) * N / total)
+            # Spark ROUND is HALF_UP on positive values
+            from decimal import Decimal, ROUND_HALF_UP
+            score += int(Decimal(idf * tf * 2.2 / denom * 1e6)
+                         .quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+        if score:
+            want[d] = score
+    ranks = {d: r for r, (d, s) in enumerate(
+        sorted(want.items(), key=lambda kv: (-kv[1], kv[0])), start=1)}
+    assert got == {d: (want[d], ranks[d]) for d in want}
+
+
+def test_bm25_validates(spark):
+    from renkodf_spark.operators.search import bm25_topk, build_inverted_index
+
+    idx = build_inverted_index(_docs(spark))
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_topk(idx, [])
+    with pytest.raises(ValueError, match="k must"):
+        bm25_topk(idx, ["x"], k=0)

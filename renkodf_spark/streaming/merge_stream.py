@@ -1,0 +1,101 @@
+"""Streaming MERGE (keyed upsert/delete) state: maintain the current
+version of a keyed table from a change stream.
+
+Each trigger applies :func:`operators.snapshot.merge_into` to the
+latest persisted snapshot — updates win on matched keys, unmatched
+source rows insert, ``delete_col``-flagged rows delete — and writes
+the NEW current version as one snapshot partition.  This is the
+ingestion-time half of the CDC story whose batch halves are
+``snapshot_diff`` (derive a change feed) and ``merge_into`` (apply
+one); composed here they give "keep a queryable current-state table
+up to date from a stream of upserts" without any table-format engine.
+
+State layout follows the house sketch-writer convention
+(``curation_stream.bloom_dedup_writer``): one FULL snapshot per
+trigger under ``batch_id=N`` via partition overwrite — an
+at-least-once replay of batch ``N`` recomputes against the same
+immutable prior snapshot, so replays are idempotent — and each
+trigger reads only the LATEST prior snapshot, so the state read is
+O(table), never O(triggers).  Readers get the current table with a
+plain ``spark.read.parquet(path).filter(batch_id == max)``.
+
+Full-snapshot-per-trigger trades write amplification for replay
+safety and zero-compaction reads; for a table far larger than the
+per-trigger delta, persist the merged result through
+``sources/lakehouse.VersionedTable`` instead and vacuum old versions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from renkodf_spark.operators.snapshot import merge_into
+from renkodf_spark.streaming.curation_stream import _is_missing_path
+
+
+def merge_writer(
+    state_path: str,
+    *,
+    keys: list[str],
+    delete_col: str | None = None,
+):
+    """``foreachBatch`` writer maintaining a keyed current-state table.
+
+    The micro-batch must carry the table columns (plus the optional
+    boolean ``delete_col``).  Duplicate keys WITHIN one micro-batch are
+    resolved before the merge by keeping the row with the highest
+    ``__seq`` if present, else arbitrarily-but-deterministically by the
+    key hash order of the remaining columns — pass a monotonically
+    increasing sequence column in the stream when intra-batch ordering
+    matters.
+    """
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        import posixpath
+
+        spark = batch.sparkSession
+
+        # collapse intra-batch duplicate keys: last-by-__seq wins when
+        # the stream carries one, else by a deterministic row digest
+        from pyspark.sql.window import Window
+
+        order = (
+            F.col("__seq").desc()
+            if "__seq" in batch.columns
+            else F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in batch.columns])).desc()
+        )
+        w = Window.partitionBy(*keys).orderBy(order)
+        src = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", *(["__seq"] if "__seq" in batch.columns else []))
+        )
+        tbl_cols = [c for c in src.columns if c != delete_col]
+
+        try:
+            snaps = spark.read.parquet(state_path).filter(F.col("batch_id") < batch_id)
+            latest = snaps.agg(F.max("batch_id")).collect()[0][0]  # bounded scalar
+            prior = (
+                snaps.filter(F.col("batch_id") == latest).select(*tbl_cols)
+                if latest is not None
+                else None
+            )
+        except Exception as exc:
+            if not _is_missing_path(exc):
+                raise
+            prior = None
+        if prior is None:
+            # first trigger: the table is the batch's own non-deleted rows
+            merged = (
+                src.filter(~F.coalesce(F.col(delete_col), F.lit(False))).select(*tbl_cols)
+                if delete_col
+                else src.select(*tbl_cols)
+            )
+        else:
+            merged = merge_into(prior, src, keys=keys, delete_col=delete_col)
+        merged.write.mode("overwrite").parquet(
+            posixpath.join(state_path, f"batch_id={batch_id}")
+        )
+
+    return write_batch

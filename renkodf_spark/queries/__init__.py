@@ -38,6 +38,7 @@ _PRIORITY = [
     #    cohort retention, snapshot diff, count-min sketch (never had
     #    a gate row)
     "bm25_search_spark_vector",
+    "hybrid_search_rerank",
     "customer_7day_order_sum",
     "orders_merge_upsert",
     "orders_profile",

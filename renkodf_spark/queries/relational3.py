@@ -945,3 +945,96 @@ def bm25_search_spark_vector(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     idx = search_ops.build_inverted_index(docs)
     return search_ops.bm25_topk(idx, ["spark", "vector"], k=20)
+
+
+# ------------------------------------------------------ hybrid retrieval
+
+_BM25_CTES = _TOKS_CTE + """,
+postings AS (
+  SELECT term, doc_id, COUNT(*)::BIGINT AS tf
+  FROM toks GROUP BY term, doc_id),
+doclen AS (SELECT doc_id, SUM(tf)::BIGINT AS dl FROM postings GROUP BY 1),
+gstats AS (SELECT COUNT(DISTINCT doc_id)::BIGINT AS n,
+                  SUM(tf)::BIGINT AS total FROM postings),
+dfreq AS (SELECT term, COUNT(*)::BIGINT AS df FROM postings
+          WHERE term IN ('spark', 'vector') GROUP BY 1),
+contrib AS (
+  SELECT p.doc_id,
+         ROUND(
+           ln(1.0 + (g.n - f.df + 0.5) / (f.df + 0.5))
+           * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * d.dl * g.n / g.total))
+           * 1e6)::BIGINT AS c
+  FROM postings p
+  JOIN dfreq f ON f.term = p.term
+  JOIN doclen d ON d.doc_id = p.doc_id
+  CROSS JOIN gstats g
+  WHERE p.term IN ('spark', 'vector')),
+bm25 AS (SELECT doc_id, SUM(c)::BIGINT AS score_micros
+         FROM contrib GROUP BY 1)
+"""
+
+
+@query(
+    "hybrid_search_rerank",
+    oracle=_BM25_CTES
+    + """,
+    cand AS (
+      SELECT doc_id, score_micros FROM (
+        SELECT doc_id, score_micros,
+               ROW_NUMBER() OVER (ORDER BY score_micros DESC, doc_id) AS r
+        FROM bm25) WHERE r <= 50),
+    qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+    rer AS (
+      SELECT c.doc_id, c.score_micros AS bm25_micros,
+             list_dot_product(e.embedding::DOUBLE[], qv.v)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qv.v, qv.v))) AS cos
+      FROM cand c
+      JOIN embeddings e ON e.vec_id = c.doc_id
+      CROSS JOIN qv)
+    SELECT doc_id, bm25_micros, ROUND(cos, 4) AS cos_sim, rank FROM (
+      SELECT doc_id, bm25_micros, cos,
+             ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rank
+      FROM rer)
+    WHERE rank <= 10
+    """,
+    doc="Hybrid retrieval: BM25 recall stage (top-50 lexical "
+    "candidates for 'spark vector') -> dense rerank (cosine to the "
+    "vec_id=0 embedding, cosine_topk's exact ranking convention) -> "
+    "top-10. The two-stage retrieve-then-rerank shape of every "
+    "modern search stack, composed from the engine's own operators "
+    "in one declarative plan.",
+)
+def hybrid_search_rerank(spark, sf_dir):
+    from renkodf_spark.operators.similarity import cosine
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = search_ops.build_inverted_index(docs)
+    cand = search_ops.bm25_topk(idx, ["spark", "vector"], k=50).select(
+        "doc_id", F.col("score_micros").alias("bm25_micros")
+    )
+    qrow = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("__qv"))
+    )
+    rer = (
+        cand.join(emb, cand["doc_id"] == emb["vec_id"])
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            "doc_id",
+            "bm25_micros",
+            cosine(
+                F.col("embedding").cast("array<double>"), F.col("__qv")
+            ).alias("__cos"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("__cos"), F.asc("doc_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "bm25_micros", F.round("__cos", 4).alias("cos_sim"), "rank")
+    )

@@ -131,3 +131,58 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     )
     return salted_facts.join(replicated, [*on, "__salt"], how).drop("__salt")
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    *,
+    top_k: int = 10,
+) -> DataFrame:
+    """Key-distribution observability: the top-``top_k`` hottest keys
+    with exact integer shares — the report that tells an operator
+    whether to reach for ``salted_agg`` / ``salted_join`` / AQE skew
+    hints BEFORE a job funnels a hot key through one reducer.
+
+    One row per hot key: ``(rank, key..., count, share_ppm,
+    cum_share_ppm, total_rows, n_keys)`` — shares in exact integer
+    parts-per-million (``count·10⁶ DIV total``, engine-reproducible),
+    cumulative share over the (count desc, key) rank order.
+
+    Scale shape: one map-side-combinable count aggregation, then rank/
+    cumsum over the BOUNDED top-k relation only (TakeOrdered shape);
+    the totals collapse to a broadcast row.
+    """
+    from pyspark.sql.window import Window
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if top_k <= 0:
+        raise ValueError(f"top_k must be positive, got {top_k}")
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("count"))
+    totals = counts.agg(
+        F.sum("count").cast("long").alias("__total"),
+        F.count(F.lit(1)).cast("long").alias("__nkeys"),
+    )
+    order = [F.desc("count")] + [F.asc(k) for k in keys]
+    top = (
+        counts.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+        .filter(F.col("rank") <= top_k)
+    )
+    w = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "share_ppm",
+            F.expr("CAST(count * 1000000 DIV __total AS BIGINT)"),
+        )
+        .withColumn(
+            "cum_share_ppm",
+            F.expr("CAST(SUM(count * 1000000 DIV __total) OVER "
+                   "(ORDER BY rank ROWS UNBOUNDED PRECEDING) AS BIGINT)"),
+        )
+        .select(
+            "rank", *keys, "count", "share_ppm", "cum_share_ppm",
+            F.col("__total").alias("total_rows"),
+            F.col("__nkeys").alias("n_keys"),
+        )
+    )

@@ -39,6 +39,10 @@ _PRIORITY = [
     #    a gate row)
     "bm25_search_spark_vector",
     "hybrid_search_rerank",
+    "purchase_window_concurrency",
+    "purchase_window_peak",
+    "event_value_anomalies",
+    "events_user_skew_report",
     "customer_7day_order_sum",
     "orders_merge_upsert",
     "orders_profile",

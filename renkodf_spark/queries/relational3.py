@@ -1038,3 +1038,150 @@ def hybrid_search_rerank(spark, sf_dir):
         .filter(F.col("rank") <= 10)
         .select("doc_id", "bm25_micros", F.round("__cos", 4).alias("cos_sim"), "rank")
     )
+
+
+# ------------------------------------------------------ sweep line
+
+from renkodf_spark.operators.sweepline import concurrency_profile, max_concurrency  # noqa: E402
+
+_SWEEP_CTES = """
+WITH p AS (
+  SELECT user_id, ts AS s, ts + INTERVAL 2 HOUR AS e
+  FROM events WHERE event_type = 'purchase'),
+d AS (
+  SELECT user_id, s AS ts, 1 AS dd FROM p
+  UNION ALL
+  SELECT user_id, e, -1 FROM p),
+g AS (SELECT user_id, ts, SUM(dd)::BIGINT AS delta FROM d GROUP BY 1, 2),
+prof AS (
+  SELECT user_id, ts, delta,
+         SUM(delta) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS active
+  FROM g)
+"""
+
+
+@query(
+    "purchase_window_concurrency",
+    oracle=_SWEEP_CTES + "SELECT user_id, ts, delta, active FROM prof",
+    doc="Sweep-line concurrency profile: per user, how many of their "
+    "own 2h purchase windows are simultaneously open at every "
+    "boundary — +1/-1 deltas and a keyed running sum; the O(n log n) "
+    "count-only alternative to the range join (no candidate pairs "
+    "ever materialize).",
+)
+def purchase_window_concurrency(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("e"),
+    )
+    return concurrency_profile(iv, start_col="s", end_col="e", on=["user_id"])
+
+
+@query(
+    "purchase_window_peak",
+    oracle=_SWEEP_CTES
+    + """
+    SELECT user_id, active AS peak_active, ts AS peak_ts FROM prof
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY active DESC, ts) = 1
+    """,
+    doc="Peak simultaneous purchase windows per user with the "
+    "earliest boundary achieving it (deterministic tie-break).",
+)
+def purchase_window_peak(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("e"),
+    )
+    return max_concurrency(iv, start_col="s", end_col="e", on=["user_id"])
+
+
+# ------------------------------------------------------ anomaly scoring
+
+from renkodf_spark.operators.anomaly import rolling_zscore  # noqa: E402
+
+
+@query(
+    "event_value_anomalies",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, event_type, ts,
+             (ROUND(value * 100))::BIGINT AS vc
+      FROM events),
+    framed AS (
+      SELECT event_id, event_type, vc,
+             COUNT(vc) OVER w::BIGINT AS n,
+             SUM(vc) OVER w::BIGINT AS s,
+             SUM(vc * vc) OVER w::BIGINT AS ss
+      FROM base
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)),
+    scored AS (
+      SELECT event_id, event_type, n AS window_n,
+             CASE WHEN n >= 3
+                   AND (ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+                       / (n::DOUBLE - 1.0) > 0
+                  THEN ROUND((vc::DOUBLE - s::DOUBLE / n::DOUBLE)
+                             / sqrt((ss::DOUBLE - s::DOUBLE * s::DOUBLE
+                                     / n::DOUBLE) / (n::DOUBLE - 1.0)), 4)
+             END AS zscore
+      FROM framed)
+    SELECT event_id, event_type, window_n, zscore,
+           COALESCE((ABS(zscore) > 3.0)::INT, 0) AS is_anomaly
+    FROM scored
+    """,
+    doc="Trailing-50-row z-score per event type (ts+id total order): "
+    "frame sums in exact integer cents so the mean/variance inputs "
+    "are engine-identical; only the final z is rounded. The "
+    "monitoring primitive for metric streams.",
+)
+def event_value_anomalies(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_zscore(
+        ev,
+        value_col="value",
+        order_cols=["ts", "event_id"],
+        partition_cols=["event_type"],
+        window=50,
+        threshold=3.0,
+    )
+    return out.select("event_id", "event_type", "window_n", "zscore", "is_anomaly")
+
+
+# ------------------------------------------------------ skew report
+
+from renkodf_spark.functions.skew import skew_report  # noqa: E402
+
+
+@query(
+    "events_user_skew_report",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, COUNT(*)::BIGINT AS count FROM events GROUP BY 1),
+    totals AS (
+      SELECT SUM(count)::BIGINT AS total, COUNT(*)::BIGINT AS nkeys
+      FROM counts),
+    top AS (
+      SELECT user_id, count,
+             ROW_NUMBER() OVER (ORDER BY count DESC, user_id) AS rank
+      FROM counts QUALIFY rank <= 10)
+    SELECT rank, user_id, count,
+           (count * 1000000 // total)::BIGINT AS share_ppm,
+           SUM(count * 1000000 // total) OVER (ORDER BY rank
+             ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_share_ppm,
+           total AS total_rows, nkeys AS n_keys
+    FROM top CROSS JOIN totals
+    """,
+    doc="Key-skew observability: top-10 hottest event users with "
+    "exact integer parts-per-million shares and cumulative share — "
+    "the decide-before-you-shuffle report feeding salted_agg / "
+    "salted_join.",
+)
+def events_user_skew_report(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return skew_report(ev, "user_id", top_k=10)

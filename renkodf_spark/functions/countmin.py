@@ -135,3 +135,41 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min("__c").alias("est_count"))
     )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    sketch: DataFrame,
+    key_col: str,
+    *,
+    min_count: int,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Sketch-then-verify heavy hitters: candidate keys whose count-min
+    ESTIMATE reaches ``min_count`` (no false negatives — estimates only
+    overestimate) are verified with an exact count restricted to the
+    candidate set.  Returns ``(key_col, est_count, exact_count)`` for
+    keys whose EXACT count reaches the threshold.
+
+    This is the two-phase shape that makes heavy-hitter detection
+    feasible when the key space is too large for exact per-key counts:
+    phase 1 probes the O(width×depth) sketch; phase 2 re-scans the
+    corpus but aggregates ONLY rows whose key survived phase 1 (a
+    broadcast-able candidate semi-join), so the exact-count shuffle
+    carries the few heavy candidates, not the whole key space.
+    """
+    if min_count <= 0:
+        raise ValueError(f"min_count must be positive, got {min_count}")
+    cands = cms_estimate(df, sketch, key_col, width=width, depth=depth).filter(
+        F.col("est_count") >= min_count
+    )
+    exact = (
+        df.join(F.broadcast(cands.select(key_col)), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+        .filter(F.col("exact_count") >= min_count)
+    )
+    return exact.join(F.broadcast(cands), key_col).select(
+        key_col, "est_count", "exact_count"
+    )

@@ -275,3 +275,51 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("doc_id", "score_micros", "rank")
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009): combine two ranked
+    lists by ``score = Σ 1/(c + rank)`` — the standard hybrid-search
+    fusion when the component scores are incomparable (BM25 micros vs
+    cosine).  A document absent from one list simply contributes
+    nothing from it.
+
+    Determinism: each reciprocal is ROUNDed once to integer nano-units
+    (c + rank ≤ ~10⁵, so 1e9 scaling keeps every distinct reciprocal
+    distinct), making the fused score an exact long sum; ties break on
+    the id.  Both inputs are bounded top-k relations, so the fusion is
+    driver-cheap by construction.
+    """
+    from pyspark.sql.window import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    def contrib(df):
+        return df.select(
+            F.col(id_col),
+            F.round(F.lit(1e9) / (F.lit(float(c)) + F.col(rank_col))).cast(
+                "long"
+            ).alias("__c"),
+        )
+
+    fused = (
+        contrib(ranked_a)
+        .unionByName(contrib(ranked_b))
+        .groupBy(id_col)
+        .agg(F.sum("__c").alias("rrf_nanos"))
+    )
+    w = Window.orderBy(F.desc("rrf_nanos"), F.asc(id_col))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rrf_nanos", "rank")
+    )

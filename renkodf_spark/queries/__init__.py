@@ -39,6 +39,8 @@ _PRIORITY = [
     #    a gate row)
     "bm25_search_spark_vector",
     "hybrid_search_rerank",
+    "countmin_heavy_users",
+    "hybrid_rrf_fusion",
     "purchase_window_concurrency",
     "purchase_window_peak",
     "event_value_anomalies",

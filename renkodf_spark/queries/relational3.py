@@ -1185,3 +1185,102 @@ from renkodf_spark.functions.skew import skew_report  # noqa: E402
 def events_user_skew_report(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return skew_report(ev, "user_id", top_k=10)
+
+
+# ------------------------------------------------------ CMS heavy hitters
+
+@query(
+    "countmin_heavy_users",
+    oracle=_CMS_CELLS
+    + """,
+    sketch AS (
+      SELECT "row", "col", COUNT(*)::BIGINT AS cnt FROM cells GROUP BY 1, 2),
+    probes AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS kk FROM events),
+    pcells AS (
+      SELECT p.kk, d."row",
+             (('0x' || substr(md5(p.kk), 1, 8))::BIGINT
+              + d."row" * ('0x' || substr(md5(p.kk), 9, 8))::BIGINT) % 64
+               AS "col"
+      FROM probes p CROSS JOIN (VALUES (0), (1), (2), (3)) AS d("row")),
+    est AS (
+      SELECT pc.kk, MIN(COALESCE(s.cnt, 0))::BIGINT AS est_count
+      FROM pcells pc LEFT JOIN sketch s
+        ON s."row" = pc."row" AND s."col" = pc."col"
+      GROUP BY pc.kk),
+    cands AS (SELECT kk, est_count FROM est WHERE est_count >= 80),
+    exact AS (
+      SELECT CAST(user_id AS VARCHAR) AS kk, COUNT(*)::BIGINT AS exact_count
+      FROM events
+      WHERE CAST(user_id AS VARCHAR) IN (SELECT kk FROM cands)
+      GROUP BY 1 HAVING COUNT(*) >= 80)
+    SELECT e.kk AS user_key, c.est_count, e.exact_count
+    FROM exact e JOIN cands c ON c.kk = e.kk
+    """,
+    doc="Sketch-then-verify heavy hitters: count-min candidates (no "
+    "false negatives) verified by an exact count over ONLY the "
+    "candidate keys — the two-phase shape that works when the key "
+    "space dwarfs memory. Oracle replays both phases bit-for-bit.",
+)
+def countmin_heavy_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("kk")
+    )
+    sketch = countmin.cms_build(ev, "kk", width=_CMS_W, depth=_CMS_D)
+    hh = countmin.cms_heavy_hitters(
+        ev, sketch, "kk", min_count=80, width=_CMS_W, depth=_CMS_D
+    )
+    return hh.select(F.col("kk").alias("user_key"), "est_count", "exact_count")
+
+
+# ------------------------------------------------------ RRF fusion
+
+@query(
+    "hybrid_rrf_fusion",
+    oracle=_BM25_CTES
+    + """,
+    bm25r AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_micros DESC, doc_id)
+               AS rank
+      FROM bm25 QUALIFY rank <= 20),
+    qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+    cosr AS (
+      SELECT c.vec_id AS doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY list_dot_product(c.embedding::DOUBLE[], qv.v)
+                        / (sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                                 c.embedding::DOUBLE[]))
+                           * sqrt(list_dot_product(qv.v, qv.v))) DESC,
+                        c.vec_id) AS rank
+      FROM embeddings c CROSS JOIN qv
+      WHERE c.vec_id <> 0
+      QUALIFY rank <= 20),
+    contribs AS (
+      SELECT doc_id, ROUND(1e9 / (60 + rank))::BIGINT AS c FROM bm25r
+      UNION ALL
+      SELECT doc_id, ROUND(1e9 / (60 + rank))::BIGINT FROM cosr),
+    fused AS (SELECT doc_id, SUM(c)::BIGINT AS rrf_nanos
+              FROM contribs GROUP BY 1)
+    SELECT doc_id, rrf_nanos, rank FROM (
+      SELECT doc_id, rrf_nanos,
+             ROW_NUMBER() OVER (ORDER BY rrf_nanos DESC, doc_id) AS rank
+      FROM fused)
+    WHERE rank <= 10
+    """,
+    doc="Reciprocal-rank fusion of the BM25 top-20 and the dense "
+    "cosine top-20 (score = sum 1/(60+rank), reciprocals rounded once "
+    "to integer nano-units -> exact long sums) — the standard "
+    "score-free hybrid fusion next to the rerank composition.",
+)
+def hybrid_rrf_fusion(spark, sf_dir):
+    from renkodf_spark.operators.similarity import cosine_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = search_ops.build_inverted_index(docs)
+    bm25r = search_ops.bm25_topk(idx, ["spark", "vector"], k=20).select(
+        "doc_id", "rank"
+    )
+    cosr = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=20).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return search_ops.rrf_fuse(bm25r, cosr, k=10)

@@ -102,3 +102,40 @@ def test_skew_report_shares(spark):
     assert out[3]["count"] == 1  # first cold key by tie-break order
     assert out[1].total_rows == 100 and out[1].n_keys == 12
     assert out[3].cum_share_ppm == out[1].share_ppm + out[2].share_ppm + out[3].share_ppm
+
+
+# ------------------------------------------------------------ CMS hh / RRF
+
+from renkodf_spark.functions import countmin  # noqa: E402
+from renkodf_spark.operators.search import rrf_fuse  # noqa: E402
+
+
+def test_cms_heavy_hitters_no_false_results(spark):
+    rows = [("hot",)] * 200 + [("warm",)] * 90 + [(f"k{i % 40}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "kk string")
+    # narrow sketch forces collisions -> possible false CANDIDATES,
+    # which the exact phase must eliminate
+    sk = countmin.cms_build(df, "kk", width=8, depth=3)
+    hh = {r.kk: (r.est_count, r.exact_count)
+          for r in countmin.cms_heavy_hitters(df, sk, "kk", min_count=80,
+                                              width=8, depth=3).collect()}
+    exact = {r.kk: r.c for r in
+             df.groupBy("kk").agg(F.count(F.lit(1)).alias("c")).collect()}
+    true_hh = {k for k, c in exact.items() if c >= 80}
+    assert set(hh) == true_hh  # no false positives OR negatives
+    for k, (est, ex) in hh.items():
+        assert est >= ex == exact[k]
+
+
+def test_rrf_fuse_hand_case(spark):
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(3, 1), (1, 2), (9, 3)], "doc_id long, rank int")
+    out = {r.doc_id: (r.rrf_nanos, r.rank)
+           for r in rrf_fuse(a, b, k=10).collect()}
+    r61, r62, r63 = round(1e9 / 61), round(1e9 / 62), round(1e9 / 63)
+    assert out[1][0] == r61 + r62          # rank 1 + rank 2
+    assert out[3][0] == r63 + r61
+    assert out[2][0] == r62
+    assert out[9][0] == r63
+    # ordering: doc1 (1/61+1/62) > doc3 (1/61+1/63) > doc2 > doc9
+    assert [out[d][1] for d in (1, 3, 2, 9)] == [1, 2, 3, 4]

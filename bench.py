@@ -134,6 +134,8 @@ HEADLINE = [
     "lang_token_budget_sample",
     "hamming_topk",
     "bm25_search_spark_vector",
+    "hybrid_search_rerank",
+    "purchase_window_concurrency",
 ]
 
 

@@ -1,7 +1,12 @@
 """Round-7 phase-5 gate queries: bin-bucketed range joins
 (point-in-interval and interval-overlap), funnel step analysis, weekly
-cohort retention, snapshot differencing, and count-min frequency
-sketches.
+cohort retention, snapshot differencing / MERGE INTO, count-min
+frequency sketches (incl. sketch-then-verify heavy hitters), SCD
+Type-2 + point-in-time joins, inverted-index search (boolean, phrase,
+BM25, hybrid rerank + RRF fusion), token-budget / weighted sampling,
+salted joins, binary quantization + Hamming ANN, table profiling,
+RANGE-interval window frames, sweep-line concurrency, rolling z-score
+anomalies, and key-skew reports.
 
 Oracles follow the house conventions: DuckDB inequality joins replay
 the range joins directly (the bin bucketing is an execution strategy,

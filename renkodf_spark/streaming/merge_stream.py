@@ -99,3 +99,88 @@ def merge_writer(
         )
 
     return write_batch
+
+
+def scd2_writer(
+    state_path: str,
+    *,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    seq_col: str | None = None,
+):
+    """``foreachBatch`` writer maintaining an SCD Type-2 dimension from
+    a change-log stream: the persisted state is the full episode table
+    (``operators/scd.scd2_from_changelog`` output) and each trigger
+    recomputes ONLY the keys present in the micro-batch.
+
+    Correctness hinges on SCD2 being a per-key pure function of the
+    key's full changelog, so the writer persists two things:
+
+    * ``<path>/log`` — the raw changelog, APPENDED per trigger under
+      ``batch_id=N`` (partition overwrite → replay-idempotent);
+    * ``<path>/dim`` — one full episode snapshot per trigger
+      (``batch_id=N``), assembled as "prior episodes for untouched
+      keys" + "recomputed episodes for the batch's keys", where the
+      recompute reads the key-filtered persisted log (including this
+      batch).  Late rows are handled exactly: a row older than a key's
+      current episodes simply re-derives that key's history.
+
+    State reads per trigger: the latest dim snapshot (O(table)) plus
+    the affected keys' log rows (a key-filtered scan of the appended
+    log — prunable by key-partitioning the log when key cardinality
+    allows).  Read the current dimension with
+    ``spark.read.parquet(path + "/dim").filter(batch_id == max)``.
+    """
+    from renkodf_spark.operators.scd import scd2_from_changelog
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        import posixpath
+
+        spark = batch.sparkSession
+        log_cols = [*key_cols, ts_col, *attr_cols] + ([seq_col] if seq_col else [])
+        batch.select(*log_cols).write.mode("overwrite").parquet(
+            posixpath.join(state_path, "log", f"batch_id={batch_id}")
+        )
+
+        keys = batch.select(*key_cols).distinct()
+        full_log = (
+            spark.read.parquet(posixpath.join(state_path, "log"))
+            .filter(F.col("batch_id") <= batch_id)
+            .drop("batch_id")
+        )
+        recomputed = scd2_from_changelog(
+            full_log.join(F.broadcast(keys), key_cols, "left_semi"),
+            key_cols=key_cols,
+            ts_col=ts_col,
+            attr_cols=attr_cols,
+            seq_col=seq_col,
+        )
+        dim_cols = [*key_cols, *attr_cols, "effective_from", "effective_to",
+                    "is_current"]
+
+        try:
+            snaps = spark.read.parquet(posixpath.join(state_path, "dim")).filter(
+                F.col("batch_id") < batch_id
+            )
+            latest = snaps.agg(F.max("batch_id")).collect()[0][0]  # bounded scalar
+            prior = (
+                snaps.filter(F.col("batch_id") == latest).select(*dim_cols)
+                if latest is not None
+                else None
+            )
+        except Exception as exc:
+            if not _is_missing_path(exc):
+                raise
+            prior = None
+
+        if prior is None:
+            merged = recomputed.select(*dim_cols)
+        else:
+            untouched = prior.join(F.broadcast(keys), key_cols, "left_anti")
+            merged = untouched.unionByName(recomputed.select(*dim_cols))
+        merged.write.mode("overwrite").parquet(
+            posixpath.join(state_path, "dim", f"batch_id={batch_id}")
+        )
+
+    return write_batch

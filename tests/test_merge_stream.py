@@ -62,3 +62,64 @@ def test_merge_stream_state_across_triggers(spark, tmp_path):
     assert sorted(
         r.batch_id for r in snaps.select("batch_id").distinct().collect()
     ) == [0, 1]
+
+
+def test_scd2_stream_matches_batch_incl_late_rows(spark, tmp_path):
+    """Streaming SCD2 maintenance: after N triggers (including a LATE
+    changelog row that rewrites a key's history), the latest dim
+    snapshot equals the batch scd2_from_changelog over the whole log."""
+    from renkodf_spark.operators.scd import scd2_from_changelog
+    from renkodf_spark.streaming.merge_stream import scd2_writer
+
+    schema = "k long, v string, seq long, del boolean"  # reuse writer helper
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # (k, status=v, ts encoded in seq for simplicity)
+    _write(src, "b1.parquet", [
+        (1, "a", 10, False), (1, "b", 20, False),
+        (2, "x", 10, False),
+    ])
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    state = str(tmp_path / "scd")
+    writer = scd2_writer(state, key_cols=["k"], ts_col="seq", attr_cols=["v"])
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # trigger 2: key 1 gets a LATE row at ts 15 (between a@10 and
+        # b@20) and key 3 appears; key 2 untouched
+        _write(src, "b2.parquet", [
+            (1, "z", 15, False),
+            (3, "m", 5, False),
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    dim = spark.read.parquet(state + "/dim")
+    latest = dim.agg(F.max("batch_id")).collect()[0][0]
+    got = sorted(
+        (r.k, r.v, r.seq if False else r.effective_from, r.effective_to, r.is_current)
+        for r in dim.filter(F.col("batch_id") == latest)
+        .select("k", "v", "effective_from", "effective_to", "is_current")
+        .collect()
+    )
+    all_log = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "x", 10), (1, "z", 15), (3, "m", 5)],
+        "k long, v string, seq long",
+    )
+    want = sorted(
+        (r.k, r.v, r.effective_from, r.effective_to, r.is_current)
+        for r in scd2_from_changelog(
+            all_log, key_cols=["k"], ts_col="seq", attr_cols=["v"]
+        ).collect()
+    )
+    assert got == want
+    # the late row really split key 1's history: a@[10,15) z@[15,20) b@[20,)
+    k1 = [(v, f, t) for (k, v, f, t, _c) in got if k == 1]
+    assert sorted(k1) == [("a", 10, 15), ("b", 20, None), ("z", 15, 20)]

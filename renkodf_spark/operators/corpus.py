@@ -1352,3 +1352,44 @@ def weighted_sample(
         .filter(F.col("sample_rank") <= k)
         .drop("__es_key")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    *,
+    id_col: str = "doc_id",
+    shards: int = 64,
+    salt: str = "epoch",
+) -> DataFrame:
+    """Deterministic per-epoch training-order assignment: every row
+    gets ``(shard, position)`` under a permutation that is a pure
+    function of ``(salt, epoch, id)`` — a different reproducible
+    shuffle each epoch, identical across runs, layouts, and cluster
+    sizes (unlike ``orderBy(rand(seed))``, whose partition-seeded
+    draws move with the layout).
+
+    The permutation key is the 48-bit prefix of ``md5(salt:epoch:id)``;
+    ``shard`` is its low bits (uniform), ``position`` the rank within
+    the shard.  A training job reads shards independently and streams
+    each in position order — the global permutation is the shard
+    interleave, and no global sort ever runs: ranking happens per
+    shard (``shards`` independent windows), the same
+    no-global-cumsum rule as ``pack_sequences``.
+    """
+    if epoch < 0:
+        raise ValueError(f"epoch must be non-negative, got {epoch}")
+    if shards <= 0:
+        raise ValueError(f"shards must be positive, got {shards}")
+    key = F.md5(
+        F.concat(F.lit(f"{salt}:{int(epoch)}:"), F.col(id_col).cast("string"))
+    )
+    h48 = F.conv(F.substring(key, 1, 12), 16, 10).cast("long")
+    out = df.withColumn("__h", h48).withColumn(
+        "shard", F.pmod(F.col("__h"), F.lit(int(shards))).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("__h"), F.col(id_col))
+    return (
+        out.withColumn("position", F.row_number().over(w).cast("long"))
+        .drop("__h")
+    )

@@ -39,6 +39,7 @@ _PRIORITY = [
     #    a gate row)
     "bm25_search_spark_vector",
     "hybrid_search_rerank",
+    "epoch_shuffle_order",
     "countmin_heavy_users",
     "hybrid_rrf_fusion",
     "purchase_window_concurrency",

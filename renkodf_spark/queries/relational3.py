@@ -1289,3 +1289,30 @@ def hybrid_rrf_fusion(spark, sf_dir):
         F.col("neighbor_id").alias("doc_id"), "rank"
     )
     return search_ops.rrf_fuse(bm25r, cosr, k=10)
+
+
+# ------------------------------------------------------ epoch shuffle
+
+@query(
+    "epoch_shuffle_order",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             md5('epoch:3:' || CAST(doc_id AS VARCHAR)) AS key,
+             ('0x' || substr(md5('epoch:3:' || CAST(doc_id AS VARCHAR)),
+                             1, 12))::BIGINT AS h48
+      FROM documents)
+    SELECT doc_id, lang,
+           (h48 % 8)::INT AS shard,
+           ROW_NUMBER() OVER (PARTITION BY h48 % 8
+                              ORDER BY h48, doc_id)::BIGINT AS position
+    FROM keyed
+    """,
+    doc="Deterministic per-epoch training order (epoch 3, 8 shards): "
+    "a reproducible layout-independent permutation per epoch — shard "
+    "= low bits of md5(salt:epoch:id), position = rank within shard; "
+    "no global sort, the rank runs per shard.",
+)
+def epoch_shuffle_order(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return corpus_ops.epoch_shuffle(docs, epoch=3, shards=8)

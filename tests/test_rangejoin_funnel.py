@@ -505,3 +505,36 @@ def test_rangejoin_batched_adversarial_cases(spark):
         )
         assert sorted(ov_got) == sorted(ov_want), bounds
         assert len(ov_got) == len(set(ov_got))
+
+
+# ------------------------------------------------------------ epoch shuffle
+
+from renkodf_spark.operators.corpus import epoch_shuffle  # noqa: E402
+
+
+def test_epoch_shuffle_is_permutation_and_epoch_dependent(spark):
+    docs = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    e1 = epoch_shuffle(docs, 1, shards=4).collect()
+    # every row appears once; positions are dense 1..n per shard
+    assert len(e1) == 300
+    by_shard = {}
+    for r in e1:
+        by_shard.setdefault(r.shard, []).append(r.position)
+    for shard, pos in by_shard.items():
+        assert sorted(pos) == list(range(1, len(pos) + 1))
+    # deterministic across layouts
+    e1b = epoch_shuffle(docs.repartition(7), 1, shards=4).collect()
+    assert sorted(map(tuple, e1)) == sorted(map(tuple, e1b))
+    # a different epoch is a different permutation
+    e2 = {(r.doc_id): (r.shard, r.position)
+          for r in epoch_shuffle(docs, 2, shards=4).collect()}
+    m1 = {r.doc_id: (r.shard, r.position) for r in e1}
+    assert any(m1[d] != e2[d] for d in m1)
+
+
+def test_epoch_shuffle_validates(spark):
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="epoch"):
+        epoch_shuffle(docs, -1)
+    with pytest.raises(ValueError, match="shards"):
+        epoch_shuffle(docs, 0, shards=0)

@@ -184,3 +184,75 @@ def scd2_writer(
         )
 
     return write_batch
+
+
+def funnel_writer(
+    state_path: str,
+    *,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    horizon=None,
+):
+    """``foreachBatch`` writer maintaining per-user funnel state
+    (``operators/funnel.funnel_steps`` output) from an event stream —
+    the same affected-keys recompute pattern as :func:`scd2_writer`:
+    funnel completion is a per-user pure function of the user's full
+    event history, so each trigger appends the raw events
+    (``<path>/log``, replay-idempotent partition overwrites) and
+    recomputes funnel rows ONLY for the users present in the
+    micro-batch, carrying untouched users from the prior snapshot
+    (``<path>/state``).  Late and out-of-order events are handled
+    exactly — a late step-1 event re-derives the user's whole chain.
+    """
+    from renkodf_spark.operators.funnel import funnel_steps
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        import posixpath
+
+        spark = batch.sparkSession
+        batch.select(user_col, ts_col, type_col).write.mode("overwrite").parquet(
+            posixpath.join(state_path, "log", f"batch_id={batch_id}")
+        )
+        users = batch.select(user_col).distinct()
+        full_log = (
+            spark.read.parquet(posixpath.join(state_path, "log"))
+            .filter(F.col("batch_id") <= batch_id)
+            .drop("batch_id")
+        )
+        recomputed = funnel_steps(
+            full_log.join(F.broadcast(users), user_col, "left_semi"),
+            user_col=user_col,
+            ts_col=ts_col,
+            type_col=type_col,
+            steps=steps,
+            horizon=horizon,
+        )
+        cols = recomputed.columns
+        try:
+            snaps = spark.read.parquet(posixpath.join(state_path, "state")).filter(
+                F.col("batch_id") < batch_id
+            )
+            latest = snaps.agg(F.max("batch_id")).collect()[0][0]  # bounded scalar
+            prior = (
+                snaps.filter(F.col("batch_id") == latest).select(*cols)
+                if latest is not None
+                else None
+            )
+        except Exception as exc:
+            if not _is_missing_path(exc):
+                raise
+            prior = None
+        merged = (
+            recomputed
+            if prior is None
+            else prior.join(F.broadcast(users), user_col, "left_anti").unionByName(
+                recomputed
+            )
+        )
+        merged.write.mode("overwrite").parquet(
+            posixpath.join(state_path, "state", f"batch_id={batch_id}")
+        )
+
+    return write_batch

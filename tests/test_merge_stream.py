@@ -123,3 +123,59 @@ def test_scd2_stream_matches_batch_incl_late_rows(spark, tmp_path):
     # the late row really split key 1's history: a@[10,15) z@[15,20) b@[20,)
     k1 = [(v, f, t) for (k, v, f, t, _c) in got if k == 1]
     assert sorted(k1) == [("a", 10, 15), ("b", 20, None), ("z", 15, 20)]
+
+
+def test_funnel_stream_matches_batch_incl_late_step(spark, tmp_path):
+    """Streaming funnel maintenance: after triggers including a LATE
+    step-1 event that unlocks later steps retroactively, the latest
+    snapshot equals batch funnel_steps over all events."""
+    from renkodf_spark.operators.funnel import funnel_steps
+    from renkodf_spark.streaming.merge_stream import funnel_writer
+
+    schema = "k long, v string, seq long, del boolean"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # (user=k, event_type=v, ts=seq): user 1 does b@20 only (no chain),
+    # user 2 completes a@5 b@9
+    _write(src, "b1.parquet", [
+        (1, "b", 20, False),
+        (2, "a", 5, False), (2, "b", 9, False),
+    ])
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    state = str(tmp_path / "funnel")
+    writer = funnel_writer(state, user_col="k", ts_col="seq",
+                           type_col="v", steps=["a", "b"])
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # late a@10 for user 1 retroactively completes their chain
+        # (a@10 -> b@20); user 3 starts a chain
+        _write(src, "b2.parquet", [(1, "a", 10, False), (3, "a", 1, False)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    snaps = spark.read.parquet(state + "/state")
+    latest = snaps.agg(F.max("batch_id")).collect()[0][0]
+    got = sorted(
+        map(tuple, snaps.filter(F.col("batch_id") == latest)
+            .select("k", "step1_ts", "step2_ts", "steps_completed").collect())
+    )
+    all_ev = spark.createDataFrame(
+        [(1, "b", 20), (2, "a", 5), (2, "b", 9), (1, "a", 10), (3, "a", 1)],
+        "k long, v string, seq long",
+    )
+    want = sorted(
+        map(tuple, funnel_steps(all_ev, user_col="k", ts_col="seq",
+                                type_col="v", steps=["a", "b"])
+            .select("k", "step1_ts", "step2_ts", "steps_completed").collect())
+    )
+    assert got == want
+    by_user = {t[0]: t[1:] for t in got}
+    assert by_user[1] == (10, 20, 2)  # the late step-1 unlocked step 2

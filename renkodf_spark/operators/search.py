@@ -323,3 +323,85 @@ def rrf_fuse(
         .filter(F.col("rank") <= k)
         .select(id_col, "rrf_nanos", "rank")
     )
+
+
+def write_search_index(
+    index: DataFrame,
+    path: str,
+    *,
+    n_buckets: int = 64,
+) -> None:
+    """Persist a FULL search index: the bucket-partitioned postings of
+    :func:`write_inverted_index` PLUS the scoring statistics BM25 needs
+    — per-doc lengths (``<path>/doclen``) and the corpus-wide
+    (N, total-tokens) row (``<path>/stats``) — computed once at build
+    time, exactly like a real engine stores document norms alongside
+    its postings.  Without them an "indexed" BM25 would re-aggregate
+    the whole postings relation per query, defeating the pruning.
+    """
+    write_inverted_index(index, path, n_buckets=n_buckets)
+    index.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("dl")
+    ).write.mode("overwrite").parquet(path + "/doclen")
+    index.groupBy().agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.sum("tf").cast("long").alias("total_tokens"),
+    ).write.mode("overwrite").parquet(path + "/stats")
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    terms: Sequence[str],
+    *,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 over a persisted :func:`write_search_index`: identical
+    scores to :func:`bm25_topk` on the in-memory postings
+    (parity-pinned in tests), but the query reads ONLY the query
+    terms' bucket partitions plus the two small stats tables — scan
+    cost ∝ query terms, not corpus size.
+    """
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    posts = read_postings(spark, path, terms)
+    doclen = spark.read.parquet(path + "/doclen").select(
+        "doc_id", F.col("dl").alias("__dl")
+    )
+    stats = spark.read.parquet(path + "/stats").select(
+        F.col("n_docs").alias("__N"), F.col("total_tokens").alias("__total")
+    )
+    dfreq = posts.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("__df"))
+
+    joined = (
+        posts.join(F.broadcast(dfreq), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__N") - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+    )
+    norm_len = F.col("__dl") * F.col("__N") / F.col("__total")
+    tf = F.col("tf").cast("double")
+    contrib = F.round(
+        idf * (tf * (k1 + 1.0)) / (tf + F.lit(k1) * (1.0 - b + F.lit(b) * norm_len))
+        * 1e6
+    ).cast("long")
+
+    from pyspark.sql.window import Window
+
+    scored = joined.select("doc_id", contrib.alias("__c")).groupBy("doc_id").agg(
+        F.sum("__c").alias("score_micros")
+    )
+    w = Window.orderBy(F.desc("score_micros"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "score_micros", "rank")
+    )

@@ -398,3 +398,27 @@ def test_bm25_validates(spark):
         bm25_topk(idx, [])
     with pytest.raises(ValueError, match="k must"):
         bm25_topk(idx, ["x"], k=0)
+
+
+def test_bm25_indexed_parity_and_pruning(spark, tmp_path):
+    from renkodf_spark.operators.search import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_inverted_index,
+        write_search_index,
+    )
+
+    idx = build_inverted_index(_docs(spark))
+    path = str(tmp_path / "searchidx")
+    write_search_index(idx, path, n_buckets=16)
+
+    got = sorted(map(tuple, bm25_topk_indexed(spark, path, ["x", "b"], k=10).collect()))
+    want = sorted(map(tuple, bm25_topk(idx, ["x", "b"], k=10).collect()))
+    assert got == want  # identical scores, ranks, micros
+
+    # the postings scan is statically pruned to the query terms' buckets
+    from renkodf_spark.operators.search import read_postings
+
+    scan = read_postings(spark, path, ["x", "b"])
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "dynamicpruning" not in plan

@@ -1309,6 +1309,7 @@ def weighted_sample(
     id_col: str = "doc_id",
     salt: str = "sample",
     round_digits: int = 6,
+    admit_factor: int | None = 4,
 ) -> DataFrame:
     """Deterministic weighted sampling WITHOUT replacement (top-k per
     group, or global with ``group_col=None``): the Efraimidis-Spirakis
@@ -1328,15 +1329,27 @@ def weighted_sample(
     ranking and ties break on the id — last-ulp differences between
     engines cannot flip the selection.
 
-    Scale: one narrow projection computes the keys; per-group top-k is
-    a rank window (global top-k compiles to TakeOrdered).  For huge
-    groups the window input can be cut with an over-admission
-    pre-filter on the hash like quota_admitted — not built in here
-    because weights change the admission bound per row; at the corpus
-    sizes where that matters, pre-filter on ``rate_sample`` first.
+    Scale (the quota_admitted story, weight-adapted): the rank window
+    runs by default on an exact over-admission pre-filter.  ES keys
+    are ≤ 0 and ``P(key ≥ θ) = 1 − e^{θ·w}``, so the per-group
+    threshold ``θ = −admit_factor·k / Σw`` admits ``Σ(1 − e^{θ w_i})
+    ≈ admit_factor·k`` rows in expectation.  Admission compares the
+    ROUNDED key against ``round(θ) − 10^{−round_digits}`` — one
+    rounding-grid step of margin — so the admitted set is an upper
+    level set of the exact ranking order: if a group admits
+    ``m ≥ min(k, n)`` rows, its true top ``min(k, n)`` (rounded-key
+    desc, id asc) provably lies inside, because every non-admitted
+    row's rounded key sits at least one grid step below every admitted
+    one.  A per-group safety aggregation routes any under-admitted
+    group (possible under extreme weight heavy-tails, where
+    ``1 − e^{θw}`` saturates) through UNFILTERED ranking — results are
+    bit-identical either way.  ``admit_factor=None`` disables the
+    pre-filter.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    if admit_factor is not None and admit_factor < 1:
+        raise ValueError(f"admit_factor must be >= 1 or None, got {admit_factor}")
     h48 = F.conv(F.substring(_sample_key(id_col, salt), 1, 12), 16, 10).cast("long")
     u = (h48 + F.lit(1)).cast("double") / F.lit(float(_H48_LIM))  # (0, 1]
     w = F.col(weight_col).cast("double")
@@ -1344,6 +1357,54 @@ def weighted_sample(
 
     keyed = df.filter(w.isNotNull() & (w > 0)).withColumn("__es_key", es_key)
     part = [group_col] if group_col is not None else []
+
+    if admit_factor is not None:
+        grp = (
+            F.col(group_col).alias("__grp")
+            if group_col is not None
+            else F.lit(0).alias("__grp")
+        )
+        on_grp = (
+            F.col(group_col).eqNullSafe(F.col("__grp"))
+            if group_col is not None
+            else F.lit(True)
+        )
+        eps = 10.0 ** (-round_digits)
+        stats = (
+            keyed.groupBy(grp)
+            .agg(
+                F.sum(F.col(weight_col).cast("double")).alias("__W"),
+                F.count(F.lit(1)).alias("__n"),
+            )
+            .withColumn(
+                "__thresh",
+                F.round(
+                    F.lit(-float(admit_factor * k)) / F.col("__W"), round_digits
+                )
+                - F.lit(eps),
+            )
+        )
+        admitted_counts = (
+            keyed.select(*( [group_col] if group_col else [] ), "__es_key")
+            .join(stats, on_grp)
+            .filter(F.col("__es_key") >= F.col("__thresh"))
+            .groupBy("__grp")
+            .agg(F.count(F.lit(1)).alias("__m"))
+        )
+        checks = (
+            stats.join(admitted_counts, "__grp", "left")
+            .withColumn("__m", F.coalesce("__m", F.lit(0)))
+            .withColumn(
+                "__safe", F.col("__m") >= F.least(F.lit(k), F.col("__n"))
+            )
+            .select("__grp", "__thresh", "__safe")
+        )
+        keyed = (
+            keyed.join(checks, on_grp)
+            .filter((~F.col("__safe")) | (F.col("__es_key") >= F.col("__thresh")))
+            .select(*df.columns, "__es_key")
+        )
+
     win = Window.partitionBy(*part).orderBy(
         F.desc("__es_key"), F.col(id_col).asc()
     )

@@ -538,3 +538,51 @@ def test_epoch_shuffle_validates(spark):
         epoch_shuffle(docs, -1)
     with pytest.raises(ValueError, match="shards"):
         epoch_shuffle(docs, 0, shards=0)
+
+
+def test_weighted_sample_prefilter_is_exact(spark):
+    """The over-admission pre-filter must be bit-identical to the full
+    ranking across weight regimes: uniform, mildly varied, NULL-group,
+    and a heavy tail that forces the safety fallback."""
+    rows = []
+    # group A: uniform weights (prefilter bites)
+    rows += [(i, "A", 1.0) for i in range(3000)]
+    # group B: 100x varied weights
+    rows += [(10_000 + i, "B", 1.0 + (i % 100)) for i in range(2000)]
+    # group C: extreme heavy tail (one weight dominates -> under-admit
+    # -> fallback path)
+    rows += [(20_000, "C", 1e9)] + [(20_001 + i, "C", 1e-3) for i in range(500)]
+    # NULL group key
+    rows += [(30_000 + i, None, 2.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+    for k in (1, 10, 50):
+        fast = weighted_sample(df, "g", k=k, weight_col="w").collect()
+        full = weighted_sample(df, "g", k=k, weight_col="w",
+                               admit_factor=None).collect()
+        assert sorted(map(tuple, fast)) == sorted(map(tuple, full)), k
+    # global (no group) path too
+    fast_g = weighted_sample(df, None, k=25, weight_col="w").collect()
+    full_g = weighted_sample(df, None, k=25, weight_col="w",
+                             admit_factor=None).collect()
+    assert sorted(map(tuple, fast_g)) == sorted(map(tuple, full_g))
+
+
+def test_weighted_admission_bounds_uniform_group(spark):
+    df = spark.createDataFrame([(i, "A", 1.0) for i in range(20_000)],
+                               "doc_id long, g string, w double")
+    # with uniform weights expected admitted = factor*k; check the
+    # window input (reproduced via the same threshold math) is tiny
+    from pyspark.sql import functions as FF
+
+    out = weighted_sample(df, "g", k=10, weight_col="w", admit_factor=4)
+    assert out.count() == 10
+    # the result is exact regardless; boundedness is probabilistic —
+    # reproduce the admitted count directly
+    h48 = FF.conv(FF.substring(FF.md5(FF.concat(FF.lit("sample:"),
+        FF.col("doc_id").cast("string"))), 1, 12), 16, 10).cast("long")
+    u = (h48 + FF.lit(1)).cast("double") / FF.lit(float(2**48))
+    key = FF.round(FF.log(u) / FF.col("w"), 6)
+    theta = -4.0 * 10 / 20_000
+    m = df.withColumn("kk", key).filter(
+        FF.col("kk") >= round(theta, 6) - 1e-6).count()
+    assert 10 <= m < 2_000  # ~40 expected; a tiny fraction of 20k

@@ -256,3 +256,105 @@ def funnel_writer(
         )
 
     return write_batch
+
+
+def search_index_writer(
+    state_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+):
+    """``foreachBatch`` writer maintaining a searchable inverted index
+    from a document stream — the incremental counterpart of
+    ``operators/search.write_search_index``:
+
+    * postings for each micro-batch's documents are computed from the
+      batch ALONE (documents are append-only, so (term, doc) rows
+      never conflict across triggers) and written under
+      ``<path>/postings/batch_id=N/tb=...`` — the same term-hash
+      bucketing as the batch index, so a reader prunes to query-term
+      buckets across ALL generations with one static filter;
+    * BM25 stats are additive, so ``<path>/doclen`` gains one
+      append-only generation per trigger and ``<path>/stats`` gets a
+      cumulative one-row snapshot per trigger (latest-only reads, the
+      CMS-writer pattern).
+
+    All writes are partition overwrites keyed by batch_id →
+    at-least-once replays are idempotent.  Query with
+    :func:`read_postings_stream` / the batch BM25 over its output.
+    """
+    from renkodf_spark.operators.search import (
+        _term_bucket_expr,
+        build_inverted_index,
+    )
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        import posixpath
+
+        spark = batch.sparkSession
+        idx = build_inverted_index(batch, id_col=id_col, text_col=text_col)
+        idx.withColumn("tb", _term_bucket_expr(F.col("term"), n_buckets)).write.mode(
+            "overwrite"
+        ).partitionBy("tb").parquet(
+            posixpath.join(state_path, "postings", f"batch_id={batch_id}")
+        )
+        idx.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl")).write.mode(
+            "overwrite"
+        ).parquet(posixpath.join(state_path, "doclen", f"batch_id={batch_id}"))
+
+        cur = idx.groupBy().agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.sum("tf").cast("long").alias("total_tokens"),
+        )
+        try:
+            snaps = spark.read.parquet(posixpath.join(state_path, "stats")).filter(
+                F.col("batch_id") < batch_id
+            )
+            latest = snaps.agg(F.max("batch_id")).collect()[0][0]  # bounded scalar
+            prior = (
+                snaps.filter(F.col("batch_id") == latest).select(
+                    "n_docs", "total_tokens"
+                )
+                if latest is not None
+                else None
+            )
+        except Exception as exc:
+            if not _is_missing_path(exc):
+                raise
+            prior = None
+        merged = (
+            cur
+            if prior is None
+            else prior.unionByName(cur).agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("total_tokens").cast("long").alias("total_tokens"),
+            )
+        )
+        merged.write.mode("overwrite").parquet(
+            posixpath.join(state_path, "stats", f"batch_id={batch_id}")
+        )
+        spark.createDataFrame([(int(n_buckets),)], "n_buckets long").write.mode(
+            "overwrite"
+        ).parquet(posixpath.join(state_path, "meta"))
+
+    return write_batch
+
+
+def read_postings_stream(spark, state_path: str, terms):
+    """Bucket-pruned postings scan over a :func:`search_index_writer`
+    index: every generation's ``tb=`` partitions for the query terms'
+    buckets, with the same driver-side static bucket-id computation as
+    the batch ``read_postings``."""
+    from renkodf_spark.operators.search import _term_bucket_py
+
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    n_buckets = spark.read.parquet(state_path + "/meta").collect()[0]["n_buckets"]
+    buckets = sorted({_term_bucket_py(t, n_buckets) for t in terms})
+    return (
+        spark.read.parquet(state_path + "/postings")
+        .filter(F.col("tb").isin(buckets) & F.col("term").isin(terms))
+        .drop("tb", "batch_id")
+    )

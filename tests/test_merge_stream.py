@@ -179,3 +179,74 @@ def test_funnel_stream_matches_batch_incl_late_step(spark, tmp_path):
     assert got == want
     by_user = {t[0]: t[1:] for t in got}
     assert by_user[1] == (10, 20, 2)  # the late step-1 unlocked step 2
+
+
+def test_search_index_stream_matches_batch(spark, tmp_path):
+    """Streaming inverted index: after N triggers the generation-
+    partitioned postings equal the one-shot batch index over all docs,
+    reads are bucket-pruned, and BM25 over the streamed index matches
+    BM25 over the batch index."""
+    from renkodf_spark.operators.search import (
+        bm25_topk,
+        build_inverted_index,
+    )
+    from renkodf_spark.streaming.merge_stream import (
+        read_postings_stream,
+        search_index_writer,
+    )
+
+    schema = "k long, v string, seq long, del boolean"  # v = text
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write(src, "b1.parquet", [
+        (1, "x x y", 0, False), (2, "a b a", 0, False),
+    ])
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    state = str(tmp_path / "sidx")
+    writer = search_index_writer(state, id_col="k", text_col="v", n_buckets=8)
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write(src, "b2.parquet", [(3, "y x", 0, False), (4, "b", 0, False)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    all_docs = spark.createDataFrame(
+        [(1, "x x y"), (2, "a b a"), (3, "y x"), (4, "b")],
+        "k long, v string",
+    )
+    batch_idx = build_inverted_index(all_docs, id_col="k", text_col="v")
+
+    # postings parity for a query-term subset (bucket-pruned read)
+    got = sorted(
+        map(tuple, read_postings_stream(spark, state, ["x", "b"]).collect())
+    )
+    want = sorted(
+        map(tuple, batch_idx.filter(F.col("term").isin(["x", "b"])).collect())
+    )
+    assert got == want
+
+    # BM25 parity: stream-index postings + latest cumulative stats
+    # reproduce the batch scores exactly (stats are additive)
+    stats = spark.read.parquet(state + "/stats")
+    latest = stats.agg(F.max("batch_id")).collect()[0][0]
+    n_docs, total = (
+        stats.filter(F.col("batch_id") == latest)
+        .select("n_docs", "total_tokens")
+        .collect()[0]
+    )
+    gb = batch_idx.groupBy().agg(
+        F.count_distinct("doc_id").alias("n"), F.sum("tf").alias("t")
+    ).collect()[0]
+    assert (n_docs, total) == (gb.n, gb.t)
+    full_stream_idx = spark.read.parquet(state + "/postings").drop("tb", "batch_id")
+    got_bm = sorted(map(tuple, bm25_topk(full_stream_idx, ["x", "b"], k=5).collect()))
+    want_bm = sorted(map(tuple, bm25_topk(batch_idx, ["x", "b"], k=5).collect()))
+    assert got_bm == want_bm

@@ -54,6 +54,28 @@ def spin_probe(window: float = 0.15) -> float:
     return round(n / window / 1e6, 2)
 
 
+def bandwidth_probe(mb: int = 256, reps: int = 3) -> float:
+    """Achieved memory-copy bandwidth in GB/s (best of ``reps`` copies
+    of a ``mb``-MiB array, counting read+write bytes).  The spin probe
+    is cache-resident pure Python and CANNOT see memory-bandwidth
+    steal — which is exactly what hits the Arrow/shuffle-heavy scale
+    workloads hardest (the ×100 skew number swung 70–121 s at similar
+    spin readings; a same-session repeat ruled warmth out at ~8%).
+    Compare this value across sections and rounds to attribute those
+    swings."""
+    import numpy as np
+
+    a = np.zeros(mb * 1024 * 1024 // 8, dtype=np.float64)
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        b = a.copy()
+        el = time.perf_counter() - t0
+        best = max(best, (2 * a.nbytes) / el / 1e9)
+        del b
+    return round(best, 2)
+
+
 def wait_for_quiet(section: str) -> dict:
     start = list(os.getloadavg())
     t0 = time.time()
@@ -67,6 +89,7 @@ def wait_for_quiet(section: str) -> dict:
         # taken at section start, while our own Spark jobs are idle —
         # dominated by co-tenant pressure, not our executors
         "spin_miters": spin_probe(),
+        "bw_gbps": bandwidth_probe(),
     }
     QUIET_GATES[section] = outcome
     if outcome["waited_sec"]:
@@ -502,10 +525,12 @@ def main():
             # the gates only control WHEN each section starts (bounded
             # wait for co-tenant quiet); measurement semantics unchanged
             "quiet_gate": QUIET_GATES,
-            # run-end probe: compare against the per-section
-            # spin_miters values to see whether co-tenant pressure
-            # changed while the run was in flight
+            # run-end probes: compare against the per-section values
+            # to see whether co-tenant pressure changed mid-run (spin
+            # = CPU steal, bw = memory-bandwidth steal — the one that
+            # actually moves the Arrow/shuffle-bound scale numbers)
             "spin_miters_end": spin_probe(),
+            "bw_gbps_end": bandwidth_probe(),
         },
         # co-tenancy context: this box's load swings 6x+ (NOTES.md
         # postmortem); a high load average here means absolute numbers

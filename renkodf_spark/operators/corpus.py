@@ -794,6 +794,7 @@ def remove_boilerplate_lines(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_docs: int = 2,
+    broadcast_positions: bool = True,
 ) -> DataFrame:
     """C4-style cross-document boilerplate removal (Raffel et al. 2020
     §2.2's "three-sentence" rule applied per line): any line whose
@@ -803,45 +804,58 @@ def remove_boilerplate_lines(
     n_lines_removed, clean_text)`` — a document whose every line is
     boilerplate survives with ``clean_text = ''``.
 
-    Scale shape: two shuffles — the line-frequency aggregation (32-char
-    digest keys, see :func:`line_doc_frequencies`) and the per-document
-    reassembly — plus one equi-join of the exploded lines against the
-    frequency relation on ``line_key``. No global window, no driver
-    state; per-doc memory is bounded by the document's own line count
-    (the ``collect_list`` holds one document, same bound as
-    ``chunk_documents``).
+    Scale shape: ZERO text shuffle. The exploded lines project to
+    32-char digests BEFORE any exchange (the line text is dropped in
+    the same narrow stage that computes it), the frequency aggregation
+    and the boilerplate-key filter run over digests only, and the
+    per-doc DROP positions are a bounded integer relation (one row per
+    document that contains at least one boilerplate line). That
+    positions relation joins back to the INTACT document (broadcast by
+    default, so the document text never enters an exchange) and the
+    clean text is rebuilt IN-ROW: the sorted drop positions split the
+    line array into kept segments (``zip_with``/``slice``/``flatten``,
+    O(lines + drops) per row — no collect_list, no per-line membership
+    probe). Set ``broadcast_positions=False`` when boilerplate hits
+    too many documents to broadcast the positions (the join then
+    shuffles both sides by id — the one case where the text moves,
+    once, keyed by doc).
     """
     lines = F.split(F.col(text_col), r"\n")
-    exploded = df.select(
+    keyed = df.select(
         F.col(id_col).alias("id"), F.posexplode(lines).alias("pos", "line")
-    ).withColumn("line_key", F.md5(F.lower(F.trim(F.col("line")))))
-    freq = line_doc_frequencies(df, text_col=text_col, id_col=id_col)
-    flagged = exploded.join(freq, "line_key").withColumn(
-        "keep", F.col("n_docs") <= max_docs
+    ).select("id", "pos", F.md5(F.lower(F.trim(F.col("line")))).alias("line_key"))
+    bad = (
+        keyed.select("id", "line_key")
+        .distinct()
+        .groupBy("line_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_docs)
+        .select("line_key")
     )
-    return (
-        flagged.groupBy("id")
-        .agg(
-            F.sum(F.col("keep").cast("long")).alias("n_lines_kept"),
-            F.sum((~F.col("keep")).cast("long")).alias("n_lines_removed"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(F.col("keep"), F.struct("pos", "line"))
-                        )
-                    ),
-                    lambda s: s.line,
-                ),
-                "\n",
-            ).alias("clean_text"),
+    drop_pos = (
+        keyed.join(F.broadcast(bad), "line_key")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_set("pos")).alias("__drops"))
+    )
+    if broadcast_positions:
+        drop_pos = F.broadcast(drop_pos)
+    toked = df.select(F.col(id_col).alias("id"), lines.alias("__ls"))
+    drops = F.coalesce(F.col("__drops"), F.array().cast("array<int>"))
+    # sorted distinct drop positions cut the line array into kept
+    # segments: boundaries (-1, d0), (d0, d1), ..., (dk, len) — each
+    # segment is slice(ls, a+2, b-a-1), concatenated back in order
+    kept_lines = F.flatten(
+        F.zip_with(
+            F.concat(F.array(F.lit(-1)), drops),
+            F.concat(drops, F.array(F.size("__ls"))),
+            lambda a, b: F.slice(F.col("__ls"), a + F.lit(2), b - a - F.lit(1)),
         )
-        .select(
-            F.col("id").alias(id_col),
-            "n_lines_kept",
-            "n_lines_removed",
-            "clean_text",
-        )
+    )
+    return toked.join(drop_pos, "id", "left").select(
+        F.col("id").alias(id_col),
+        (F.size("__ls") - F.size(drops)).cast("long").alias("n_lines_kept"),
+        F.size(drops).cast("long").alias("n_lines_removed"),
+        F.array_join(kept_lines, "\n").alias("clean_text"),
     )
 
 

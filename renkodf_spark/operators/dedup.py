@@ -656,6 +656,7 @@ def remove_duplicated_spans(
     n: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_positions: bool = True,
 ) -> DataFrame:
     """The *apply* stage of exact-substring dedup (Lee et al. 2022):
     delete, from each document, every token covered by a normalized
@@ -674,13 +675,21 @@ def remove_duplicated_spans(
     with ``clean_digest`` the md5 of the space-joined kept tokens (the
     gate compares digests; a pipeline would export the joined text).
 
-    Scale shape: one (digest -> min doc) aggregation over 32-byte keys
-    (map-side combinable; the text never shuffles), an equi-join of the
-    per-doc gram list against that table, and a per-doc fold. The
-    covered-index explosion is bounded by ``n x`` the number of DUP
-    grams only — clean corpora explode almost nothing. Reassembly
-    sorts each doc's own tokens (array_sort on (pos, token) structs
-    inside the row), never a cross-doc window.
+    Scale shape: ZERO text shuffle. One (digest -> min doc) aggregation
+    over 32-byte keys (map-side combinable), an equi-join of the
+    per-doc gram digests against that table (only (id, start, digest)
+    triples move), and a per-doc ``collect_set`` of DROPPED positions —
+    an integer relation bounded by ``n x`` the number of DUP grams, so
+    clean corpora shuffle almost nothing. That bounded positions
+    relation is then joined back to the INTACT tokenized doc
+    (broadcast by default, so the token arrays never enter an
+    exchange) and the clean text is rebuilt IN-ROW: the sorted drop
+    positions split the token array into kept segments
+    (``zip_with``/``slice``/``flatten`` — O(tokens + drops) per row,
+    no per-token membership probe, no cross-doc window). Set
+    ``broadcast_positions=False`` when the duplicated-span doc count
+    is too large to broadcast (the join then shuffles both sides by
+    id — the one case where the token arrays move, once).
     """
     from renkodf_spark.operators.corpus import _norm_gram_tokens
 
@@ -700,36 +709,29 @@ def remove_duplicated_spans(
         "id", F.posexplode(F.transform(starts, _at)).alias("__junk", "gram"), 
     ).select("id", F.col("__junk").alias("s"), "gram")
     first_owner = grams.groupBy("gram").agg(F.min("id").alias("__first"))
-    dup_spans = (
+    drop_pos = (
         grams.join(first_owner, "gram")
         .filter(F.col("id") > F.col("__first"))
         .select("id", F.explode(F.sequence(F.col("s"), F.col("s") + n - 1)).alias("pos"))
-        .distinct()
-    )
-    tokens = toked.select("id", F.posexplode("__t").alias("pos", "tok"))
-    kept = (
-        tokens.join(dup_spans.withColumn("__drop", F.lit(1)), ["id", "pos"], "left")
         .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum(F.coalesce("__drop", F.lit(0))).cast("long").alias("n_tokens_dropped"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.when(
-                                    F.col("__drop").isNull(),
-                                    F.struct(F.col("pos"), F.col("tok")),
-                                )
-                            )
-                        ),
-                        lambda st: st.getField("tok"),
-                    ),
-                    " ",
-                )
-            ).alias("clean_digest"),
-        )
-        .select(F.col("id").alias(id_col), "n_tokens", "n_tokens_dropped", "clean_digest")
+        .agg(F.array_sort(F.collect_set("pos")).alias("__drops"))
     )
-    return kept
+    if broadcast_positions:
+        drop_pos = F.broadcast(drop_pos)
+    drops = F.coalesce(F.col("__drops"), F.array().cast("array<int>"))
+    # sorted distinct drop positions cut the token array into kept
+    # segments: boundaries (-1, d0), (d0, d1), ..., (dk, len) — each
+    # segment is slice(t, a+2, b-a-1), concatenated back in order
+    kept_toks = F.flatten(
+        F.zip_with(
+            F.concat(F.array(F.lit(-1)), drops),
+            F.concat(drops, F.array(F.size("__t"))),
+            lambda a, b: F.slice(F.col("__t"), a + F.lit(2), b - a - F.lit(1)),
+        )
+    )
+    return toked.join(drop_pos, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.size("__t").cast("long").alias("n_tokens"),
+        F.size(drops).cast("long").alias("n_tokens_dropped"),
+        F.md5(F.array_join(kept_toks, " ")).alias("clean_digest"),
+    )

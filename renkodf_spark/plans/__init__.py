@@ -1,1 +1,5 @@
-from renkodf_spark.plans.audit import assert_jvm_only, plan_summary  # noqa: F401
+from renkodf_spark.plans.audit import (  # noqa: F401
+    assert_jvm_only,
+    exchange_inputs,
+    plan_summary,
+)

@@ -47,6 +47,30 @@ def plan_summary(df: DataFrame) -> PlanSummary:
     )
 
 
+def exchange_inputs(df: DataFrame) -> list[list[str]]:
+    """Column names entering every Exchange (shuffle or broadcast) in
+    the executed plan — the audit for "does the payload move?" claims.
+    Parsed from the formatted explain, whose per-node ``Input [n]``
+    lines carry the exact attribute list; ``name#123`` suffixes are
+    stripped so callers compare plain column names."""
+    import re
+
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    text = df._jdf.queryExecution().explainString(mode)
+    out: list[list[str]] = []
+    lines = text.splitlines()
+    for i, line in enumerate(lines):
+        if re.match(r"^\(\d+\) \w*Exchange", line.strip()):
+            for follow in lines[i + 1 : i + 4]:
+                m = re.match(r"^Input \[\d+\]: \[(.*)\]$", follow.strip())
+                if m:
+                    cols = [c.strip().split("#")[0] for c in m.group(1).split(",") if c.strip()]
+                    out.append(cols)
+                    break
+    return out
+
+
 def assert_jvm_only(df: DataFrame, context: str = "") -> None:
     """Raise if any Python-eval node is in the plan — relational
     queries must stay inside whole-stage codegen; only the Renko kernel

@@ -227,6 +227,31 @@ def test_dsir_model_broadcasts_and_text_never_shuffles(spark, sf_dir):
     assert "partial" in plan.lower()
 
 
+def test_span_removal_text_never_enters_an_exchange(spark, sf_dir):
+    """The apply stage of exact-substring dedup must move only gram
+    digests and integer positions: no exchange input (shuffle OR
+    broadcast) may carry the token array or raw text — the clean text
+    is rebuilt in-row from the broadcast drop-position sets."""
+    from renkodf_spark.plans import exchange_inputs
+
+    df = q.queries()["substring_span_removal"](spark, sf_dir)
+    banned = {"__t", "tok", "text"}
+    for cols in exchange_inputs(df):
+        assert not banned & set(cols), f"text column enters an exchange: {cols}"
+
+
+def test_boilerplate_removal_text_never_enters_an_exchange(spark, sf_dir):
+    """C4-style boilerplate removal must shuffle only 32-char line
+    digests and integer positions; the document text stays put and is
+    rebuilt in-row from the broadcast drop-position sets."""
+    from renkodf_spark.plans import exchange_inputs
+
+    df = q.queries()["boilerplate_line_removal"](spark, sf_dir)
+    banned = {"__ls", "line", "text", "clean_text"}
+    for cols in exchange_inputs(df):
+        assert not banned & set(cols), f"text column enters an exchange: {cols}"
+
+
 def test_keep_best_election_is_aggregation_not_window(spark, sf_dir):
     """The representative election must compile to max_by aggregation
     (map-side combinable), not a per-cluster window sort."""

@@ -563,10 +563,15 @@ def cluster_representatives(
     Output: one row per doc ``(id_col, cluster_id, keep_id,
     cluster_size, is_kept)`` — downstream keeps ``is_kept = 1``.
 
+    "Smallest id" means the id column's NATURAL ordering — numeric for
+    numeric ids, lexicographic for string ids (the id is never cast,
+    so a string id can't silently become NULL/double the way a numeric
+    coercion would).
+
     Scale shape: the join of labels with the (id, score) projection is
     an equi-join on the id key; the representative election is a
-    map-side-combinable ``max_by`` aggregation on ``cluster_id`` (no
-    window, no sort — ``max_by(id, struct(score, -id))`` reduces
+    map-side-combinable ``min_by`` aggregation on ``cluster_id`` (no
+    window, no sort — ``min_by(id, struct(-score, id))`` reduces
     pairwise, so each partition sends one candidate per cluster); the
     final fan-back-out is another equi-join on ``cluster_id``. The doc
     payload never moves — only (id, cluster, score) triples shuffle.
@@ -576,8 +581,10 @@ def cluster_representatives(
         "id",
     )
     reps = scored.groupBy("cluster_id").agg(
-        # lexicographic struct max = highest score, then smallest id
-        F.max_by("id", F.struct(F.col("__score"), (-F.col("id")).alias("__nid"))).alias(
+        # lexicographic struct MIN = highest score (negated, ascending),
+        # then smallest id in the id's own type — no cast of the id, so
+        # the tie-break is type-safe for string and numeric ids alike
+        F.min_by("id", F.struct((-F.col("__score")).alias("__ns"), F.col("id").alias("__id"))).alias(
             "keep_id"
         ),
         F.count(F.lit(1)).alias("cluster_size"),

@@ -169,6 +169,16 @@ def pq_encode(
     ~5× end-to-end on a 200k-row encode.  Every rounded distance is
     bit-identical to the naive form (same dot expressions, same
     rounding, same (dist, code) tie order).
+
+    Degenerate inputs (ADVICE r7): the running-min fold seeds with an
+    ``(inf, NULL)`` sentinel, so a vector component that makes EVERY
+    candidate distance NaN yields ``code = NULL`` (NaN never satisfies
+    the ``<`` / ``==`` predicates), and a literal ``+inf`` distance
+    ties the sentinel and is likewise dropped (NULL-code comparison).
+    The old array_sort formulation elected an arbitrary code in those
+    cases; NULL-out is the deliberate behavior here — a non-finite
+    distance means the embedding is corrupt, and a NULL code surfaces
+    that instead of hiding it. Finite inputs are unaffected.
     """
     dsub = _check_geometry(dim, m)
     v = F.col(vec_col).cast("array<double>")

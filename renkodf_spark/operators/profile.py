@@ -97,7 +97,10 @@ def profile_table(
     for i, c in enumerate(cols):
         fields.extend(
             [
-                f"'{c}'",
+                # the name becomes a single-quoted SQL literal — escape
+                # embedded quotes so exotic column names can't break or
+                # inject into the stack() expression
+                "'" + c.replace("'", "''") + "'",
                 "__n",
                 f"__nulls_{i}",
                 f"__dist_{i}",

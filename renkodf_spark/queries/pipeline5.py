@@ -62,7 +62,7 @@ FROM scored s JOIN reps r USING (cluster_id)
     oracle=_KEEP_ORACLE,
     doc="quality-aware dedup keep: one representative per LSH near-dup "
     "cluster, elected by highest n_chars (ties to smallest id) via a "
-    "map-side-combinable max_by — the real keep/drop decision, instead "
+    "map-side-combinable min_by — the real keep/drop decision, instead "
     "of the naive lowest-id policy; payload never shuffles.",
 )
 def dedup_keep_best(spark, sf_dir):

@@ -280,6 +280,17 @@ def search_index_writer(
       cumulative one-row snapshot per trigger (latest-only reads, the
       CMS-writer pattern).
 
+    The append-only contract is ENFORCED, not assumed (ADVICE r7): a
+    ``doc_id`` that reappears in a later micro-batch is dropped before
+    indexing — the prior doclen generations are the seen-id set, so a
+    re-send can't double-count ``n_docs``/``total_tokens`` or leave
+    duplicate ``(term, doc)`` postings across generations. Intra-batch
+    duplicate ids collapse deterministically (smallest text digest
+    wins) so at-least-once replays of the same batch index the same
+    row. The anti-join probes only the id column of prior generations
+    (never the text), and replays are idempotent because batch ``N``
+    only ever probes generations ``< N``.
+
     All writes are partition overwrites keyed by batch_id →
     at-least-once replays are idempotent.  Query with
     :func:`read_postings_stream` / the batch BM25 over its output.
@@ -292,7 +303,30 @@ def search_index_writer(
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         import posixpath
 
+        from pyspark.sql.window import Window
+
         spark = batch.sparkSession
+        # collapse intra-batch duplicate ids deterministically
+        w = Window.partitionBy(id_col).orderBy(F.md5(F.col(text_col)).asc())
+        batch = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        # enforce append-only: drop ids already indexed by a PRIOR
+        # generation (doclen is the seen-id set; batch N probes only
+        # generations < N, so replays of N are idempotent)
+        try:
+            seen = (
+                spark.read.parquet(posixpath.join(state_path, "doclen"))
+                .filter(F.col("batch_id") < batch_id)
+                .select(F.col("doc_id").alias(id_col))
+                .distinct()
+            )
+            batch = batch.join(seen, id_col, "left_anti")
+        except Exception as exc:
+            if not _is_missing_path(exc):
+                raise
         idx = build_inverted_index(batch, id_col=id_col, text_col=text_col)
         idx.withColumn("tb", _term_bucket_expr(F.col("term"), n_buckets)).write.mode(
             "overwrite"
@@ -305,7 +339,8 @@ def search_index_writer(
 
         cur = idx.groupBy().agg(
             F.count_distinct("doc_id").cast("long").alias("n_docs"),
-            F.sum("tf").cast("long").alias("total_tokens"),
+            # coalesce: a fully-deduped (empty) batch sums to NULL
+            F.coalesce(F.sum("tf"), F.lit(0)).cast("long").alias("total_tokens"),
         )
         try:
             snaps = spark.read.parquet(posixpath.join(state_path, "stats")).filter(

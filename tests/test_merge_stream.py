@@ -250,3 +250,66 @@ def test_search_index_stream_matches_batch(spark, tmp_path):
     got_bm = sorted(map(tuple, bm25_topk(full_stream_idx, ["x", "b"], k=5).collect()))
     want_bm = sorted(map(tuple, bm25_topk(batch_idx, ["x", "b"], k=5).collect()))
     assert got_bm == want_bm
+
+
+def test_search_index_resent_doc_id_is_ignored(spark, tmp_path):
+    """ADVICE r7: the append-only contract is enforced — a doc_id
+    reappearing in a later trigger (and an intra-batch duplicate id)
+    must not double-count BM25 stats or duplicate (term, doc) postings
+    across generations; the index equals the batch index over the
+    FIRST occurrence of each id."""
+    from renkodf_spark.operators.search import build_inverted_index
+    from renkodf_spark.streaming.merge_stream import (
+        read_postings_stream,
+        search_index_writer,
+    )
+
+    schema = "k long, v string, seq long, del boolean"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write(src, "b1.parquet", [(1, "x x y", 0, False), (2, "a b", 0, False)])
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    state = str(tmp_path / "sidx")
+    writer = search_index_writer(state, id_col="k", text_col="v", n_buckets=8)
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # trigger 2: id 1 re-sent with NEW text (must be dropped), id 3
+        # fresh but duplicated within the batch (one copy indexed)
+        _write(src, "b2.parquet", [
+            (1, "z z z z", 0, False),
+            (3, "y", 0, False),
+            (3, "y", 0, False),
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    first_occurrence = spark.createDataFrame(
+        [(1, "x x y"), (2, "a b"), (3, "y")], "k long, v string"
+    )
+    batch_idx = build_inverted_index(first_occurrence, id_col="k", text_col="v")
+
+    got = sorted(map(tuple, read_postings_stream(spark, state, ["x", "y", "z"]).collect()))
+    want = sorted(
+        map(tuple, batch_idx.filter(F.col("term").isin(["x", "y", "z"])).collect())
+    )
+    assert got == want  # no z postings, no duplicate (y, 3) rows
+
+    stats = spark.read.parquet(state + "/stats")
+    latest = stats.agg(F.max("batch_id")).collect()[0][0]
+    n_docs, total = (
+        stats.filter(F.col("batch_id") == latest)
+        .select("n_docs", "total_tokens")
+        .collect()[0]
+    )
+    gb = batch_idx.groupBy().agg(
+        F.count_distinct("doc_id").alias("n"), F.sum("tf").alias("t")
+    ).collect()[0]
+    assert (n_docs, total) == (gb.n, gb.t)

@@ -50,6 +50,30 @@ def test_cluster_representatives_elects_best(spark):
         assert out[d]["is_kept"] == 1
 
 
+def test_cluster_representatives_string_ids_tie_break(spark):
+    """ADVICE r7: string ids must tie-break in their natural
+    (lexicographic) order — the old `-F.col(id)` negation cast strings
+    to double (NULL ordering = nondeterministic election, or an ANSI
+    error). Also covers numeric-LOOKING strings: '10' < '9' lexically."""
+    docs = spark.createDataFrame(
+        [("url-b", 30), ("url-a", 30), ("url-c", 7), ("10", 9), ("9", 9)],
+        "doc_id string, n_chars long",
+    )
+    labels = spark.createDataFrame(
+        [("url-b", 1), ("url-a", 1), ("url-c", 1), ("10", 2), ("9", 2)],
+        "id string, cluster_id long",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.cluster_representatives(docs, labels).collect()
+    }
+    # score tie 30/30 -> lexicographically smallest id wins
+    assert all(out[d]["keep_id"] == "url-a" for d in ("url-a", "url-b", "url-c"))
+    assert out["url-a"]["is_kept"] == 1 and out["url-b"]["is_kept"] == 0
+    # numeric-looking strings stay lexicographic: '10' < '9'
+    assert out["10"]["keep_id"] == "10" and out["9"]["keep_id"] == "10"
+
+
 def test_cluster_representatives_end_to_end(spark):
     """Through cluster_labels: the pair graph {1-2, 2-6} merges into one
     cluster; the longest member wins."""

@@ -253,7 +253,7 @@ def test_boilerplate_removal_text_never_enters_an_exchange(spark, sf_dir):
 
 
 def test_keep_best_election_is_aggregation_not_window(spark, sf_dir):
-    """The representative election must compile to max_by aggregation
+    """The representative election must compile to min_by aggregation
     (map-side combinable), not a per-cluster window sort."""
     from pyspark.sql import functions as F
 
@@ -264,5 +264,5 @@ def test_keep_best_election_is_aggregation_not_window(spark, sf_dir):
         F.col("doc_id").alias("id"), (F.col("doc_id") % 50).alias("cluster_id")
     )
     plan = _executed(dedup.cluster_representatives(docs, labels))
-    assert "max_by" in plan
+    assert "min_by" in plan
     assert "Window" not in plan

@@ -223,29 +223,38 @@ def scale_block(spark, rep: int) -> dict:
     the fly — events as rep x new symbols (renko's parallelism axis),
     documents as rep x perturbed texts (keeps LSH bucket sizes realistic
     instead of exploding every bucket rep x) — and publish wall-times
-    for the two operator families whose scaling matters most."""
+    for the operator families whose scaling matters most.
+
+    Sampling (VERDICT r7 item 3): the old best-of-2 BACK-TO-BACK pairs
+    shared any co-tenant burst's window — the committed minhash entry
+    read 31.1 s while a quiet standalone re-run measured 5.55 s (5.6x).
+    The scale entries now run as two temporally-INTERLEAVED passes
+    (like the headline), with a spin + memory-bandwidth probe recorded
+    immediately before every sample so a poisoned sample is visible in
+    the artifact instead of silently becoming the committed number.
+    """
     import pandas as pd  # noqa: F401  (kernel path warm by now)
+    from datetime import timedelta as _td
+
     from pyspark.sql import functions as F
 
-    from renkodf_spark.operators.dedup import minhash_lsh_pairs
+    from renkodf_spark.operators.dedup import minhash_lsh_pairs, remove_duplicated_spans
+    from renkodf_spark.operators.rangejoin import point_in_interval_join
     from renkodf_spark.operators.renko import renko_mode
+    from renkodf_spark.operators.renko_chunked import renko_chunked
     from renkodf_spark.sources.tables import load_table, ticks_from_events
 
     wait_for_quiet("scale")
     reps = spark.range(rep).select(F.col("id").alias("rep"))
-    out: dict[str, float | int] = {"replication": rep}
+    out: dict = {"replication": rep}
 
+    # --- inputs (built once; every sample re-executes the full plan) ---
     ticks = (
         ticks_from_events(spark, SF_DIR)
         .crossJoin(F.broadcast(reps))
         .withColumn("symbol", F.concat_ws("_", "symbol", "rep"))
         .drop("rep")
     )
-    t0 = time.perf_counter()
-    out["renko_wicks_rows"] = materialize(renko_mode(ticks, 5.0, "wicks"))
-    out["renko_wicks_sec"] = round(time.perf_counter() - t0, 3)
-    out["ticks_rows"] = ticks.count()
-
     docs = (
         load_table(spark, SF_DIR, "documents")
         .crossJoin(F.broadcast(reps))
@@ -254,41 +263,6 @@ def scale_block(spark, rep: int) -> dict:
             F.concat_ws(" ", F.col("text"), F.concat(F.lit("rep"), F.col("rep"))).alias("text"),
         )
     )
-    # explicit cap = the declared adversarial-scale posture (operator
-    # default is None since ADVICE r3); keeps r3-comparable numbers.
-    # best-of-2 like the headline: this entry swung 6x under co-tenant
-    # load spikes (r4 postmortem in NOTES.md) while its steady state is
-    # stable, and a single sample reads as a phantom regression.
-    best = None
-    for _ in range(2):
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        out["dedup_minhash_lsh_rows"] = materialize(minhash_lsh_pairs(docs, max_bucket_size=1000))
-        el = time.perf_counter() - t0
-        best = el if best is None else min(best, el)
-    out["dedup_minhash_lsh_sec"] = round(best, 3)
-    out["docs_rows"] = docs.count()
-
-    # span-level exact-substring dedup at scale (r7p5): the replicated
-    # corpus is the adversarial case — nearly every gram is duplicated
-    # across the rep copies, so the covered-index explosion hits its
-    # linear worst case (tokens x n), never a quadratic pair term (the
-    # operator computes min-owner per gram, not pairs).
-    from renkodf_spark.operators.dedup import remove_duplicated_spans
-
-    t0 = time.perf_counter()
-    out["span_removal_rows"] = materialize(remove_duplicated_spans(docs, n=10))
-    out["span_removal_sec"] = round(time.perf_counter() - t0, 3)
-
-    # bin-bucketed range join at scale (r7p5): rep× the event table on
-    # both sides — every click joined to every same-user purchase
-    # window within 2h. The candidate term is bounded by bin
-    # co-residency (equi-join on (user, 2h-bin)), never |L|·|R|; a
-    # nested-loop plan here would be rep²× the base cost.
-    from datetime import timedelta as _td
-
-    from renkodf_spark.operators.rangejoin import point_in_interval_join
-
     ev = (
         load_table(spark, SF_DIR, "events")
         .crossJoin(F.broadcast(reps))
@@ -308,28 +282,11 @@ def scale_block(spark, rep: int) -> dict:
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", F.col("ts").alias("click_ts")
     )
-    t0 = time.perf_counter()
-    out["range_join_rows"] = materialize(
-        point_in_interval_join(
-            clicks,
-            purchases,
-            point_col="click_ts",
-            start_col="p_ts",
-            end_col="end_ts",
-            on=["user_id"],
-            bin_width=_td(hours=2),
-        )
-    )
-    out["range_join_sec"] = round(time.perf_counter() - t0, 3)
 
     # Hot-symbol skew (VERDICT r3 item 7): one symbol carries ~50% of
     # all replicated ticks — the regime where per-symbol sequential
     # operators hurt. renko_chunked is the declared answer (windowed
-    # stitching bounds the per-task tick count at window x symbol), so
-    # publish its wall time plus the peak per-(window, symbol) row
-    # count that bounds executor memory.
-    from renkodf_spark.operators.renko_chunked import renko_chunked
-
+    # stitching bounds the per-task tick count at window x symbol).
     def skewed_ticks(n: int):
         rs = spark.range(n).select(F.col("id").alias("rep"))
         t = (
@@ -346,46 +303,87 @@ def scale_block(spark, rep: int) -> dict:
         )
 
     skewed = skewed_ticks(rep)
-    peak = (
+
+    # --- entries, each measured as min over 2 interleaved samples ---
+    # minhash: explicit cap = the declared adversarial-scale posture
+    #   (operator default is None since ADVICE r3); r3-comparable.
+    # span_removal: the replicated corpus is the adversarial case —
+    #   nearly every gram is duplicated across the rep copies, so the
+    #   drop-position relation hits its linear worst case (tokens x n),
+    #   never a quadratic pair term (min-owner per gram, not pairs).
+    # range_join: rep x the event table on BOTH sides; candidates are
+    #   bounded by (user, 2h-bin) co-residency, never |L|*|R|.
+    entries = [
+        ("renko_wicks", lambda: materialize(renko_mode(ticks, 5.0, "wicks"))),
+        (
+            "dedup_minhash_lsh",
+            lambda: materialize(minhash_lsh_pairs(docs, max_bucket_size=1000)),
+        ),
+        ("span_removal", lambda: materialize(remove_duplicated_spans(docs, n=10))),
+        (
+            "range_join",
+            lambda: materialize(
+                point_in_interval_join(
+                    clicks,
+                    purchases,
+                    point_col="click_ts",
+                    start_col="p_ts",
+                    end_col="end_ts",
+                    on=["user_id"],
+                    bin_width=_td(hours=2),
+                )
+            ),
+        ),
+        (
+            "skew_renko_chunked",
+            lambda: materialize(renko_chunked(skewed, 5.0, window="1 week")),
+        ),
+    ]
+    probes: dict[str, list] = {name: [] for name, _ in entries}
+    samples: dict[str, list] = {name: [] for name, _ in entries}
+    for _pass in range(2):
+        for name, thunk in entries:
+            spark.catalog.clearCache()
+            probes[name].append(
+                {"spin_miters": spin_probe(), "bw_gbps": bandwidth_probe()}
+            )
+            t0 = time.perf_counter()
+            out[f"{name}_rows"] = thunk()
+            samples[name].append(round(time.perf_counter() - t0, 3))
+    for name, _ in entries:
+        out[f"{name}_sec"] = min(samples[name])
+        out[f"{name}_samples"] = samples[name]
+        out[f"{name}_probes"] = probes[name]
+
+    out["ticks_rows"] = ticks.count()
+    out["docs_rows"] = docs.count()
+    out["skew_hot_ticks"] = skewed.filter(F.col("symbol") == "HOT").count()
+    out["skew_peak_window_symbol_rows"] = (
         skewed.groupBy(F.window("event_time", "1 week"), "symbol")
         .count()
         .agg(F.max("count"))
         .collect()[0][0]
     )
-    hot = skewed.filter(F.col("symbol") == "HOT").count()
-    t0 = time.perf_counter()
-    out["skew_renko_chunked_rows"] = materialize(renko_chunked(skewed, 5.0, window="1 week"))
-    out["skew_renko_chunked_sec"] = round(time.perf_counter() - t0, 3)
-    out["skew_hot_ticks"] = hot
-    out["skew_peak_window_symbol_rows"] = peak
 
     # Scale CURVE (VERDICT r4 stretch #9): re-run the skew-critical
     # operator at x100 replication (~100 M ticks at sf0.1, half of them
     # in ONE symbol) so the committed artifact shows the x10 -> x100
-    # shape, not a single point. renko_chunked bounds per-task rows at
-    # (window x symbol), so the expected curve is ~linear in data with
-    # the parallelism headroom absorbing part of the step.
+    # shape. Two samples, interleaved with the quota head-to-head so
+    # they never share one co-tenant burst; each sample carries its own
+    # probes, a per-window phase breakdown (kernel vs Python vs
+    # shuffle/Arrow/IO — NOTES r8 variance investigation), and the
+    # bandwidth-normalized rate (Kbricks/s per GB/s) that is the
+    # round-over-round comparable when raw bandwidth swings.
     crep = int(os.environ.get("SPARK_GRAFT_SCALE_CURVE", "100"))
     if crep > rep:
         wait_for_quiet("scale_curve")
         cskewed = skewed_ticks(crep)
-        t0 = time.perf_counter()
-        rows = materialize(renko_chunked(cskewed, 5.0, window="1 week"))
-        out["scale_curve"] = {
-            "replication": crep,
-            "skew_renko_chunked_rows": rows,
-            "skew_renko_chunked_sec": round(time.perf_counter() - t0, 3),
-            "ticks_rows": out["ticks_rows"] * crep // rep,
-        }
 
         # quota_sample head-to-head at skew (VERDICT r4 item 1's perf
-        # claim, measured): 90% of crep*10-replicated docs in ONE group.
-        # The full-window path shuffles the whole text payload and sorts
-        # the hot group in one reducer; the pre-filter pays 3 parallel
-        # pruned scans instead. Crossover measured at ~5 M docs on
-        # local[32] (sort is one core of 32) — on a real cluster the
-        # full-window variant degrades with corpus size while the
-        # pre-filtered one stays flat.
+        # claim): 90% of crep*10-replicated docs in ONE group. The
+        # full-window path shuffles the whole text payload and sorts the
+        # hot group in one reducer; the pre-filter pays 3 parallel
+        # pruned scans instead (crossover ~5 M docs on local[32]).
         from renkodf_spark.operators import corpus
 
         drep = crep * 10
@@ -406,12 +404,59 @@ def scale_block(spark, rep: int) -> dict:
                 ),
             )
         )
-        q = out["scale_curve"]["quota_skew"] = {"docs_rows": qdocs.count()}
-        for label, af in (("prefilter_sec", 2), ("full_window_sec", None)):
+
+        cc = out["scale_curve"] = {
+            "replication": crep,
+            "ticks_rows": out["ticks_rows"] * crep // rep,
+            "samples": [],
+        }
+        q = cc["quota_skew"] = {"docs_rows": qdocs.count(), "samples": {}}
+        for s in range(2):
             spark.catalog.clearCache()
+            probe = {"spin_miters": spin_probe(), "bw_gbps": bandwidth_probe()}
+            inst: dict = {}
             t0 = time.perf_counter()
-            materialize(corpus.quota_sample(qdocs, "grp", per_group=25, admit_factor=af))
-            q[label] = round(time.perf_counter() - t0, 3)
+            rows = materialize(
+                renko_chunked(cskewed, 5.0, window="1 week", instrument=inst)
+            )
+            el = time.perf_counter() - t0
+            wins = inst.get("windows", [])
+            cc["samples"].append(
+                {
+                    "sec": round(el, 3),
+                    "probe": probe,
+                    # bandwidth-normalized rate: stable when the wall
+                    # time is bandwidth-steal-inflated
+                    "kbricks_per_sec_per_gbps": round(
+                        rows / el / 1e3 / probe["bw_gbps"], 2
+                    ),
+                    "phases": {
+                        "stage_write_sec": inst.get("stage_write_sec"),
+                        "discover_sec": inst.get("discover_sec"),
+                        "n_windows": inst.get("n_windows"),
+                        "windows_wall_sec": round(sum(w["wall_sec"] for w in wins), 3),
+                        "py_sec_total": round(sum(w["py_sec"] for w in wins), 3),
+                        "kernel_sec_total": round(
+                            sum(w["kernel_sec"] for w in wins), 3
+                        ),
+                        "max_window_wall_sec": max((w["wall_sec"] for w in wins), default=0),
+                    },
+                }
+            )
+            cc["skew_renko_chunked_rows"] = rows
+            # interleave: the quota pair separates the two x100 samples
+            for label, af in (("prefilter_sec", 2), ("full_window_sec", None)):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                materialize(
+                    corpus.quota_sample(qdocs, "grp", per_group=25, admit_factor=af)
+                )
+                q["samples"].setdefault(label, []).append(
+                    round(time.perf_counter() - t0, 3)
+                )
+        cc["skew_renko_chunked_sec"] = min(s["sec"] for s in cc["samples"])
+        for label in ("prefilter_sec", "full_window_sec"):
+            q[label] = min(q["samples"][label])
     return out
 
 
@@ -508,18 +553,19 @@ def main():
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # ADVICE r3: record the measurement regime so cross-round
-        # comparisons can't silently mix methodologies. v4 (r07+): two
-        # temporally-separated full passes over the headline + a 3rd
-        # visit for sub-second queries, min per query — back-to-back
-        # reps shared co-tenant spike windows (measured 8x on one
-        # query) — and the co-tenancy gate brackets every section
-        # (headline, scale, scale_curve). v3 (earlier r07): best-of-2
-        # back-to-back + 3rd rep sub-second. v2 (r03-r06): best-of-2,
-        # headline-only gate. r01/r02 used a single rep and count()
+        # comparisons can't silently mix methodologies. v5 (r08): the
+        # SCALE entries join the interleaved-sampling regime (2
+        # temporally-separated samples per entry, min, per-sample
+        # spin/bw probes recorded) and the x100 curve gets two
+        # interleaved samples + per-window phase breakdown + a
+        # bandwidth-normalized rate. v4 (r07): two separated headline
+        # passes + 3rd visit for sub-second queries; per-section gates.
+        # v3 (earlier r07): best-of-2 back-to-back. v2 (r03-r06):
+        # best-of-2, headline-only gate. r01/r02: single rep, count()
         # materialization — not comparable.
         "methodology": {
-            "version": 4,
-            "reps": "2 interleaved passes (3rd visit if best < 1s)",
+            "version": 5,
+            "reps": "2 interleaved passes (3rd visit if best < 1s); scale entries 2 interleaved samples",
             "agg": "min",
             "materialize": "full_width_row_hash",
             # the gates only control WHEN each section starts (bounded
@@ -539,7 +585,69 @@ def main():
     }
     if scale is not None:
         payload["scale"] = scale
-    print(json.dumps(payload))
+
+    # Artifact layout (VERDICT r7 item 2): the full payload became one
+    # giant stdout line that overflowed the driver's capture buffer —
+    # BENCH_r07.json stored only its tail ("parsed": null, no headline
+    # total). The FULL payload now goes to bench_full.json + stderr;
+    # stdout ends with a compact always-fits summary line carrying the
+    # driver contract (metric/value/unit/queries/sf) plus the headline
+    # numbers a round-over-round comparison needs.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    with open(full_path, "w") as f:
+        json.dump(payload, f)
+    print(json.dumps(payload), file=sys.stderr)
+
+    compact = {
+        "metric": payload["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": payload["sf"],
+        "methodology_version": 5,
+        "probes": {
+            **{
+                sect: {"spin": g["spin_miters"], "bw": g["bw_gbps"]}
+                for sect, g in QUIET_GATES.items()
+            },
+            "end": {
+                "spin": payload["methodology"]["spin_miters_end"],
+                "bw": payload["methodology"]["bw_gbps_end"],
+            },
+        },
+        "loadavg": payload["loadavg"],
+        "full_payload": "bench_full.json",
+    }
+    if scale is not None:
+        cs = {
+            k: v
+            for k, v in scale.items()
+            if k.endswith(("_sec", "_rows", "_samples", "_probes"))
+            or k in ("replication", "skew_hot_ticks", "skew_peak_window_symbol_rows")
+        }
+        curve = scale.get("scale_curve")
+        if curve:
+            cs["scale_curve"] = {
+                "replication": curve["replication"],
+                "ticks_rows": curve["ticks_rows"],
+                "skew_renko_chunked_rows": curve.get("skew_renko_chunked_rows"),
+                "skew_renko_chunked_sec": curve.get("skew_renko_chunked_sec"),
+                "samples": [
+                    {
+                        "sec": s["sec"],
+                        "bw": s["probe"]["bw_gbps"],
+                        "kbricks_per_sec_per_gbps": s["kbricks_per_sec_per_gbps"],
+                    }
+                    for s in curve.get("samples", [])
+                ],
+                "quota_skew": {
+                    k: curve["quota_skew"][k]
+                    for k in ("docs_rows", "prefilter_sec", "full_window_sec")
+                    if k in curve.get("quota_skew", {})
+                },
+            }
+        compact["scale"] = cs
+    print(json.dumps(compact))
     spark.stop()
 
 

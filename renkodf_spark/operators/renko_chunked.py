@@ -55,6 +55,7 @@ Output is bit-identical to the one-shot `renko()` (asserted in tests).
 from __future__ import annotations
 
 import tempfile
+import time
 import uuid
 import warnings
 
@@ -136,7 +137,18 @@ def renko_chunked(
     drop_first: bool = True,
     staging_dir: str | None = None,
     reliable_checkpoint: bool = False,
+    instrument: dict | None = None,
 ) -> DataFrame:
+    """``instrument``: pass an empty dict to receive a per-phase timing
+    breakdown (zero overhead when None): ``stage_write_sec`` (the one
+    source scan + partitioned staging write), ``discover_sec`` (window
+    enumeration), and per-window rows ``{win, wall_sec, py_sec,
+    kernel_sec, state_ck_sec}`` where ``py_sec``/``kernel_sec`` are
+    worker-side accumulator sums over the window's cogroup tasks (total
+    Python-UDF body time and the kernel-scan share of it) — wall minus
+    py/parallelism attributes the remainder to the pruned read, the
+    symbol shuffle, Arrow transfer, and the checkpoint write. Added for
+    the ×100-skew variance investigation (NOTES r8)."""
     if brick_size is None or brick_size <= 0:
         raise ValueError("brick_size cannot be 'None' or '<= 0'")
     spark = ticks.sparkSession
@@ -167,14 +179,22 @@ def renko_chunked(
     # concurrent runs can share one staging root
     stage_path = f"{staging_dir.rstrip('/')}/stage_{uuid.uuid4().hex}"
     # ONE pass over the source; everything after reads the staged copy.
+    t0 = time.perf_counter()
     slim.write.mode("errorifexists").partitionBy("__win").parquet(stage_path)
+    if instrument is not None:
+        instrument["stage_write_sec"] = round(time.perf_counter() - t0, 3)
     try:
+        t0 = time.perf_counter()
         staged = spark.read.schema(_SLIM_SCHEMA).parquet(stage_path)
         windows = sorted(r[0] for r in staged.select("__win").distinct().collect())
+        if instrument is not None:
+            instrument["discover_sec"] = round(time.perf_counter() - t0, 3)
+            instrument["n_windows"] = len(windows)
         if not windows:
             return spark.createDataFrame([], WIDE_SCHEMA)
         return _run_windows(
-            spark, staged, windows, brick_size, drop_first, reliable_checkpoint
+            spark, staged, windows, brick_size, drop_first, reliable_checkpoint,
+            instrument=instrument,
         )
     finally:
         _delete_path(spark, stage_path)
@@ -191,10 +211,23 @@ def _delete_path(spark, path: str) -> None:
 
 
 def _run_windows(
-    spark, staged, windows, brick_size: float, drop_first: bool, reliable: bool = False
+    spark, staged, windows, brick_size: float, drop_first: bool,
+    reliable: bool = False, instrument: dict | None = None,
 ) -> DataFrame:
+    # worker-side phase accumulators (only wired when instrumenting —
+    # the closure must not capture driver-only objects otherwise)
+    acc_py = spark.sparkContext.accumulator(0.0) if instrument is not None else None
+    acc_kernel = spark.sparkContext.accumulator(0.0) if instrument is not None else None
 
     def run(key, tick_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
+        t_run0 = time.perf_counter() if acc_py is not None else 0.0
+        try:
+            return _run_body(key, tick_pdf, state_pdf)
+        finally:
+            if acc_py is not None:
+                acc_py.add(time.perf_counter() - t_run0)
+
+    def _run_body(key, tick_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
         sym = key[0]
         if len(tick_pdf) == 0:
             if len(state_pdf) == 0:
@@ -237,10 +270,13 @@ def _run_windows(
             start = 0
 
         out = new_output()
+        t_k0 = time.perf_counter() if acc_kernel is not None else 0.0
         if choose_scan(prices, brick_size):
             scan_ticks_vectorized(times, prices, start, brick_size, kstate, out)
         else:
             scan_ticks(times, prices.tolist(), start, brick_size, kstate, out)
+        if acc_kernel is not None:
+            acc_kernel.add(time.perf_counter() - t_k0)
 
         arrs = output_arrays(out)
         # close time = closing tick's timestamp (indexes still local here)
@@ -290,7 +326,12 @@ def _run_windows(
 
     state_df = spark.createDataFrame([], _STATE_SCHEMA)
     chunks: list[DataFrame] = []
+    if instrument is not None:
+        instrument["windows"] = []
     for win in windows:
+        t_w0 = time.perf_counter()
+        py0 = acc_py.value if acc_py is not None else 0.0
+        k0 = acc_kernel.value if acc_kernel is not None else 0.0
         wticks = staged.filter(F.col("__win") == F.lit(win)).drop("__win")
         part = (
             wticks.groupBy("symbol")
@@ -311,11 +352,25 @@ def _run_windows(
         bricks = ck(
             part.filter(F.col("__is_state") == 0).select(*WIDE_COLUMN_NAMES)
         )
+        t_bricks = time.perf_counter()
         state_df = ck(
             part.filter(F.col("__is_state") == 1).select("symbol", *_STATE_COLS)
         )
         part.unpersist()
         chunks.append(bricks)
+        if instrument is not None:
+            instrument["windows"].append({
+                "win": int(win),
+                # cogroup + bricks-checkpoint job (read, shuffle, Arrow,
+                # Python, write) vs the cheap state re-filter job
+                "wall_sec": round(time.perf_counter() - t_w0, 3),
+                "state_ck_sec": round(time.perf_counter() - t_bricks, 3),
+                # worker-side sums across the window's tasks: total UDF
+                # body time and the kernel-scan share of it — the gap to
+                # wall×parallelism is shuffle/Arrow/IO/scheduling
+                "py_sec": round(acc_py.value - py0, 3),
+                "kernel_sec": round(acc_kernel.value - k0, 3),
+            })
 
     out = chunks[0]
     for c in chunks[1:]:

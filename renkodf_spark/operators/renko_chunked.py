@@ -21,7 +21,7 @@ Scale posture (the reason this operator exists):
   windows).
 - NO driver-held state. The per-symbol carry state is a DataFrame
   (one tiny row per symbol) cogrouped with the window's ticks
-  (`groupBy(symbol).cogroup(state.groupBy(symbol)).applyInPandas`), so
+  (`groupBy(symbol).cogroup(state.groupBy(symbol)).applyInArrow`), so
   millions of symbols never transit the driver or bloat task closures.
 - The recurrence is inherently sequential per symbol, so windows run in
   sequence; the cluster still parallelizes across symbols within every
@@ -57,10 +57,8 @@ from __future__ import annotations
 import tempfile
 import time
 import uuid
-import warnings
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -74,6 +72,7 @@ from renkodf_spark.kernel import (
     scan_ticks,
     scan_ticks_vectorized,
 )
+from renkodf_spark.operators.renko import _const_str_array
 from renkodf_spark.schema import WIDE_COLUMN_NAMES, WIDE_SCHEMA
 
 # per-symbol state carried between windows:
@@ -98,7 +97,7 @@ _STATE_SCHEMA = T.StructType(
     + [T.StructField(f"__st_{name}", dtype) for name, dtype in _STATE_FIELDS]
 )
 
-# bricks and the one state row share the applyInPandas output frame;
+# bricks and the one state row share the applyInArrow output table;
 # __is_state flags the state row.
 _PACKED_SCHEMA = T.StructType(
     list(WIDE_SCHEMA.fields)
@@ -117,13 +116,60 @@ _SLIM_SCHEMA = T.StructType(
 )
 
 
-def _empty_bricks(n_like: pd.DataFrame | None = None) -> pd.DataFrame:
-    cols = {c: [] for c in WIDE_COLUMN_NAMES}
-    res = pd.DataFrame(cols)
-    res["__is_state"] = pd.Series([], dtype="int64")
-    for c in _STATE_COLS:
-        res[c] = None
-    return res
+def _arrow_type(dt, ts_type):
+    """Spark type -> exact arrow type for the packed cogroup output
+    (applyInArrow validates strictly; timestamps must carry the session
+    timezone the input columns arrive with)."""
+    import pyarrow as pa
+
+    if isinstance(dt, T.StringType):
+        return pa.string()
+    if isinstance(dt, T.LongType):
+        return pa.int64()
+    if isinstance(dt, T.DoubleType):
+        return pa.float64()
+    if isinstance(dt, T.IntegerType):
+        return pa.int32()
+    if isinstance(dt, T.TimestampType):
+        return ts_type
+    raise TypeError(f"unmapped spark type {dt}")
+
+
+def _packed_table(ts_type, cols: dict, m: int):
+    """A ``_PACKED_SCHEMA``-shaped arrow table: ``cols`` supplies the
+    present columns, everything else becomes ``m`` typed nulls."""
+    import pyarrow as pa
+
+    names, arrays = [], []
+    for f in _PACKED_SCHEMA.fields:
+        names.append(f.name)
+        arrays.append(
+            cols[f.name]
+            if f.name in cols
+            else pa.nulls(m, _arrow_type(f.dataType, ts_type))
+        )
+    return pa.table(arrays, names=names)
+
+
+def _state_row_table(ts_type, sym: str, st: dict):
+    """The one carry-state row as a packed arrow table (brick columns
+    null). Values may be python scalars, numpy datetime64, tz-aware
+    datetimes, or None — each lands as its field's exact arrow type."""
+    import pyarrow as pa
+
+    cols = {
+        "symbol": pa.array([sym], pa.string()),
+        "__is_state": pa.array([1], pa.int32()),
+    }
+    for name, dtype in _STATE_FIELDS:
+        c = f"__st_{name}"
+        v = st.get(c)
+        at = _arrow_type(dtype, ts_type)
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            cols[c] = pa.nulls(1, at)
+        else:
+            cols[c] = pa.array([v]).cast(at)
+    return _packed_table(ts_type, cols, 1)
 
 
 def renko_chunked(
@@ -219,45 +265,63 @@ def _run_windows(
     acc_py = spark.sparkContext.accumulator(0.0) if instrument is not None else None
     acc_kernel = spark.sparkContext.accumulator(0.0) if instrument is not None else None
 
-    def run(key, tick_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
+    def run(tick_tbl, state_tbl):
         t_run0 = time.perf_counter() if acc_py is not None else 0.0
         try:
-            return _run_body(key, tick_pdf, state_pdf)
+            return _run_body(tick_tbl, state_tbl)
         finally:
             if acc_py is not None:
                 acc_py.add(time.perf_counter() - t_run0)
 
-    def _run_body(key, tick_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
-        sym = key[0]
-        if len(tick_pdf) == 0:
-            if len(state_pdf) == 0:
-                return _empty_bricks()
+    # Arrow-native cogroup body (r8): same recurrence as the old
+    # applyInPandas version, minus its per-group pandas costs (mergesort
+    # 5x slower than lexsort+take, BlockManager-consolidating frame
+    # build, mask-copy first-drop, column-reorder copy, 9 object-dtype
+    # None columns, pd.concat) — measured 5x end-to-end at the x100
+    # HOT-task scale, which IS this operator's critical path (NOTES r8).
+    def _run_body(tick_tbl, state_tbl):
+        import pyarrow as pa
+
+        tick_tbl = tick_tbl.combine_chunks()
+        ts_type = tick_tbl.schema.field("__time").type
+        have_state = state_tbl.num_rows > 0
+
+        if tick_tbl.num_rows == 0:
+            if not have_state:
+                return _packed_table(ts_type, {}, 0)
             # symbol idle this window: re-emit carried state unchanged
-            strow = dict.fromkeys(
-                list(WIDE_COLUMN_NAMES) + ["__is_state"] + _STATE_COLS
+            return _state_row_table(
+                ts_type,
+                state_tbl.column("symbol")[0].as_py(),
+                {c: state_tbl.column(c)[0].as_py() for c in _STATE_COLS},
             )
-            strow["symbol"] = sym
-            strow["__is_state"] = 1
-            for c in _STATE_COLS:
-                strow[c] = state_pdf[c].iloc[0]
-            return pd.DataFrame([strow])
 
-        pdf = tick_pdf.sort_values(["__time", "__seq"], kind="mergesort")
-        times = pdf["__time"].to_numpy()
-        prices = pdf["__price"].to_numpy()
+        sym = tick_tbl.column("symbol")[0].as_py()
+        t = tick_tbl.column("__time").to_numpy(zero_copy_only=False)
+        p = tick_tbl.column("__price").to_numpy(zero_copy_only=False)
+        s = tick_tbl.column("__seq").to_numpy(zero_copy_only=False)
+        # stable total order (__seq unique) == the old mergesort
+        order = np.lexsort((s, t.view("int64")))
+        times = t[order]
+        prices = p[order]
 
-        if len(state_pdf) == 0:
+        if not have_state:
             anchor = grid_anchor(float(prices[0]), brick_size)
             kstate = [anchor, 0, anchor, anchor, 1, 1]  # tick_open: global idx 1
             next_seq, offset, first_ts = 0, 0, None
             start = 1
         else:
-            st = state_pdf.iloc[0]
+            st = {
+                c: state_tbl.column(c)[0].as_py()
+                for c in _STATE_COLS
+                if c != "__st_first_ts"
+            }
             offset = int(st["__st_tick_offset"])
             next_seq = int(st["__st_next_seq"])
-            first_ts = st["__st_first_ts"]
-            if pd.isna(first_ts):
-                first_ts = None
+            # read as datetime64[us] (UTC instants, same basis as `ev`
+            # below) — as_py would hand back a session-tz datetime
+            ft = state_tbl.column("__st_first_ts").to_numpy(zero_copy_only=False)[0]
+            first_ts = None if np.isnat(ft) else ft.astype("datetime64[us]")
             # kernel works in window-local indexes; state keeps global
             kstate = [
                 float(st["__st_last_close"]),
@@ -280,49 +344,56 @@ def _run_windows(
 
         arrs = output_arrays(out)
         # close time = closing tick's timestamp (indexes still local here)
-        res = {
-            "event_time": times[arrs["tick_index_close"]].astype("datetime64[us]")
+        ev = (
+            times[arrs["tick_index_close"]].astype("datetime64[us]")
             if len(times)
             else np.empty(0, dtype="datetime64[us]")
+        )
+        if offset:
+            arrs["tick_index_open"] += offset
+            arrs["tick_index_close"] += offset
+
+        if len(ev) and first_ts is None:
+            first_ts = ev[0]
+        lo = hi = 0
+        if drop_first and first_ts is not None:
+            # ev is nondecreasing, so label-equality is a contiguous run
+            lo = int(np.searchsorted(ev, first_ts, side="left"))
+            hi = int(np.searchsorted(ev, first_ts, side="right"))
+
+        def cutv(a):
+            return np.concatenate([a[:lo], a[hi:]]) if hi > lo else a
+
+        ev = cutv(ev)
+        m = len(ev)
+        cols = {
+            "symbol": _const_str_array(sym, m),
+            "brick_seq": pa.array(
+                np.arange(int(next_seq), int(next_seq) + m, dtype=np.int64)
+            ),
+            "event_time": pa.array(ev).cast(ts_type),
+            "__is_state": pa.array(np.zeros(m, dtype=np.int32)),
         }
         for name in WIDE_VALUE_COLUMNS:
-            res[name] = arrs[name]
-        res = pd.DataFrame(res)
-        if offset:
-            res["tick_index_open"] += offset
-            res["tick_index_close"] += offset
+            cols[name] = pa.array(cutv(arrs[name]))
+        bricks = _packed_table(ts_type, cols, m)
 
-        if len(res) and first_ts is None:
-            first_ts = res["event_time"].iloc[0]
-        if drop_first and first_ts is not None:
-            res = res[res["event_time"] != first_ts].reset_index(drop=True)
-
-        res.insert(0, "brick_seq", np.arange(int(next_seq), int(next_seq) + len(res), dtype=np.int64))
-        res.insert(0, "symbol", sym)
-        res = res[list(WIDE_COLUMN_NAMES)]
-        res["__is_state"] = 0
-        for c in _STATE_COLS:
-            res[c] = None
-
-        strow = dict.fromkeys(res.columns)
-        strow.update(
-            symbol=sym,
-            __is_state=1,
-            __st_last_close=kstate[0],
-            __st_last_dir=kstate[1],
-            __st_wick_min=kstate[2],
-            __st_wick_max=kstate[3],
-            __st_volume=kstate[4],
-            __st_tick_open=kstate[5] + offset,  # back to global
-            __st_next_seq=int(next_seq) + len(res),
-            __st_tick_offset=offset + len(pdf),
-            __st_first_ts=first_ts,
+        state_row = _state_row_table(
+            ts_type,
+            sym,
+            {
+                "__st_last_close": kstate[0],
+                "__st_last_dir": kstate[1],
+                "__st_wick_min": kstate[2],
+                "__st_wick_max": kstate[3],
+                "__st_volume": kstate[4],
+                "__st_tick_open": kstate[5] + offset,  # back to global
+                "__st_next_seq": int(next_seq) + m,
+                "__st_tick_offset": offset + len(times),
+                "__st_first_ts": first_ts,
+            },
         )
-        with warnings.catch_warnings():
-            # the all-NA-column concat dtype change is immaterial here:
-            # Arrow casts to _PACKED_SCHEMA on the way out regardless
-            warnings.simplefilter("ignore", FutureWarning)
-            return pd.concat([res, pd.DataFrame([strow])], ignore_index=True)
+        return pa.concat_tables([bricks, state_row])
 
     state_df = spark.createDataFrame([], _STATE_SCHEMA)
     chunks: list[DataFrame] = []
@@ -336,7 +407,7 @@ def _run_windows(
         part = (
             wticks.groupBy("symbol")
             .cogroup(state_df.groupBy("symbol"))
-            .applyInPandas(run, _PACKED_SCHEMA)
+            .applyInArrow(run, _PACKED_SCHEMA)
             .persist()
         )
         # Checkpoint materializes bricks + carry state (computing the

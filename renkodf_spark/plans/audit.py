@@ -16,7 +16,7 @@ class PlanSummary:
     broadcast_hash_joins: int
     sort_merge_joins: int
     nested_loop_joins: int
-    python_nodes: int  # FlatMapGroupsInPandas / EvalPython / MapInPandas
+    python_nodes: int  # FlatMapGroupsIn{Pandas,Arrow} / EvalPython / MapIn{Pandas,Arrow}
     scans: int
     pushed_filters: bool
     text: str
@@ -38,8 +38,12 @@ def plan_summary(df: DataFrame) -> PlanSummary:
         nested_loop_joins=plan.count("NestedLoopJoin"),
         python_nodes=(
             plan.count("FlatMapGroupsInPandas")
+            + plan.count("FlatMapGroupsInArrow")
+            + plan.count("FlatMapCoGroupsInPandas")
+            + plan.count("FlatMapCoGroupsInArrow")
             + plan.count("EvalPython")
             + plan.count("MapInPandas")
+            + plan.count("MapInArrow")
         ),
         scans=plan.count("FileScan"),
         pushed_filters="PushedFilters: [" in plan and "PushedFilters: []" not in plan,

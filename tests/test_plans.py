@@ -3,6 +3,8 @@ engine scale — filter pushdown into parquet scans, column pruning,
 broadcast joins for dimensions, map-side partial aggregation, and no
 Python UDFs outside the Renko kernel boundary."""
 
+import re
+
 import renkodf_spark.queries as q
 from renkodf_spark.sources.tables import load_table
 
@@ -47,7 +49,7 @@ def test_renko_mode_projection_prunes_variants(spark, sf_dir):
     bars = renko_df(renko(ticks_from_events(spark, sf_dir), 5.0), "wicks", utils_columns=False)
     opt = _optimized(bars)
     # the projection above the kernel keeps only the wicks columns
-    head = opt.split("FlatMapGroupsInPandas")[0]
+    head = re.split(r"FlatMapGroupsIn(?:Pandas|Arrow)", opt)[0]
     assert "fake_high" not in head and "reverse_low" not in head
 
 

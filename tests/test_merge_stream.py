@@ -313,3 +313,139 @@ def test_search_index_resent_doc_id_is_ignored(spark, tmp_path):
         F.count_distinct("doc_id").alias("n"), F.sum("tf").alias("t")
     ).collect()[0]
     assert (n_docs, total) == (gb.n, gb.t)
+
+
+def test_search_index_compaction_bounds_generations_with_parity(spark, tmp_path):
+    """VERDICT r7 item 6: with compact_every=2 over 4 triggers the
+    postings and doclen directories end at <=2 visible generations
+    (compacted + current) while postings, BM25 stats, and bucket-pruned
+    reads are unchanged vs the uncompacted run."""
+    from renkodf_spark.streaming.merge_stream import (
+        read_postings_stream,
+        search_index_writer,
+    )
+
+    schema = "k long, v string, seq long, del boolean"
+    batches = [
+        [(1, "x x y", 0, False)],
+        [(2, "a b a", 0, False)],
+        [(3, "y x", 0, False)],
+        [(4, "b z", 0, False)],
+    ]
+
+    def run(tag, compact_every):
+        src = str(tmp_path / f"src_{tag}")
+        os.makedirs(src)
+        state = str(tmp_path / f"sidx_{tag}")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        writer = search_index_writer(
+            state, id_col="k", text_col="v", n_buckets=8,
+            compact_every=compact_every, compact_target_files=1,
+        )
+        q = (
+            stream.writeStream.foreachBatch(writer)
+            .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+            .start()
+        )
+        try:
+            for i, rows in enumerate(batches):
+                _write(src, f"b{i}.parquet", rows)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        postings = sorted(
+            map(tuple, read_postings_stream(spark, state, ["x", "y", "b", "z"]).collect())
+        )
+        gens = {
+            r.batch_id
+            for r in spark.read.parquet(state + "/postings")
+            .select("batch_id").distinct().collect()
+        }
+        dl_gens = {
+            r.batch_id
+            for r in spark.read.parquet(state + "/doclen")
+            .select("batch_id").distinct().collect()
+        }
+        stats = spark.read.parquet(state + "/stats")
+        latest = stats.agg(F.max("batch_id")).collect()[0][0]
+        st = stats.filter(F.col("batch_id") == latest).collect()[0]
+        return postings, gens, dl_gens, (st.n_docs, st.total_tokens)
+
+    p_c, gens_c, dl_c, st_c = run("compact", 2)
+    p_u, gens_u, dl_u, st_u = run("plain", None)
+    assert p_c == p_u and len(p_u) > 0
+    assert st_c == st_u
+    assert gens_u == {0, 1, 2, 3} and dl_u == {0, 1, 2, 3}
+    # trigger 3 folded {0,1,2,-2} into gen -4; current trigger stays
+    assert gens_c == {-4, 3} and dl_c == {-4, 3}
+
+
+def test_search_index_compaction_keeps_enforcement(spark, tmp_path):
+    """The seen-id set survives compaction: a doc_id re-sent AFTER its
+    generation was folded must still be dropped."""
+    from renkodf_spark.streaming.merge_stream import (
+        read_postings_stream,
+        search_index_writer,
+    )
+
+    state = str(tmp_path / "sidx")
+    writer = search_index_writer(
+        state, id_col="k", text_col="v", n_buckets=8, compact_every=2,
+        compact_target_files=1,
+    )
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k long, v string")
+
+    writer(df([(1, "x x")]), 0)
+    writer(df([(2, "y")]), 1)   # compaction fires here, folds gen 0
+    writer(df([(1, "z z z")]), 2)  # re-send id 1 after its gen was folded
+    got = sorted(
+        map(
+            tuple,
+            read_postings_stream(spark, state, ["x", "z"])
+            .select("term", "doc_id", "tf")
+            .collect(),
+        )
+    )
+    assert got == [("x", 1, 2)]  # no z postings, original x intact
+
+
+def test_generic_compaction_crash_recovery(spark, tmp_path):
+    """compact_index_generations commit protocol: a leftover tmp WITH
+    _SUCCESS and no committed generation is promoted (its content may
+    exist nowhere else); a tmp WITHOUT the marker is discarded."""
+    from renkodf_spark.streaming.merge_stream import compact_index_generations
+
+    def write_gen(path, rows):
+        spark.createDataFrame(rows, "doc_id long, dl long").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    def rows_of(path):
+        return {(r.doc_id, r.dl) for r in spark.read.parquet(path).collect()}
+
+    a, b, c = [(1, 10)], [(2, 20)], [(3, 30)]
+
+    idx = str(tmp_path / "recover")
+    write_gen(os.path.join(idx, "batch_id=1"), a)
+    write_gen(os.path.join(idx, "batch_id=2"), c)
+    write_gen(os.path.join(idx, "_compact_tmp"), b)  # complete: has _SUCCESS
+    compact_index_generations(spark, idx, 2, target_files=1)
+    gens = {r.batch_id for r in spark.read.parquet(idx).select("batch_id").distinct().collect()}
+    assert gens == {-3, 2}
+    assert rows_of(idx) == set(a) | set(b) | set(c)
+
+    idx2 = str(tmp_path / "torn")
+    write_gen(os.path.join(idx2, "batch_id=1"), a)
+    write_gen(os.path.join(idx2, "batch_id=2"), c)
+    write_gen(os.path.join(idx2, "_compact_tmp"), b)
+    os.remove(os.path.join(idx2, "_compact_tmp", "_SUCCESS"))  # torn write
+    compact_index_generations(spark, idx2, 2, target_files=1)
+    gens2 = {r.batch_id for r in spark.read.parquet(idx2).select("batch_id").distinct().collect()}
+    assert gens2 == {-3, 2}
+    assert rows_of(idx2) == set(a) | set(c)  # b discarded, sources intact

@@ -371,8 +371,13 @@ def encode_with_vocab(
     Scale shape: posexplode → broadcast join against the vocab (bounded
     by the vocab-size parameter, so the broadcast is a declared
     constant, not data-dependent) → one per-doc aggregation that
-    reassembles the id sequence by position. The corpus text shuffles
-    once, keyed by document.
+    reassembles the id sequence by position. The corpus text never
+    enters a SHUFFLE: the term column is consumed by the broadcast
+    vocab join inside the scan stage, so the reassembly shuffles only
+    ``(id, pos, tid)`` integer triples — O(total tokens) rows, but
+    integer-width, not text-width (pinned by
+    ``test_plans.test_vocab_encode_shuffles_only_integer_triples``;
+    the vocab's own bounded broadcast is the one allowed text mover).
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     pairs = df.select(

@@ -51,7 +51,7 @@ def plan_summary(df: DataFrame) -> PlanSummary:
     )
 
 
-def exchange_inputs(df: DataFrame) -> list[list[str]]:
+def exchange_inputs(df: DataFrame, pattern: str = r"\w*Exchange") -> list[list[str]]:
     """Column names entering every Exchange (shuffle or broadcast) in
     the executed plan — the audit for "does the payload move?" claims.
     Parsed from the formatted explain, whose per-node ``Input [n]``
@@ -65,7 +65,7 @@ def exchange_inputs(df: DataFrame) -> list[list[str]]:
     out: list[list[str]] = []
     lines = text.splitlines()
     for i, line in enumerate(lines):
-        if re.match(r"^\(\d+\) \w*Exchange", line.strip()):
+        if re.match(r"^\(\d+\) " + pattern, line.strip()):
             for follow in lines[i + 1 : i + 4]:
                 m = re.match(r"^Input \[\d+\]: \[(.*)\]$", follow.strip())
                 if m:
@@ -73,6 +73,13 @@ def exchange_inputs(df: DataFrame) -> list[list[str]]:
                     out.append(cols)
                     break
     return out
+
+
+def shuffle_inputs(df: DataFrame) -> list[list[str]]:
+    """Like :func:`exchange_inputs`, but hash/range SHUFFLES only —
+    for claims where a bounded broadcast (a vocab, a sketch) is allowed
+    to move but the big-table payload must not."""
+    return exchange_inputs(df, pattern=r"Exchange\b")
 
 
 def assert_jvm_only(df: DataFrame, context: str = "") -> None:

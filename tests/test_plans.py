@@ -268,3 +268,21 @@ def test_keep_best_election_is_aggregation_not_window(spark, sf_dir):
     plan = _executed(dedup.cluster_representatives(docs, labels))
     assert "min_by" in plan
     assert "Window" not in plan
+
+
+def test_vocab_encode_shuffles_only_integer_triples(spark, sf_dir):
+    """encode_with_vocab's reassembly exchange must carry only
+    (id, pos, tid) integers — the term column is consumed by the
+    broadcast vocab join inside the scan stage (the vocab's own
+    BroadcastExchange is the one allowed text carrier: bounded by the
+    declared vocab size, not by the corpus)."""
+    from pyspark.sql import functions as F
+
+    from renkodf_spark.operators.text import encode_with_vocab
+    from renkodf_spark.plans import shuffle_inputs
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = spark.createDataFrame([("the", 0), ("a", 1)], "term string, token_id int")
+    df = encode_with_vocab(docs, vocab)
+    for cols in shuffle_inputs(df):
+        assert not {"term", "text"} & set(cols), f"text enters a shuffle: {cols}"

@@ -685,18 +685,20 @@ def remove_duplicated_spans(
     Scale shape: ZERO text shuffle. One (digest -> min doc) aggregation
     over 32-byte keys (map-side combinable), an equi-join of the
     per-doc gram digests against that table (only (id, start, digest)
-    triples move), and a per-doc ``collect_set`` of DROPPED positions —
-    an integer relation bounded by ``n x`` the number of DUP grams, so
-    clean corpora shuffle almost nothing. That bounded positions
-    relation is then joined back to the INTACT tokenized doc
-    (broadcast by default, so the token arrays never enter an
-    exchange) and the clean text is rebuilt IN-ROW: the sorted drop
-    positions split the token array into kept segments
-    (``zip_with``/``slice``/``flatten`` — O(tokens + drops) per row,
-    no per-token membership probe, no cross-doc window). Set
-    ``broadcast_positions=False`` when the duplicated-span doc count
-    is too large to broadcast (the join then shuffles both sides by
-    id — the one case where the token arrays move, once).
+    triples move), and a per-doc ``collect_set`` of dup gram STARTS —
+    an integer relation bounded by the number of DUP grams (NOT
+    ``n x`` it: coverage intervals expand in-row below, so the shuffle
+    never pays the position fan-out), and clean corpora shuffle almost
+    nothing. That bounded starts relation is joined back to the INTACT
+    tokenized doc (broadcast by default, so the token arrays never
+    enter an exchange) and the clean text is rebuilt IN-ROW: sorted
+    starts define covered intervals [s, s+n) whose ends are ascending
+    too, so the kept tokens are the coverage gaps — a
+    ``zip_with``/``slice``/``flatten`` over boundary pairs, O(tokens +
+    dup grams) per row, no per-token membership probe, no cross-doc
+    window. Set ``broadcast_positions=False`` when the duplicated-span
+    doc count is too large to broadcast (the join then shuffles both
+    sides by id — the one case where the token arrays move, once).
     """
     from renkodf_spark.operators.corpus import _norm_gram_tokens
 
@@ -716,29 +718,39 @@ def remove_duplicated_spans(
         "id", F.posexplode(F.transform(starts, _at)).alias("__junk", "gram"), 
     ).select("id", F.col("__junk").alias("s"), "gram")
     first_owner = grams.groupBy("gram").agg(F.min("id").alias("__first"))
-    drop_pos = (
+    # aggregate dup gram STARTS, not covered positions: the old
+    # explode(sequence(s, s+n-1)) + distinct multiplied every dup gram
+    # by n BEFORE the shuffle (the dominant cost on a high-dup corpus);
+    # starts are n x fewer rows and coverage expands in-row below
+    dup_starts = (
         grams.join(first_owner, "gram")
         .filter(F.col("id") > F.col("__first"))
-        .select("id", F.explode(F.sequence(F.col("s"), F.col("s") + n - 1)).alias("pos"))
         .groupBy("id")
-        .agg(F.array_sort(F.collect_set("pos")).alias("__drops"))
+        .agg(F.array_sort(F.collect_set("s")).alias("__ss"))
     )
     if broadcast_positions:
-        drop_pos = F.broadcast(drop_pos)
-    drops = F.coalesce(F.col("__drops"), F.array().cast("array<int>"))
-    # sorted distinct drop positions cut the token array into kept
-    # segments: boundaries (-1, d0), (d0, d1), ..., (dk, len) — each
-    # segment is slice(t, a+2, b-a-1), concatenated back in order
+        dup_starts = F.broadcast(dup_starts)
+    starts = F.coalesce(F.col("__ss"), F.array().cast("array<int>"))
+    # sorted starts define covered intervals [s, s+n) with ascending
+    # ends, so the KEPT segments are the coverage gaps: [prev_end, next
+    # start) for boundary pairs (-n, s0), (s0, s1), ..., (sk, len) —
+    # each gap is slice(t, a+n+1, max(b-(a+n), 0)), in original order
     kept_toks = F.flatten(
         F.zip_with(
-            F.concat(F.array(F.lit(-1)), drops),
-            F.concat(drops, F.array(F.size("__t"))),
-            lambda a, b: F.slice(F.col("__t"), a + F.lit(2), b - a - F.lit(1)),
+            F.concat(F.array(F.lit(-n)), starts),
+            F.concat(starts, F.array(F.size("__t"))),
+            lambda a, b: F.slice(
+                F.col("__t"), a + F.lit(n + 1), F.greatest(b - a - F.lit(n), F.lit(0))
+            ),
         )
     )
-    return toked.join(drop_pos, "id", "left").select(
-        F.col("id").alias(id_col),
-        F.size("__t").cast("long").alias("n_tokens"),
-        F.size(drops).cast("long").alias("n_tokens_dropped"),
-        F.md5(F.array_join(kept_toks, " ")).alias("clean_digest"),
+    return (
+        toked.join(dup_starts, "id", "left")
+        .select("id", F.size("__t").alias("__n"), kept_toks.alias("__kept"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("__n").cast("long").alias("n_tokens"),
+            (F.col("__n") - F.size("__kept")).cast("long").alias("n_tokens_dropped"),
+            F.md5(F.array_join(F.col("__kept"), " ")).alias("clean_digest"),
+        )
     )

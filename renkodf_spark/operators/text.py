@@ -527,3 +527,136 @@ def logprob_buckets(
         bucket.alias("bucket"),
         tier.alias("tier"),
     )
+
+
+# ------------------------------------------------------------ BPE training
+
+
+def word_histogram(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus word histogram ``(word, cnt)`` over the normalized
+    tokenization (lowercase, punctuation → space — the same
+    ``_norm_gram_tokens`` normalization the dedup family uses, so the
+    whole text stack shares one token definition).
+
+    Scale shape: one scan, one map-side-combinable aggregation keyed by
+    the word — the shuffle is bounded by DISTINCT words per partition
+    (Zipf makes the combine highly effective), never corpus size. This
+    is the only pass over the raw text the BPE trainer makes.
+    """
+    from renkodf_spark.operators.corpus import _norm_gram_tokens
+
+    return (
+        df.select(F.explode(_norm_gram_tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def _bpe_apply_merge(syms_col, a: str, b: str):
+    """Left-to-right non-overlapping application of one BPE merge
+    ``(a, b) -> a||b`` to a symbol array, as an in-row fold: the
+    accumulator is the rebuilt array whose LAST element is the pending
+    symbol; a merged symbol never re-merges within the same pass
+    because ``a || b`` differs from ``a`` (``b`` is non-empty). The
+    DuckDB oracle replays the identical fold with ``list_reduce``."""
+    return F.aggregate(
+        F.slice(syms_col, 2, F.greatest(F.size(syms_col) - 1, F.lit(0))),
+        F.slice(syms_col, 1, 1),
+        lambda acc, x: F.when(
+            (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_merges(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte-pair-encoding tokenizer TRAINING (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units"):
+    learn the top ``k`` merge rules over the corpus — iteratively count
+    adjacent symbol pairs (weighted by word frequency), merge the most
+    frequent pair everywhere, repeat. Classic simplification: merging
+    is WITHIN words (no end-of-word marker), words defined by the
+    shared ``_norm_gram_tokens`` normalization.
+
+    Deterministic across engines: pair election orders by
+    ``(count DESC, left ASC, right ASC)`` — exact long arithmetic, no
+    floats anywhere — and merge application is the left-to-right
+    non-overlapping fold of :func:`_bpe_apply_merge`, replayed
+    symbol-for-symbol by the DuckDB oracle's ``list_reduce``.
+
+    Output: one row per learned rule ``(merge_rank, left, right,
+    merged, pair_count)``, ``merge_rank`` starting at 1. Stops early
+    (fewer than ``k`` rows) if the corpus runs out of repeated pairs.
+
+    Scale shape: the raw text is scanned ONCE into the (word, cnt)
+    histogram (:func:`word_histogram` — map-side combinable, bounded
+    by distinct words); each of the ``k`` iterations shuffles only
+    ``(pair, count)`` rows — bounded by the distinct adjacent-pair
+    count, Zipf-small — and collects exactly ONE elected row to the
+    driver; the merge applies to the histogram IN-ROW (no shuffle,
+    no join). The histogram is localCheckpoint'd per iteration so plan
+    depth stays O(1), exactly the ``renko_chunked`` loop discipline.
+    This is the standard "distributed BPE" decomposition: driver
+    carries only the K learned rules, never data.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    words = word_histogram(df, text_col=text_col).select(
+        "cnt",
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.col("word").substr(i, F.lit(1)),
+        ).alias("syms"),
+    ).localCheckpoint(eager=False)
+
+    spark = df.sparkSession
+    rules = []
+    for rank in range(1, k + 1):
+        pairs = words.select(
+            "cnt",
+            F.explode(
+                F.transform(
+                    # guarded: sequence(1, 0) DESCENDS in Spark, so a
+                    # 1-symbol word must yield an empty index list
+                    F.when(
+                        F.size("syms") >= 2,
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                    ).otherwise(F.array().cast("array<int>")),
+                    lambda i: F.struct(
+                        F.element_at(F.col("syms"), i).alias("left"),
+                        F.element_at(F.col("syms"), i + 1).alias("right"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p.left", "p.right")
+            .agg(F.sum("cnt").cast("long").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), F.col("left"), F.col("right"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["pair_count"] < 2:
+            break
+        a, b, cnt = best[0]["left"], best[0]["right"], best[0]["pair_count"]
+        rules.append((rank, a, b, a + b, int(cnt)))
+        words = words.select(
+            "cnt", _bpe_apply_merge(F.col("syms"), a, b).alias("syms")
+        ).localCheckpoint(eager=False)
+
+    return spark.createDataFrame(
+        rules,
+        "merge_rank int, left string, right string, merged string, pair_count long",
+    )

@@ -25,6 +25,7 @@ from renkodf_spark.queries import pipeline3  # noqa: F401
 from renkodf_spark.queries import pipeline4  # noqa: F401
 from renkodf_spark.queries import pipeline5  # noqa: F401
 from renkodf_spark.queries import relational3  # noqa: F401
+from renkodf_spark.queries import pipeline6  # noqa: F401
 
 # Gate-window priority (see module docstring). Rotation policy (ADVICE
 # r2, applied every round): queries that never had a gate row, plus
@@ -34,6 +35,8 @@ from renkodf_spark.queries import relational3  # noqa: F401
 # full-registry sweep so freshness never depends on the window at all.
 # Names not listed keep their module registration order after these.
 _PRIORITY = [
+    # -- new in round 8: distributed BPE training (never had a gate row)
+    "bpe_merges_learned",
     # -- new in round 7 phase 5: bin-bucketed range joins, funnel,
     #    cohort retention, snapshot diff, count-min sketch (never had
     #    a gate row)

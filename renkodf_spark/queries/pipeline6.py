@@ -1,0 +1,77 @@
+"""Round-8 pipeline queries: distributed BPE tokenizer training.
+
+The oracle is the renko-style fold replay taken to the tokenizer
+domain: DuckDB unrolls the K merge iterations as CTE stages, electing
+each merge with the same exact-integer (count DESC, left, right) order
+and applying it with a ``list_reduce`` fold that is symbol-for-symbol
+the Spark-side ``F.aggregate`` fold.
+"""
+
+from __future__ import annotations
+
+from renkodf_spark.operators import text
+from renkodf_spark.queries.registry import query
+
+_BPE_K = 8
+
+# the shared word definition (operators/corpus._norm_gram_tokens)
+_WORDS_SQL = r"""
+SELECT w AS word, COUNT(*)::BIGINT AS cnt
+FROM (SELECT unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+         '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS w
+      FROM documents)
+WHERE w <> ''
+GROUP BY 1
+"""
+
+
+def _bpe_oracle(k: int) -> str:
+    """K-times-unrolled BPE training replay: w0 = per-word character
+    arrays; each stage j counts adjacent pairs weighted by word count
+    (exact longs), elects (pc DESC, l, r) LIMIT 1, and rebuilds every
+    word with the left-to-right non-overlapping merge fold (the
+    accumulator's last element is the pending symbol; elements arrive
+    wrapped as single-item lists so list_reduce's accumulator and
+    element types agree — the renko-oracle trick)."""
+    parts = [
+        f"""WITH words AS ({_WORDS_SQL}),
+w0 AS (
+  SELECT cnt, list_transform(range(1, len(word) + 1), i -> word[i:i]) AS syms
+  FROM words)"""
+    ]
+    for j in range(1, k + 1):
+        parts.append(f"""
+p{j} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, SUM(cnt)::BIGINT AS pc
+  FROM w{j - 1}, LATERAL unnest(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2),
+b{j} AS (SELECT l, r, pc FROM p{j} ORDER BY pc DESC, l, r LIMIT 1),
+w{j} AS (
+  SELECT w.cnt,
+         list_reduce(list_transform(w.syms, s -> [s]),
+                     (acc, x) -> CASE WHEN acc[-1] = b.l AND x[1] = b.r
+                                 THEN list_concat(acc[1:len(acc) - 1], [b.l || b.r])
+                                 ELSE list_concat(acc, x) END) AS syms
+  FROM w{j - 1} w CROSS JOIN b{j} b)""")
+    finals = "\nUNION ALL\n".join(
+        f'SELECT {j} AS merge_rank, l AS "left", r AS "right", l || r AS merged, '
+        f"pc AS pair_count FROM b{j}"
+        for j in range(1, k + 1)
+    )
+    return ",".join(parts) + "\n" + finals
+
+
+@query(
+    "bpe_merges_learned",
+    oracle=_bpe_oracle(_BPE_K),
+    doc="distributed BPE tokenizer training (Sennrich 2016): the top-8 "
+    "merge rules learned over the corpus word histogram — per "
+    "iteration one map-side-combinable (pair, count) aggregation and a "
+    "single elected row to the driver, merges applied in-row; the "
+    "oracle unrolls the 8 iterations as CTEs and replays the merge "
+    "application with the renko-style list_reduce fold.",
+)
+def bpe_merges_learned(spark, sf_dir):
+    from renkodf_spark.queries.pipeline import _docs
+
+    return text.bpe_merges(_docs(spark, sf_dir), k=_BPE_K)

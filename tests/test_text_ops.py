@@ -1,0 +1,54 @@
+
+
+# --------------------------------------------------------- BPE training
+
+
+def test_bpe_merges_hand_computed(spark):
+    """aaab x3 + ab x2: pair counts round 1 are (a,a)=6, (a,b)=5 ->
+    merge aa; round 2: (aa,a)=3, (aa,b)=0... wait aaab = [aa, a, b]
+    -> pairs (aa,a)=3, (a,b)=5 -> merge ab; round 3 (aa,ab)=3."""
+    from renkodf_spark.operators.text import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "aaab ab"), (3, "ab")], "doc_id long, text string"
+    )
+    out = [tuple(r) for r in bpe_merges(docs, k=3).collect()]
+    # histogram: aaab x3, ab x2
+    # r1: (a,a)=6 beats (a,b)=5 -> aa ; aaab=[aa,a,b]
+    # r2: (a,b)=3+2=5 beats (aa,a)=3 -> ab ; aaab=[aa,ab], ab=[ab]
+    # r3: (aa,ab)=3
+    assert out == [
+        (1, "a", "a", "aa", 6),
+        (2, "a", "b", "ab", 5),
+        (3, "aa", "ab", "aaab", 3),
+    ]
+
+
+def test_bpe_merge_application_left_to_right(spark):
+    """'aaa' under merge (a,a) must give [aa, a] (non-overlapping,
+    left-to-right), never [a, aa]."""
+    from pyspark.sql import functions as F
+
+    from renkodf_spark.operators.text import _bpe_apply_merge
+
+    df = spark.createDataFrame([(["a", "a", "a"],)], "syms array<string>")
+    got = df.select(_bpe_apply_merge(F.col("syms"), "a", "a").alias("m")).collect()[0]["m"]
+    assert got == ["aa", "a"]
+
+
+def test_bpe_tie_break_is_lexicographic(spark):
+    from renkodf_spark.operators.text import bpe_merges
+
+    docs = spark.createDataFrame([(1, "xy xy zw zw")], "doc_id long, text string")
+    out = [tuple(r) for r in bpe_merges(docs, k=1).collect()]
+    # (x,y)=2 and (z,w)=2 tie -> smallest (left, right) wins
+    assert out == [(1, "x", "y", "xy", 2)]
+
+
+def test_bpe_stops_when_pairs_exhaust(spark):
+    from renkodf_spark.operators.text import bpe_merges
+
+    docs = spark.createDataFrame([(1, "ab ab cd")], "doc_id long, text string")
+    out = [tuple(r) for r in bpe_merges(docs, k=5).collect()]
+    # after merging (a,b) no pair repeats (cd's (c,d) has count 1)
+    assert out == [(1, "a", "b", "ab", 2)]

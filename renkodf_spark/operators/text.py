@@ -563,16 +563,23 @@ def _bpe_apply_merge(syms_col, a: str, b: str):
     accumulator is the rebuilt array whose LAST element is the pending
     symbol; a merged symbol never re-merges within the same pass
     because ``a || b`` differs from ``a`` (``b`` is non-empty). The
-    DuckDB oracle replays the identical fold with ``list_reduce``."""
+    DuckDB oracle replays the identical fold with ``list_reduce``.
+
+    ``syms_col`` is referenced exactly ONCE (empty-accumulator init,
+    not an init built from slices of the input): K rules nest K folds
+    in :func:`bpe_encode`, and a 3-reference formulation grows the
+    expression tree 3^K-fold — the analyzer hung on it at K=8."""
     return F.aggregate(
-        F.slice(syms_col, 2, F.greatest(F.size(syms_col) - 1, F.lit(0))),
-        F.slice(syms_col, 1, 1),
-        lambda acc, x: F.when(
-            (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
-            ),
-        ).otherwise(F.concat(acc, F.array(x))),
+        syms_col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(F.size(acc) == 0, F.array(x)).otherwise(
+            F.when(
+                (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+        ),
     )
 
 
@@ -659,4 +666,58 @@ def bpe_merges(
     return spark.createDataFrame(
         rules,
         "merge_rank int, left string, right string, merged string, pair_count long",
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply learned BPE merge rules (:func:`bpe_merges` output, or a
+    list of ``(left, right)`` pairs) to every document: each word's
+    character sequence is rebuilt through the K merges IN RANK ORDER,
+    each applied with the same left-to-right non-overlapping fold the
+    trainer used. Returns ``(id_col, n_words, n_subwords,
+    subword_digest)`` with ``subword_digest`` the md5 of the
+    space-joined subword sequence (document order).
+
+    Scale shape: zero shuffle and zero joins — the K rules are a
+    bounded driver-side constant (K is a declared parameter, the
+    ``contamination``-style "broadcast is a constant" argument) baked
+    into one nested column expression, so encoding is a pure map stage
+    that pipelines with the scan at any corpus size.
+    """
+    from renkodf_spark.operators.corpus import _norm_gram_tokens
+
+    if isinstance(merges, DataFrame):
+        rules = [
+            (r["left"], r["right"])
+            for r in merges.orderBy("merge_rank").collect()
+        ]
+    else:
+        rules = list(merges)
+
+    def encode_word(w):
+        syms = F.transform(
+            F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))
+        )
+        for a, b in rules:
+            syms = _bpe_apply_merge(syms, a, b)
+        return syms
+
+    words = _norm_gram_tokens(text_col)
+    words = F.filter(words, lambda w: w != "")
+    encoded = F.transform(words, encode_word)
+    return df.select(
+        F.col(id_col),
+        F.size(words).cast("long").alias("n_words"),
+        F.aggregate(
+            encoded, F.lit(0).cast("long"), lambda acc, s: acc + F.size(s)
+        ).alias("n_subwords"),
+        F.md5(
+            F.array_join(F.flatten(encoded), " ")
+        ).alias("subword_digest"),
     )

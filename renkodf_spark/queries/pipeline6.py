@@ -75,3 +75,60 @@ def bpe_merges_learned(spark, sf_dir):
     from renkodf_spark.queries.pipeline import _docs
 
     return text.bpe_merges(_docs(spark, sf_dir), k=_BPE_K)
+
+
+def _bpe_encode_oracle(k: int) -> str:
+    """Learn the K merges (same CTE stages as :func:`_bpe_oracle`),
+    then re-encode every document: per word, the character array runs
+    through the K merge folds IN RANK ORDER (nested list_reduce, one
+    per rule, each referencing its elected b-CTE row via a 1-row cross
+    join); per doc, subword arrays re-join in word order."""
+    # keep the learning CTEs, drop the trainer's final UNION ALL block
+    learn_ctes = _bpe_oracle(k).split("\nSELECT 1 AS merge_rank,", 1)[0]
+    fold = "list_transform(range(1, len(w) + 1), i -> w[i:i])"
+    for j in range(1, k + 1):
+        fold = (
+            f"list_reduce(list_transform({fold}, s -> [s]), "
+            f"(acc, x) -> CASE WHEN acc[-1] = m{j}.l AND x[1] = m{j}.r "
+            f"THEN list_concat(acc[1:len(acc) - 1], [m{j}.l || m{j}.r]) "
+            f"ELSE list_concat(acc, x) END)"
+        )
+    joins = " ".join(f"CROSS JOIN b{j} AS m{j}" for j in range(1, k + 1))
+    return (
+        learn_ctes
+        + f""",
+dw AS (
+  SELECT doc_id, i AS pos, ws[i] AS w
+  FROM (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS ws
+        FROM documents),
+       LATERAL unnest(range(1, len(ws) + 1)) AS u(i)
+  WHERE ws[i] <> ''),
+enc AS (
+  SELECT doc_id, pos, {fold} AS syms
+  FROM dw {joins})
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_words,
+       SUM(len(syms))::BIGINT AS n_subwords,
+       md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos)) AS subword_digest
+FROM enc GROUP BY 1
+"""
+    )
+
+
+@query(
+    "bpe_encoded_docs",
+    oracle=_bpe_encode_oracle(_BPE_K),
+    doc="BPE application: every document re-encoded with the 8 learned "
+    "merge rules (rank order, left-to-right non-overlapping fold per "
+    "rule) — zero shuffle, zero joins on the Spark side (the K rules "
+    "are a bounded driver constant baked into one nested column "
+    "expression, a pure map stage); oracle = the learning CTEs plus "
+    "8 nested list_reduce folds per word.",
+)
+def bpe_encoded_docs(spark, sf_dir):
+    from renkodf_spark.queries.pipeline import _docs
+
+    docs = _docs(spark, sf_dir)
+    rules = text.bpe_merges(docs, k=_BPE_K)
+    return text.bpe_encode(docs, rules)

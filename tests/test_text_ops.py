@@ -52,3 +52,26 @@ def test_bpe_stops_when_pairs_exhaust(spark):
     out = [tuple(r) for r in bpe_merges(docs, k=5).collect()]
     # after merging (a,b) no pair repeats (cd's (c,d) has count 1)
     assert out == [(1, "a", "b", "ab", 2)]
+
+
+def test_bpe_encode_hand_computed(spark):
+    from renkodf_spark.operators.text import bpe_encode
+
+    docs = spark.createDataFrame([(1, "aaab ab c")], "doc_id long, text string")
+    out = bpe_encode(docs, [("a", "a"), ("a", "b")]).collect()[0]
+    # aaab -> [aa, ab]; ab -> [ab]; c -> [c]  => 3 words, 4 subwords
+    assert (out["n_words"], out["n_subwords"]) == (3, 4)
+
+
+def test_bpe_encode_is_zero_shuffle(spark, sf_dir):
+    """The K rules are a driver constant baked into one expression —
+    encoding must be a pure map stage: no Exchange, no Python nodes."""
+    from renkodf_spark.operators.text import bpe_encode
+    from renkodf_spark.plans import assert_jvm_only
+    from renkodf_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = bpe_encode(docs, [("t", "h"), ("th", "e")])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert_jvm_only(df, "bpe_encode")

@@ -720,3 +720,72 @@ def hamming_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "hamming")
     )
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Contrastive-training pair mining: for every anchor vector, the
+    top-``k`` most cosine-similar CORPUS vectors carrying a DIFFERENT
+    label (the mined negatives), each flagged ``is_hard = 1`` when it
+    outscores the anchor's best same-label positive — the triplet-loss
+    "hard negative" condition (Schroff et al. 2015, FaceNet); rows with
+    ``is_hard = 0`` are the semi-hard/easy band. Anchors without any
+    positive get ``is_hard = NULL``. NULL labels match nothing (SQL
+    semantics) and so mine as neither positive nor negative.
+
+    Output: ``(anchor_id, neighbor_id, rank, neg_sim,
+    best_positive_sim, is_hard)``.
+
+    Scale shape: the cosine_topk plan with a label split — broadcast
+    (anchors) x corpus, so the corpus never shuffles for the join; the
+    best-positive reduction is a map-side-combinable MAX keyed by
+    anchor (one row per anchor), broadcast back onto the ranked
+    negatives; the only real shuffle is the per-anchor top-k ranking
+    (cardinality = |anchors|). Hard/semi-hard flags compare the RAW
+    cosine (both engines compute the identical double), rounding only
+    the exported columns.
+    """
+    from pyspark.sql.window import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("__nlabel"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("__alabel"),
+        F.col(vec_col).cast("array<double>").alias("avec"),
+    )
+    scored = c.join(
+        F.broadcast(a), F.col("neighbor_id") != F.col("anchor_id")
+    ).withColumn("cos", cosine(F.col("avec"), F.col("cvec")))
+    pos = (
+        scored.filter(F.col("__nlabel") == F.col("__alabel"))
+        .groupBy("anchor_id")
+        .agg(F.max("cos").alias("__pos"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    negk = (
+        scored.filter(F.col("__nlabel") != F.col("__alabel"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    return negk.join(F.broadcast(pos), "anchor_id", "left").select(
+        "anchor_id",
+        "neighbor_id",
+        "rank",
+        F.round("cos", round_digits).alias("neg_sim"),
+        F.round("__pos", round_digits).alias("best_positive_sim"),
+        F.when(F.col("__pos").isNull(), F.lit(None).cast("int"))
+        .otherwise((F.col("cos") > F.col("__pos")).cast("int"))
+        .alias("is_hard"),
+    )

@@ -38,6 +38,7 @@ _PRIORITY = [
     # -- new in round 8: distributed BPE training (never had a gate row)
     "bpe_merges_learned",
     "bpe_encoded_docs",
+    "hard_negative_pairs",
     # -- new in round 7 phase 5: bin-bucketed range joins, funnel,
     #    cohort retention, snapshot diff, count-min sketch (never had
     #    a gate row)

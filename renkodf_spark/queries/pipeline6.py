@@ -132,3 +132,53 @@ def bpe_encoded_docs(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     rules = text.bpe_merges(docs, k=_BPE_K)
     return text.bpe_encode(docs, rules)
+
+
+# ---------------------------------------------------- hard-negative mining
+
+_COS_HN = (
+    "list_dot_product(qv, cv) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+)
+
+_HARDNEG_ORACLE = f"""
+WITH a AS (SELECT vec_id AS anchor_id, label AS alabel, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id % 20 = 0),
+c AS (SELECT vec_id AS neighbor_id, label AS nlabel, embedding::DOUBLE[] AS cv
+      FROM embeddings),
+scored AS (
+  SELECT anchor_id, alabel, neighbor_id, nlabel, {_COS_HN} AS cos
+  FROM c, a WHERE neighbor_id <> anchor_id),
+pos AS (SELECT anchor_id, MAX(cos) AS pos_cos
+        FROM scored WHERE nlabel = alabel GROUP BY 1),
+negk AS (
+  SELECT anchor_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY anchor_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored WHERE nlabel <> alabel)
+SELECT n.anchor_id, n.neighbor_id, n.rank,
+       ROUND(n.cos, 4) AS neg_sim, ROUND(p.pos_cos, 4) AS best_positive_sim,
+       CASE WHEN p.pos_cos IS NULL THEN NULL
+            ELSE (n.cos > p.pos_cos)::INT END AS is_hard
+FROM negk n LEFT JOIN pos p USING (anchor_id) WHERE n.rank <= 5
+"""
+
+
+@query(
+    "hard_negative_pairs",
+    oracle=_HARDNEG_ORACLE,
+    doc="contrastive-training pair mining (FaceNet-style): per anchor "
+    "(every 20th vector), the top-5 most-similar different-label "
+    "vectors, flagged is_hard when they outscore the anchor's best "
+    "same-label positive — broadcast anchors x corpus (corpus never "
+    "shuffles), map-side-combinable best-positive max, one per-anchor "
+    "ranking shuffle.",
+)
+def hard_negative_pairs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from renkodf_spark.operators.similarity import hard_negative_mining
+    from renkodf_spark.queries.pipeline import _emb
+
+    emb = _emb(spark, sf_dir)
+    return hard_negative_mining(emb, emb.filter(F.col("vec_id") % 20 == 0), k=5)

@@ -648,6 +648,23 @@ def main():
             }
         compact["scale"] = cs
     print(json.dumps(compact))
+    # VERDICT r8 item 1: the compact line above still carries all
+    # per-query timings and can overflow the driver's stdout capture
+    # window, truncating the LEADING keys (metric/value — the headline).
+    # The driver parses the LAST parseable JSON line, so end stdout with
+    # one ~150-byte micro-line that always fits: headline total, kernel
+    # rates, and a pointer to the committed full payload.
+    micro = {
+        "metric": payload["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": payload["sf"],
+        "n_queries": len([k for k in timings if not k.startswith("kernel_mticks")]),
+        "kernel_dense_mticks": timings["kernel_mticks_per_sec_dense"],
+        "kernel_sparse_mticks": timings["kernel_mticks_per_sec_sparse"],
+        "full_payload": "bench_full.json",
+    }
+    print(json.dumps(micro))
     spark.stop()
 
 

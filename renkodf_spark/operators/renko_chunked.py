@@ -184,6 +184,8 @@ def renko_chunked(
     staging_dir: str | None = None,
     reliable_checkpoint: bool = False,
     instrument: dict | None = None,
+    subchunk_threshold: int | None = 3_000_000,
+    subchunk_target: int = 500_000,
 ) -> DataFrame:
     """``instrument``: pass an empty dict to receive a per-phase timing
     breakdown (zero overhead when None): ``stage_write_sec`` (the one
@@ -194,7 +196,18 @@ def renko_chunked(
     Python-UDF body time and the kernel-scan share of it) — wall minus
     py/parallelism attributes the remainder to the pruned read, the
     symbol shuffle, Arrow transfer, and the checkpoint write. Added for
-    the ×100-skew variance investigation (NOTES r8)."""
+    the ×100-skew variance investigation (NOTES r8).
+
+    Skew-aware sub-chunking (VERDICT r8 item 3): a (symbol, window)
+    group with more than ``subchunk_threshold`` ticks no longer runs as
+    ONE serial task — it is split into ~``subchunk_target``-tick
+    time-contiguous sub-chunks that scan in parallel speculatively and
+    are stitched by a cheap sequential repair pass (bitwise-verified
+    convergence; see ``renko_subchunk``). Output stays bit-identical to
+    the one-shot scan in all regimes — when speculative convergence
+    can't be verified (non-dyadic brick arithmetic) the repair pass
+    degrades to the previous serial scan for that chunk. Pass
+    ``subchunk_threshold=None`` to disable."""
     if brick_size is None or brick_size <= 0:
         raise ValueError("brick_size cannot be 'None' or '<= 0'")
     spark = ticks.sparkSession
@@ -238,9 +251,16 @@ def renko_chunked(
             instrument["n_windows"] = len(windows)
         if not windows:
             return spark.createDataFrame([], WIDE_SCHEMA)
+        hot_plan = {}
+        if subchunk_threshold is not None:
+            t0 = time.perf_counter()
+            hot_plan = _hot_plan(spark, staged, subchunk_threshold, subchunk_target)
+            if instrument is not None:
+                instrument["hot_plan_sec"] = round(time.perf_counter() - t0, 3)
+                instrument["hot_pairs"] = len(hot_plan)
         return _run_windows(
             spark, staged, windows, brick_size, drop_first, reliable_checkpoint,
-            instrument=instrument,
+            instrument=instrument, hot_plan=hot_plan,
         )
     finally:
         _delete_path(spark, stage_path)
@@ -256,9 +276,102 @@ def _delete_path(spark, path: str) -> None:
     hpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(hpath, True)
 
 
+def _hot_plan(spark, staged, threshold: int, target: int) -> dict:
+    """Identify (window, symbol) groups whose tick count exceeds the
+    serial-task budget and compute their sub-chunk time boundaries plus
+    collision-free sub-chunk ids.
+
+    Three small jobs over the staged (already slim, partition-pruned)
+    copy: a count aggregation, approximate time quantiles for the hot
+    pairs only, and one tiny hash probe. Returns
+    ``{(win, symbol): {"bnds": [...micros], "ids": [...]}}`` with
+    ``len(ids) == len(bnds) + 1``; n_sub = ceil(count / max(target,
+    count // 24)), i.e. chunks of ~``target`` ticks, levelling off at
+    ~24 chunks so one group can't swamp the scheduler.
+
+    Why chosen ids: the sub-chunks are few and individually HEAVY, so
+    leaving their shuffle placement to murmur3(symbol, 0..n-1) % P
+    routinely lands several on one reducer and serializes exactly the
+    work this operator exists to parallelize (measured: 3 of 6 chunks
+    on one partition -> parallelism 1.1). The ids are arbitrary labels,
+    so we probe Spark's own hash for a set of candidate ids and pick an
+    ascending subset whose partitions are pairwise distinct per window
+    — deterministic task placement, zero collisions by construction."""
+    import math
+
+    counts = (
+        staged.groupBy("__win", "symbol")
+        .count()
+        .filter(F.col("count") > threshold)
+        .collect()
+    )
+    want = {}
+    for r in counts:
+        n_sub = min(32, math.ceil(r["count"] / max(target, r["count"] // 24)))
+        if n_sub >= 2:
+            want[(r["__win"], r["symbol"])] = n_sub
+    if not want:
+        return {}
+    hot_df = spark.createDataFrame(
+        [(w, s) for (w, s) in want], ["__win", "symbol"]
+    )
+    probs = [i / 64.0 for i in range(1, 64)]
+    rows = (
+        staged.join(F.broadcast(hot_df), ["__win", "symbol"])
+        .groupBy("__win", "symbol")
+        .agg(
+            F.percentile_approx(F.unix_micros("__time"), probs, 20000).alias("qs")
+        )
+        .collect()
+    )
+    # one probe of Spark's murmur3 per distinct hot symbol x candidate id
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    syms = sorted({s for (_, s) in want})
+    cand = spark.createDataFrame(
+        [(s, i) for s in syms for i in range(256)], ["symbol", "__sub"]
+    ).select(
+        "symbol",
+        "__sub",
+        F.pmod(F.hash("symbol", F.col("__sub").cast("long")), F.lit(n_part)).alias("p"),
+    )
+    pmap: dict = {}
+    for r in cand.collect():
+        pmap.setdefault(r["symbol"], []).append((r["__sub"], r["p"]))
+
+    plan: dict = {}
+    used_by_win: dict = {}
+    for r in rows:
+        key = (r["__win"], r["symbol"])
+        n_sub = want[key]
+        qs = r["qs"]
+        idx = sorted({round(64 * k / n_sub) - 1 for k in range(1, n_sub)})
+        bnds = sorted({int(qs[i]) for i in idx if 0 <= i < len(qs)})
+        if not bnds:
+            continue
+        used = used_by_win.setdefault(r["__win"], set())
+        ids = []
+        for i, p in pmap[r["symbol"]]:
+            if p not in used:
+                used.add(p)
+                ids.append(i)
+                if len(ids) == len(bnds) + 1:
+                    break
+        # partitions exhausted (many hot symbols x chunks in one
+        # window): pad with remaining candidates, accepting collisions
+        k = 0
+        while len(ids) < len(bnds) + 1:
+            i = pmap[r["symbol"]][k][0]
+            if i not in ids:
+                ids.append(i)
+            k += 1
+        plan[key] = {"bnds": bnds, "ids": sorted(ids)}
+    return plan
+
+
 def _run_windows(
     spark, staged, windows, brick_size: float, drop_first: bool,
     reliable: bool = False, instrument: dict | None = None,
+    hot_plan: dict | None = None,
 ) -> DataFrame:
     # worker-side phase accumulators (only wired when instrumenting —
     # the closure must not capture driver-only objects otherwise)
@@ -395,6 +508,17 @@ def _run_windows(
         )
         return pa.concat_tables([bricks, state_row])
 
+    # skew-aware sub-chunking machinery (only paid when a hot (window,
+    # symbol) pair exists — see module renko_subchunk for the design)
+    hot_plan = hot_plan or {}
+    rep_accs = None
+    if hot_plan:
+        rep_accs = {
+            "converged": spark.sparkContext.accumulator(0),
+            "fallback": spark.sparkContext.accumulator(0),
+            "repair_ticks": spark.sparkContext.accumulator(0),
+        }
+
     state_df = spark.createDataFrame([], _STATE_SCHEMA)
     chunks: list[DataFrame] = []
     if instrument is not None:
@@ -404,12 +528,8 @@ def _run_windows(
         py0 = acc_py.value if acc_py is not None else 0.0
         k0 = acc_kernel.value if acc_kernel is not None else 0.0
         wticks = staged.filter(F.col("__win") == F.lit(win)).drop("__win")
-        part = (
-            wticks.groupBy("symbol")
-            .cogroup(state_df.groupBy("symbol"))
-            .applyInArrow(run, _PACKED_SCHEMA)
-            .persist()
-        )
+        hot_syms = sorted(s for (w, s) in hot_plan if w == win)
+
         # Checkpoint materializes bricks + carry state (computing the
         # cogroup exactly once, from the persisted `part`) and severs their
         # lineage from both the cogroup and the staged files — so the
@@ -420,17 +540,30 @@ def _run_windows(
         def ck(df):
             return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
 
-        bricks = ck(
-            part.filter(F.col("__is_state") == 0).select(*WIDE_COLUMN_NAMES)
-        )
-        t_bricks = time.perf_counter()
-        state_df = ck(
-            part.filter(F.col("__is_state") == 1).select("symbol", *_STATE_COLS)
-        )
-        part.unpersist()
+        if not hot_syms:
+            part = (
+                wticks.groupBy("symbol")
+                .cogroup(state_df.groupBy("symbol"))
+                .applyInArrow(run, _PACKED_SCHEMA)
+                .persist()
+            )
+            bricks = ck(
+                part.filter(F.col("__is_state") == 0).select(*WIDE_COLUMN_NAMES)
+            )
+            t_bricks = time.perf_counter()
+            state_df = ck(
+                part.filter(F.col("__is_state") == 1).select("symbol", *_STATE_COLS)
+            )
+            part.unpersist()
+            hot_stats = None
+        else:
+            bricks, state_df, t_bricks, hot_stats = _run_hot_window(
+                spark, wticks, state_df, win, hot_syms, hot_plan, brick_size,
+                drop_first, run, rep_accs, acc_py, acc_kernel, ck,
+            )
         chunks.append(bricks)
         if instrument is not None:
-            instrument["windows"].append({
+            entry = {
                 "win": int(win),
                 # cogroup + bricks-checkpoint job (read, shuffle, Arrow,
                 # Python, write) vs the cheap state re-filter job
@@ -441,9 +574,179 @@ def _run_windows(
                 # wall×parallelism is shuffle/Arrow/IO/scheduling
                 "py_sec": round(acc_py.value - py0, 3),
                 "kernel_sec": round(acc_kernel.value - k0, 3),
-            })
+            }
+            if hot_stats is not None:
+                entry["hot"] = hot_stats
+            instrument["windows"].append(entry)
 
     out = chunks[0]
     for c in chunks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def _states_as_sub(state_df: DataFrame) -> DataFrame:
+    """Carry-state rows reshaped into the sub-chunk passes' shared
+    output schema (KIND_STATE rows, everything else typed null) so they
+    can ride the same cogroup side as the spec summaries."""
+    from renkodf_spark.operators.renko_subchunk import KIND_STATE, SUB_SCHEMA
+
+    cols = []
+    for f in SUB_SCHEMA.fields:
+        if f.name == "symbol":
+            cols.append(F.col("symbol"))
+        elif f.name == "__row_kind":
+            cols.append(F.lit(KIND_STATE).cast("int").alias("__row_kind"))
+        elif f.name in _STATE_COLS:
+            cols.append(F.col(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return state_df.select(*cols)
+
+
+def _run_hot_window(
+    spark, wticks, state_df, win, hot_syms, hot_plan, brick_size,
+    drop_first, run, rep_accs, acc_py, acc_kernel, ck,
+):
+    """One window with sub-chunked hot symbols: the normal cogroup runs
+    unchanged for everyone else; hot symbols take the three-step
+    spec-scan / sequential-repair / declarative-splice path (design and
+    bit-exactness argument in operators/renko_subchunk.py). Everything
+    is assembled lazily and materialized by the same two checkpoints as
+    the normal path, so staging cleanup semantics are unchanged.
+
+    The spec inputs are explicitly repartitioned on the chosen
+    (symbol, chunk-id) keys: the ids were picked so each chunk owns its
+    own reducer (see _hot_plan) — an explicit N also keeps AQE from
+    coalescing this deliberately wide, bytes-small/CPU-heavy exchange."""
+    from renkodf_spark.operators.renko_subchunk import (
+        KIND_BRICK,
+        KIND_DECISION,
+        KIND_STATE,
+        KIND_SUMMARY,
+        SUB_SCHEMA,
+        make_repair_runner,
+        make_spec_runner,
+    )
+
+    plans_by_sym = {s: hot_plan[(win, s)] for s in hot_syms}
+    first_ids = {s: int(p["ids"][0]) for s, p in plans_by_sym.items()}
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    is_hot = F.col("symbol").isin(hot_syms)
+    conv0 = rep_accs["converged"].value
+    fb0 = rep_accs["fallback"].value
+    rt0 = rep_accs["repair_ticks"].value
+
+    part = (
+        wticks.filter(~is_hot)
+        .groupBy("symbol")
+        .cogroup(state_df.filter(~is_hot).groupBy("symbol"))
+        .applyInArrow(run, _PACKED_SCHEMA)
+        .persist()
+    )
+
+    hot_ticks = wticks.filter(is_hot)
+    hot_state = state_df.filter(is_hot)
+
+    # __sub = ids[count(boundaries <= t)]: ticks with equal timestamps
+    # land in the same chunk, so chunk order == the stable
+    # (__time, __seq) scan order. The repair task re-derives the
+    # identical cuts with searchsorted on the same boundary values.
+    sub_expr = F.lit(0).cast("long")
+    state_sub_expr = F.lit(0).cast("long")
+    for s, p in plans_by_sym.items():
+        bnd_arr = F.array(*[F.lit(int(b)).cast("long") for b in p["bnds"]])
+        id_arr = F.array(*[F.lit(int(i)).cast("long") for i in p["ids"]])
+        cnt = F.size(F.filter(bnd_arr, lambda b: F.unix_micros(F.col("__time")) >= b))
+        sym_match = F.col("symbol") == F.lit(s)
+        sub_expr = F.when(sym_match, F.element_at(id_arr, cnt + F.lit(1))).otherwise(sub_expr)
+        state_sub_expr = F.when(sym_match, F.lit(first_ids[s]).cast("long")).otherwise(
+            state_sub_expr
+        )
+
+    spec_run = make_spec_runner(brick_size, drop_first, first_ids, acc_py, acc_kernel)
+    spec = (
+        hot_ticks.withColumn("__sub", sub_expr)
+        .repartition(n_part, "symbol", "__sub")
+        .groupBy("symbol", "__sub")
+        .cogroup(
+            hot_state.withColumn("__sub", state_sub_expr)
+            .repartition(n_part, "symbol", "__sub")
+            .groupBy("symbol", "__sub")
+        )
+        .applyInArrow(spec_run, SUB_SCHEMA)
+        .persist()
+    )
+
+    side2 = spec.filter(F.col("__row_kind") == KIND_SUMMARY).unionByName(
+        _states_as_sub(hot_state)
+    )
+    repair_run = make_repair_runner(
+        brick_size,
+        drop_first,
+        plans_by_sym,
+        acc_py=acc_py,
+        acc_kernel=acc_kernel,
+        acc_converged=rep_accs["converged"],
+        acc_fallback=rep_accs["fallback"],
+        acc_repair_ticks=rep_accs["repair_ticks"],
+    )
+    rep = (
+        hot_ticks.groupBy("symbol")
+        .cogroup(side2.groupBy("symbol"))
+        .applyInArrow(repair_run, SUB_SCHEMA)
+        .persist()
+    )
+
+    decisions = rep.filter(F.col("__row_kind") == KIND_DECISION).select(
+        "symbol", "__sub", "__keep_from", "__seq_base", "__tick_shift"
+    )
+    shifted = [
+        (F.col(c) + F.col("__tick_shift")).alias(c)
+        if c in ("tick_index_open", "tick_index_close")
+        else F.col(c)
+        for c in WIDE_VALUE_COLUMNS
+    ]
+    spec_kept = (
+        spec.filter(F.col("__row_kind") == KIND_BRICK)
+        .select("__sub", *WIDE_COLUMN_NAMES)
+        .join(F.broadcast(decisions), ["symbol", "__sub"])
+        .filter(F.col("brick_seq") >= F.col("__keep_from"))
+        .select(
+            F.col("symbol"),
+            (F.col("brick_seq") - F.col("__keep_from") + F.col("__seq_base")).alias(
+                "brick_seq"
+            ),
+            F.col("event_time"),
+            *shifted,
+        )
+        .select(*WIDE_COLUMN_NAMES)
+    )
+
+    bricks = ck(
+        part.filter(F.col("__is_state") == 0)
+        .select(*WIDE_COLUMN_NAMES)
+        .unionByName(
+            rep.filter(F.col("__row_kind") == KIND_BRICK).select(*WIDE_COLUMN_NAMES)
+        )
+        .unionByName(spec_kept)
+    )
+    t_bricks = time.perf_counter()
+    new_state = ck(
+        part.filter(F.col("__is_state") == 1)
+        .select("symbol", *_STATE_COLS)
+        .unionByName(
+            rep.filter(F.col("__row_kind") == KIND_STATE).select("symbol", *_STATE_COLS)
+        )
+    )
+    part.unpersist()
+    spec.unpersist()
+    rep.unpersist()
+    hot_stats = {
+        "symbols": len(hot_syms),
+        "chunks": sum(len(p["ids"]) for p in plans_by_sym.values()),
+        "converged": rep_accs["converged"].value - conv0,
+        "fallback": rep_accs["fallback"].value - fb0,
+        "repair_ticks": rep_accs["repair_ticks"].value - rt0,
+    }
+    return bricks, new_state, t_bricks, hot_stats

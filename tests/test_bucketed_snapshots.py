@@ -190,3 +190,74 @@ def test_bucketed_funnel_matches_legacy(spark, tmp_path):
         map(tuple, read_current_state(spark, bucketed + "/state").collect())
     )
     assert got == want and len(want) == 2
+
+
+def test_vacuum_bounds_generations_on_hot_bucket(spark, tmp_path):
+    """VERDICT r8 item 4: N triggers on one hot bucket must leave
+    O(keep_last) generation directories, not O(N) — while a bucket
+    whose current generation is ancient (cold since trigger 0) keeps
+    its directory because the latest manifest still references it."""
+    from renkodf_spark.streaming.merge_stream import merge_writer, read_current_state
+
+    state = str(tmp_path / "state")
+    writer = merge_writer(state, keys=["k"], delete_col="del", n_key_buckets=2)
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k long, v string, del boolean")
+
+    # pick two keys in different buckets so the cold bucket exists
+    from renkodf_spark.streaming.merge_stream import _bucket_expr
+
+    probe = spark.createDataFrame([(k,) for k in range(1, 20)], "k long").withColumn(
+        "kb", _bucket_expr(["k"], 2)
+    )
+    by_kb = {r["kb"]: r["k"] for r in probe.collect()}
+    hot_k, cold_k = by_kb[0], by_kb[1]
+
+    writer(df([(hot_k, "h0", False), (cold_k, "c0", False)]), 0)
+    for i in range(1, 8):
+        writer(df([(hot_k, f"h{i}", False)]), i)
+
+    gens = sorted(
+        int(d.split("=")[1]) for d in os.listdir(state) if d.startswith("gen=")
+    )
+    # referenced: cold bucket -> gen 0, hot bucket -> gens {5,6,7} via
+    # the last keep_last=3 manifests; gens 1-4 are superseded and gone
+    assert gens == [0, 5, 6, 7], gens
+    mans = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(os.path.join(state, "_manifest"))
+        if d.startswith("batch_id=")
+    )
+    assert mans == [5, 6, 7], mans
+    cur = {
+        tuple(r)
+        for r in read_current_state(spark, state).select("k", "v").collect()
+    }
+    assert cur == {(hot_k, "h7"), (cold_k, "c0")}
+
+    # replay of the LAST batch after vacuum (at-least-once): reads
+    # manifest 6 + its referenced generations, all retained
+    writer(df([(hot_k, "h7", False)]), 7)
+    cur2 = {
+        tuple(r)
+        for r in read_current_state(spark, state).select("k", "v").collect()
+    }
+    assert cur2 == cur
+
+
+def test_vacuum_disabled_keeps_all_generations(spark, tmp_path):
+    from renkodf_spark.streaming.merge_stream import merge_writer
+
+    state = str(tmp_path / "state")
+    writer = merge_writer(
+        state, keys=["k"], delete_col="del", n_key_buckets=1, vacuum_keep=None
+    )
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k long, v string, del boolean")
+
+    for i in range(6):
+        writer(df([(1, f"v{i}", False)]), i)
+    gens = [d for d in os.listdir(state) if d.startswith("gen=")]
+    assert len(gens) == 6

@@ -205,6 +205,7 @@ def _probe_cells(
     vec_col: str,
     n_probe: int,
     round_digits: int,
+    carry: tuple = (),
 ) -> DataFrame:
     """Route each vector to its ``n_probe`` nearest centroid cells.
     Returns ``(id, vec, cell, cell_cos, probe_rank)`` — one row per
@@ -238,13 +239,18 @@ def _probe_cells(
             ),
         )
     )
+    extra = [F.col(c) for c in carry]
     return (
-        df.select(F.col(id_col).alias("id"), v.alias("vec"))
+        df.select(F.col(id_col).alias("id"), v.alias("vec"), *extra)
         .crossJoin(F.broadcast(cents_row))
-        .select("id", "vec", F.posexplode(F.slice(ranked, 1, n_probe)).alias("__p", "__probe"))
+        .select(
+            "id", "vec", *carry,
+            F.posexplode(F.slice(ranked, 1, n_probe)).alias("__p", "__probe"),
+        )
         .select(
             "id",
             "vec",
+            *carry,
             F.col("__probe.cell").alias("cell"),
             # 0.0 - x again, not unary minus: negating a +0.0 negcos
             # would emit -0.0 and break min/max exports cross-engine
@@ -776,6 +782,93 @@ def hard_negative_mining(
     w = Window.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     negk = (
         scored.filter(F.col("__nlabel") != F.col("__alabel"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    return negk.join(F.broadcast(pos), "anchor_id", "left").select(
+        "anchor_id",
+        "neighbor_id",
+        "rank",
+        F.round("cos", round_digits).alias("neg_sim"),
+        F.round("__pos", round_digits).alias("best_positive_sim"),
+        F.when(F.col("__pos").isNull(), F.lit(None).cast("int"))
+        .otherwise((F.col("cos") > F.col("__pos")).cast("int"))
+        .alias("is_hard"),
+    )
+
+
+def hard_negative_mining_ann(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    n_probe: int = 2,
+    round_digits: int = 4,
+) -> DataFrame:
+    """:func:`hard_negative_mining` with an IVF recall stage in front
+    of the exact cosine rerank — the DPR/SimCSE production shape
+    (Karpukhin et al. 2020 mine negatives from an ANN index, not by
+    brute force). The exact miner's compute is O(|anchors| x |corpus|);
+    here each corpus vector is scored only against the anchors probing
+    ITS cell, so compute is the probed corpus fraction and mining
+    scales to unbounded anchor sets. Recall < 1 by construction (a
+    negative outside every probed cell is missed) and rises with
+    ``n_probe`` — same dial as :func:`ivf_topk`.
+
+    Semantics within the candidate pool are identical to the exact
+    miner: per anchor the top-``k`` different-label candidates, flagged
+    ``is_hard = 1`` when they outscore the anchor's best same-label
+    CANDIDATE (the best-positive, like the negatives, is mined from the
+    probed cells — ``is_hard`` is NULL when no positive candidate
+    exists there).
+
+    Scale shape: two narrow routing passes over broadcast centroid rows
+    (zero shuffle — :func:`_probe_cells`), then a broadcast-hash join
+    of the |anchors| x n_probe probe rows onto the cell-routed corpus —
+    the corpus NEVER shuffles (plan-pinned in tests/test_plans.py); the
+    only exchanges after the scan are the per-anchor top-k ranking and
+    the map-side-combinable best-positive max, both over candidate
+    pairs, never vectors x vectors.
+    """
+    from pyspark.sql.window import Window
+
+    cc = _probe_cells(
+        corpus, centroids, id_col=id_col, vec_col=vec_col, n_probe=1,
+        round_digits=6, carry=(label_col,),
+    ).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("cvec"),
+        F.col(label_col).alias("__nlabel"),
+        "cell",
+    )
+    qc = _probe_cells(
+        anchors, centroids, id_col=id_col, vec_col=vec_col, n_probe=n_probe,
+        round_digits=6, carry=(label_col,),
+    ).select(
+        F.col("id").alias("anchor_id"),
+        F.col("vec").alias("avec"),
+        F.col(label_col).alias("__alabel"),
+        "cell",
+    )
+    # each corpus vector lives in exactly one cell and an anchor's
+    # probed cells are distinct, so no (anchor, neighbor) pair repeats
+    cand = (
+        cc.join(F.broadcast(qc), "cell")
+        .filter(F.col("neighbor_id") != F.col("anchor_id"))
+        .withColumn("cos", cosine(F.col("avec"), F.col("cvec")))
+    )
+    pos = (
+        cand.filter(F.col("__nlabel") == F.col("__alabel"))
+        .groupBy("anchor_id")
+        .agg(F.max("cos").alias("__pos"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    negk = (
+        cand.filter(F.col("__nlabel") != F.col("__alabel"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

@@ -35,7 +35,9 @@ from renkodf_spark.queries import pipeline6  # noqa: F401
 # full-registry sweep so freshness never depends on the window at all.
 # Names not listed keep their module registration order after these.
 _PRIORITY = [
-    # -- new in round 8: distributed BPE training (never had a gate row)
+    # -- new in round 9 (never had a gate row)
+    "hard_negative_pairs_ann",
+    # -- new in round 8: distributed BPE training (gate rows green r8)
     "bpe_merges_learned",
     "bpe_encoded_docs",
     "hard_negative_pairs",

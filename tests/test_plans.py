@@ -286,3 +286,19 @@ def test_vocab_encode_shuffles_only_integer_triples(spark, sf_dir):
     df = encode_with_vocab(docs, vocab)
     for cols in shuffle_inputs(df):
         assert not {"term", "text"} & set(cols), f"text enters a shuffle: {cols}"
+
+
+def test_hard_negative_ann_corpus_never_shuffles(spark, sf_dir):
+    """ANN-backed mining (VERDICT r8 item 5): the IVF recall stage must
+    keep the corpus stationary — probe rows broadcast onto the
+    cell-routed scan, and no exchange input may carry a corpus vector
+    (the rank shuffle holds only (anchor_id, neighbor_id, cos); the
+    anchors' own vectors broadcast, which is the bounded side)."""
+    from renkodf_spark.plans import exchange_inputs
+
+    df = q.queries()["hard_negative_pairs_ann"](spark, sf_dir)
+    plan = _executed(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    for cols in exchange_inputs(df):
+        assert "cvec" not in cols and "embedding" not in cols, cols

@@ -31,3 +31,63 @@ def test_hard_negative_mining_flags(spark):
     assert all(
         v["is_hard"] is None for kv, v in out.items() if kv[0] == 10
     ) and any(kv[0] == 10 for kv in out)
+
+
+def test_hard_negative_ann_equals_exact_when_probing_all_cells(spark, sf_dir):
+    """With n_probe >= #cells every anchor probes every cell, the
+    candidate pool is the full corpus, and the ANN miner must reproduce
+    the exact miner row-for-row — pinning that the recall stage is the
+    ONLY approximation."""
+    from pyspark.sql import functions as F
+
+    from renkodf_spark.operators.similarity import (
+        embedding_centroids,
+        hard_negative_mining,
+        hard_negative_mining_ann,
+    )
+    from renkodf_spark.queries.pipeline import _emb
+
+    emb = _emb(spark, sf_dir)
+    cents = embedding_centroids(emb, dim=64).cache()
+    n_cells = cents.count()
+    anchors = emb.filter(F.col("vec_id") % 40 == 0)
+    cols = ["anchor_id", "neighbor_id", "rank", "neg_sim", "best_positive_sim", "is_hard"]
+    exact = {tuple(r) for r in hard_negative_mining(emb, anchors, k=5).collect()}
+    ann = {
+        tuple(r)
+        for r in hard_negative_mining_ann(
+            emb, anchors, cents, k=5, n_probe=n_cells
+        ).collect()
+    }
+    assert exact == ann and len(exact) > 0
+
+
+def test_hard_negative_ann_recall_rises_with_probes(spark, sf_dir):
+    """The recall dial: mined-negative overlap with the exact miner
+    must be non-decreasing in n_probe (and substantial even at 1)."""
+    from pyspark.sql import functions as F
+
+    from renkodf_spark.operators.similarity import (
+        embedding_centroids,
+        hard_negative_mining,
+        hard_negative_mining_ann,
+    )
+    from renkodf_spark.queries.pipeline import _emb
+
+    emb = _emb(spark, sf_dir).cache()
+    cents = embedding_centroids(emb, dim=64).cache()
+    anchors = emb.filter(F.col("vec_id") % 40 == 0)
+    exact = {
+        (r["anchor_id"], r["neighbor_id"])
+        for r in hard_negative_mining(emb, anchors, k=5).collect()
+    }
+    rec = []
+    for p in (1, 3):
+        got = {
+            (r["anchor_id"], r["neighbor_id"])
+            for r in hard_negative_mining_ann(
+                emb, anchors, cents, k=5, n_probe=p
+            ).collect()
+        }
+        rec.append(len(got & exact) / len(exact))
+    assert rec[0] > 0.1 and rec[1] > rec[0], rec

@@ -37,6 +37,7 @@ from renkodf_spark.queries import pipeline6  # noqa: F401
 _PRIORITY = [
     # -- new in round 9 (never had a gate row)
     "hard_negative_pairs_ann",
+    "bpe_merges_batched",
     # -- new in round 8: distributed BPE training (gate rows green r8)
     "bpe_merges_learned",
     "bpe_encoded_docs",

@@ -75,3 +75,49 @@ def test_bpe_encode_is_zero_shuffle(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert_jvm_only(df, "bpe_encode")
+
+
+def test_bpe_batched_is_sequential_prefix_on_corpus(spark, sf_dir):
+    """Batched election (VERDICT r8 item 6): symbol-disjoint prefix
+    batching never reorders or invents rules relative to sequential
+    election on this corpus — the batched output IS a prefix of the
+    sequential rules (conflicts cut rounds short rather than diverge),
+    and batch_m=1 reproduces sequential exactly."""
+    from renkodf_spark.operators.text import bpe_merges
+    from renkodf_spark.queries.pipeline import _docs
+
+    docs = _docs(spark, sf_dir)
+    seq = [tuple(r) for r in bpe_merges(docs, k=8).collect()]
+    for m in (1, 4):
+        got = [tuple(r) for r in bpe_merges(docs, k=8, batch_m=m).collect()]
+        assert got == seq[: len(got)], (m, got, seq)
+        assert len(got) >= 8 // (2 if m > 1 else 1) // 2  # batches make progress
+    assert [tuple(r) for r in bpe_merges(docs, k=8, batch_m=1).collect()] == seq
+
+
+def test_bpe_batched_equals_sequential_when_compatible(spark):
+    """A corpus whose top pairs are pairwise symbol-disjoint: every
+    batch fills, and batched election equals sequential election rule
+    for rule — the 'proven identical when compatible' pin."""
+    import pandas as pd
+
+    from renkodf_spark.operators.text import bpe_merges
+
+    # four disjoint digrams with strictly descending counts
+    docs = []
+    for i, (w, n) in enumerate([("ab", 50), ("cd", 40), ("ef", 30), ("gh", 20)]):
+        docs.extend((i * 1000 + j, w) for j in range(n))
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    df = spark.createDataFrame(pdf)
+    seq = [tuple(r) for r in bpe_merges(df, k=4).collect()]
+    b4 = [tuple(r) for r in bpe_merges(df, k=4, batch_m=4).collect()]
+    assert len(seq) == 4 and b4 == seq, (b4, seq)
+
+
+def test_bpe_batched_validates_args(spark):
+    import pytest
+
+    from renkodf_spark.operators.text import bpe_merges
+
+    with pytest.raises(ValueError, match="batch_m"):
+        bpe_merges(spark.range(1).selectExpr("'x' as text"), k=4, batch_m=0)

@@ -457,6 +457,61 @@ def scale_block(spark, rep: int) -> dict:
         cc["skew_renko_chunked_sec"] = min(s["sec"] for s in cc["samples"])
         for label in ("prefilter_sec", "full_window_sec"):
             q[label] = min(q["samples"][label])
+
+        # Sub-chunking head-to-head (VERDICT r8 item 3): the x100 HOT
+        # symbol above is duplicate-heavy (hash-selected events repeat
+        # identically across reps) so its serial scan is cheap and the
+        # default 3M-tick threshold rightly leaves it alone. The serial
+        # floor the sub-chunk operator exists for is a hot symbol of
+        # UNIQUE dense ticks — built here deterministically in-Spark
+        # (2-decimal exponential prices via inverse-CDF of a hash
+        # uniform, every tick moving multiple 5.0-bricks), one window,
+        # measured serial (subchunk_threshold=None) vs speculative
+        # sub-chunks, interleaved min-of-2 like every scale entry.
+        wait_for_quiet("subchunk")
+        n_hot = int(os.environ.get("SPARK_GRAFT_SUBCHUNK_TICKS", "1500000"))
+        u = (F.pmod(F.xxhash64(F.col("id")), F.lit(1_000_000)) + 0.5) / 1_000_000.0
+        hot_ticks = spark.range(n_hot).select(
+            F.lit("HOT").alias("symbol"),
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(secs=F.col("id") * 0.05)
+            ).alias("event_time"),
+            F.round(-50.0 * F.log(1.0 - u), 2).alias("close"),
+        )
+        cool_ticks = spark.range(n_hot // 10).select(
+            F.concat(F.lit("S"), F.pmod(F.col("id"), F.lit(50))).alias("symbol"),
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(secs=F.col("id") * 0.5)
+            ).alias("event_time"),
+            F.round(
+                -50.0 * F.log(1.0 - (F.pmod(F.xxhash64(F.col("id") + 7), F.lit(1_000_000)) + 0.5) / 1_000_000.0),
+                2,
+            ).alias("close"),
+        )
+        sticks = hot_ticks.unionByName(cool_ticks)
+        sb = cc["subchunk"] = {"hot_ticks": n_hot, "samples": {}}
+        for _pass in range(2):
+            for label, thr in (("chunked_sec", 1_000_000), ("serial_sec", None)):
+                spark.catalog.clearCache()
+                inst: dict = {}
+                t0 = time.perf_counter()
+                rows = materialize(
+                    renko_chunked(
+                        sticks, 5.0, window="30 days", instrument=inst,
+                        subchunk_threshold=thr, subchunk_target=300_000,
+                    )
+                )
+                sb["samples"].setdefault(label, []).append(
+                    round(time.perf_counter() - t0, 3)
+                )
+                sb["bricks"] = rows
+                if thr is not None and inst.get("windows"):
+                    sb["hot_stats"] = inst["windows"][0].get("hot")
+        for label in ("chunked_sec", "serial_sec"):
+            sb[label] = min(sb["samples"][label])
+        sb["speedup"] = round(sb["serial_sec"] / max(sb["chunked_sec"], 1e-9), 2)
     return out
 
 
@@ -644,6 +699,11 @@ def main():
                     k: curve["quota_skew"][k]
                     for k in ("docs_rows", "prefilter_sec", "full_window_sec")
                     if k in curve.get("quota_skew", {})
+                },
+                "subchunk": {
+                    k: curve["subchunk"][k]
+                    for k in ("hot_ticks", "bricks", "serial_sec", "chunked_sec", "speedup")
+                    if k in curve.get("subchunk", {})
                 },
             }
         compact["scale"] = cs

@@ -49,6 +49,19 @@ Reference parity: the stitch is the same warm-start handoff the
 reference proves in test_ws_ext.py:39-58, except the *entire* scalar
 state crosses the splice, so there is no one-bar wick/volume
 discrepancy to forgive.
+
+Memory bound (VERDICT r9 item 7): a SPEC task holds one sub-chunk —
+O(``subchunk_target``) ticks — but a REPAIR task receives the hot
+symbol's ENTIRE window group (it is the built-in exact fallback, so it
+must be able to scan to any chunk's end), i.e. per-repair-task input =
+O(ticks of that symbol in that window) as Arrow columns (~16 B/tick)
+plus the emitted-brick buffers. Size the chunking window so the
+hottest symbol's per-window tick count fits one executor's task
+memory: at the default 500k-tick sub-chunks, a 1 GiB task budget
+comfortably covers ~30 M hot-symbol ticks per window; if one symbol
+exceeds that, shrink ``window`` (more windows, state carried across
+them by renko_chunked) rather than ``subchunk_target``, which only
+changes spec-task granularity, not the repair bound.
 """
 
 from __future__ import annotations

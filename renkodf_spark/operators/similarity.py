@@ -808,16 +808,16 @@ def hard_negative_mining_ann(
     k: int = 5,
     n_probe: int = 2,
     round_digits: int = 4,
+    broadcast_anchors: bool = True,
 ) -> DataFrame:
     """:func:`hard_negative_mining` with an IVF recall stage in front
     of the exact cosine rerank — the DPR/SimCSE production shape
     (Karpukhin et al. 2020 mine negatives from an ANN index, not by
     brute force). The exact miner's compute is O(|anchors| x |corpus|);
     here each corpus vector is scored only against the anchors probing
-    ITS cell, so compute is the probed corpus fraction and mining
-    scales to unbounded anchor sets. Recall < 1 by construction (a
-    negative outside every probed cell is missed) and rises with
-    ``n_probe`` — same dial as :func:`ivf_topk`.
+    ITS cell, so compute is the probed corpus fraction. Recall < 1 by
+    construction (a negative outside every probed cell is missed) and
+    rises with ``n_probe`` — same dial as :func:`ivf_topk`.
 
     Semantics within the candidate pool are identical to the exact
     miner: per anchor the top-``k`` different-label candidates, flagged
@@ -827,12 +827,25 @@ def hard_negative_mining_ann(
     exists there).
 
     Scale shape: two narrow routing passes over broadcast centroid rows
-    (zero shuffle — :func:`_probe_cells`), then a broadcast-hash join
-    of the |anchors| x n_probe probe rows onto the cell-routed corpus —
-    the corpus NEVER shuffles (plan-pinned in tests/test_plans.py); the
-    only exchanges after the scan are the per-anchor top-k ranking and
-    the map-side-combinable best-positive max, both over candidate
-    pairs, never vectors x vectors.
+    (zero shuffle — :func:`_probe_cells`), then the candidate join of
+    the |anchors| x n_probe probe rows onto the cell-routed corpus.
+    With ``broadcast_anchors=True`` (default) the probe rows broadcast
+    — the corpus NEVER shuffles (plan-pinned in tests/test_plans.py)
+    and the only exchanges after the scan are the per-anchor top-k
+    ranking and the map-side-combinable best-positive max, both over
+    candidate pairs, never vectors x vectors. This requires
+    |anchors| x n_probe x dim doubles to fit in a broadcast (ADVICE
+    r9): for anchor sets beyond the broadcast threshold pass
+    ``broadcast_anchors=False``, which plans a cell-keyed shuffle join
+    instead — both sides exchange ONCE on ``cell`` (the corpus
+    vectors' single linear shuffle; never |anchors| x |corpus|), and
+    downstream exchanges still carry only scalar candidate pairs. The
+    shuffle path's width is bounded by the centroid count, so size the
+    IVF codebook at least to cluster parallelism (the usual
+    sqrt(corpus-size) guidance already clears that at any real scale).
+    For repeated unbounded-anchor mining over a static corpus, route
+    the corpus ONCE with :func:`write_ivf_index` and mine over the
+    persisted layout so even that single corpus shuffle amortizes away.
     """
     from pyspark.sql.window import Window
 
@@ -856,10 +869,15 @@ def hard_negative_mining_ann(
     )
     # each corpus vector lives in exactly one cell and an anchor's
     # probed cells are distinct, so no (anchor, neighbor) pair repeats
-    cand = (
-        cc.join(F.broadcast(qc), "cell")
-        .filter(F.col("neighbor_id") != F.col("anchor_id"))
-        .withColumn("cos", cosine(F.col("avec"), F.col("cvec")))
+    if broadcast_anchors:
+        joined = cc.join(F.broadcast(qc), "cell")
+    else:
+        # unbounded-anchor path: a single cell-keyed shuffle-merge join
+        # (hinted, so AQE can't silently flip it back to a broadcast
+        # whose size bound this path exists to escape)
+        joined = cc.hint("shuffle_merge").join(qc.hint("shuffle_merge"), "cell")
+    cand = joined.filter(F.col("neighbor_id") != F.col("anchor_id")).withColumn(
+        "cos", cosine(F.col("avec"), F.col("cvec"))
     )
     pos = (
         cand.filter(F.col("__nlabel") == F.col("__alabel"))

@@ -589,6 +589,8 @@ def bpe_merges(
     k: int = 8,
     text_col: str = "text",
     batch_m: int = 1,
+    fill: bool = False,
+    instrument: dict | None = None,
 ) -> DataFrame:
     """Byte-pair-encoding tokenizer TRAINING (Sennrich et al. 2016,
     "Neural Machine Translation of Rare Words with Subword Units"):
@@ -636,6 +638,26 @@ def bpe_merges(
     stages) and may therefore return fewer than ``k`` rules when
     conflicts cut batches short; ``batch_m=1`` reproduces sequential
     election exactly, round for round.
+
+    ``fill=True`` (VERDICT r9 item 5 — batching at realistic vocab
+    scale): keep electing rounds until ``k`` rules are learned (or the
+    corpus runs out of repeated pairs) instead of stopping at the fixed
+    ``ceil(k / batch_m)`` round budget, so the caller gets the full
+    vocabulary in ``~k / avg-accepted-per-round`` driver rounds rather
+    than ``k``. Election semantics are unchanged: a fixed-round run's
+    output is a PREFIX of the same-``batch_m`` fill run's output.
+    Relative to sequential election the batched list can diverge, and
+    ONLY via the mechanism documented above — measured at k=64 on the
+    test corpus the first 14 rules match sequential exactly and the
+    divergence point is a created-pair overtake (sequential's next pick
+    is built from a symbol the batch had just merged); the k=64 test
+    pins that shape, and the oracled ``bpe_merges_batched`` gate query
+    pins batched election itself bit-for-bit. This is the production
+    shape: at cluster scale each round is a fixed number of jobs whose
+    latency is dominated by scheduling round-trips, so merges-per-round
+    is the throughput dial; measured in ``bench.py``'s ``bpe_scale``
+    section. The round count is data-dependent, so ``fill=True`` has no
+    fixed-depth SQL unroll — it is test-pinned, not DuckDB-oracled.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
@@ -652,7 +674,9 @@ def bpe_merges(
     spark = df.sparkSession
     rules = []
     n_rounds = -(-k // batch_m)
-    for _round in range(n_rounds):
+    _round = 0
+    while len(rules) < k and (fill or _round < n_rounds):
+        _round += 1
         m = min(batch_m, k - len(rules))
         pairs = words.select(
             "cnt",
@@ -696,6 +720,9 @@ def bpe_merges(
             col = _bpe_apply_merge(col, a, b)
         words = words.select("cnt", col.alias("syms")).localCheckpoint(eager=False)
 
+    if instrument is not None:
+        instrument["rounds"] = _round
+        instrument["rules"] = len(rules)
     return spark.createDataFrame(
         rules,
         "merge_rank int, left string, right string, merged string, pair_count long",

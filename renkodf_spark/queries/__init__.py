@@ -31,11 +31,18 @@ from renkodf_spark.queries import pipeline6  # noqa: F401
 # r2, applied every round): queries that never had a gate row, plus
 # queries whose operator or oracle changed this round, come first; the
 # queries rotated out all have green rows in the immediately-previous
-# round, and SWEEP_r{N}.json (committed since r5) carries a same-round
-# full-registry sweep so freshness never depends on the window at all.
+# round. Full-registry freshness comes from the committed sweep
+# artifact: `scripts/sweep.sh <round>` replays every registered query
+# against its oracle at sf0.001 AND sf0.01 and writes
+# SWEEP_r{N}_{sf}.json (committed for r5, r7, and r10 onward — r6, r8
+# and r9 relied on the judge's own sweep; the script makes the step
+# mechanical so the artifact no longer depends on habit).
 # Names not listed keep their module registration order after these.
 _PRIORITY = [
-    # -- new in round 9 (never had a gate row)
+    # -- new in round 10 (never had a gate row)
+    "renko_subchunked_wide",
+    "hard_negative_pairs_ann_shuffle",
+    # -- new in round 9 (gate rows green r9)
     "hard_negative_pairs_ann",
     "bpe_merges_batched",
     # -- new in round 8: distributed BPE training (gate rows green r8)

@@ -249,6 +249,32 @@ def hard_negative_pairs_ann(spark, sf_dir):
     )
 
 
+@query(
+    "hard_negative_pairs_ann_shuffle",
+    oracle=_HARDNEG_ANN_ORACLE,
+    doc="the unbounded-anchor variant of hard_negative_pairs_ann "
+    "(VERDICT r9 item 6 / ADVICE r9): broadcast_anchors=False plans a "
+    "cell-keyed shuffle-merge join instead of broadcasting the probe "
+    "rows, for anchor sets that exceed the broadcast bound — one "
+    "linear exchange on cell, never |anchors| x |corpus|. Same oracle "
+    "as the broadcast path: the join strategy must not change a bit "
+    "of the output.",
+)
+def hard_negative_pairs_ann_shuffle(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from renkodf_spark.operators import similarity
+    from renkodf_spark.operators.similarity import hard_negative_mining_ann
+    from renkodf_spark.queries.pipeline import _emb
+
+    emb = _emb(spark, sf_dir)
+    cents = similarity.embedding_centroids(emb, dim=64)
+    return hard_negative_mining_ann(
+        emb, emb.filter(F.col("vec_id") % 20 == 0), cents, k=5, n_probe=2,
+        broadcast_anchors=False,
+    )
+
+
 # ------------------------------------------------ batched BPE election
 
 def _bpe_batched_oracle(k: int, m: int) -> str:

@@ -256,6 +256,44 @@ def renko_chunked_wide(spark, sf_dir):
 
 
 @query(
+    "renko_subchunked_wide",
+    oracle=build_renko_oracle_sql(_ORACLE_BRICK, _TICKS_SQL),
+    doc="skew-aware sub-chunked Renko (VERDICT r9 item 2): the same wide "
+    "brick table, but every hot (window, symbol) group runs through the "
+    "speculative sub-chunk splice path (renko_subchunk.py) — thresholds "
+    "are set low enough that the hot path fires at every gate SF, and "
+    "the builder ASSERTS it did (hot pairs > 0, bitwise convergences > "
+    "0, zero serial fallbacks in this exact-arithmetic regime), so a "
+    "green hash row proves the speculative splice against the one-shot "
+    "DuckDB fold replay, not just against renko() in pytest.",
+)
+def renko_subchunked_wide(spark, sf_dir):
+    from renkodf_spark.operators.renko_chunked import renko_chunked
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    inst: dict = {}
+    # renko_chunked drives its window loop eagerly, so `inst` is fully
+    # populated when it returns and the gate assertions below run before
+    # the driver ever compares hashes.
+    out = renko_chunked(
+        ticks_from_events(spark, sf_dir),
+        _ORACLE_BRICK,
+        window="30 days",
+        subchunk_threshold=100,
+        subchunk_target=60,
+        instrument=inst,
+    )
+    hot = [w["hot"] for w in inst.get("windows", []) if w.get("hot")]
+    converged = sum(h["converged"] for h in hot)
+    fallback = sum(h["fallback"] for h in hot)
+    assert hot and converged > 0 and fallback == 0, (
+        f"sub-chunk path did not exercise the splice: hot_pairs="
+        f"{inst.get('hot_pairs')} converged={converged} fallback={fallback}"
+    )
+    return out
+
+
+@query(
     "renko_state_export",
     oracle=f"""
     WITH wide AS ({build_renko_oracle_sql(_ORACLE_BRICK, _TICKS_SQL)}),

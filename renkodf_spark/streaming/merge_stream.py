@@ -156,6 +156,14 @@ def vacuum_state_generations(
     Manifest snapshots older than the kept window are pruned with the
     same rule. Listing cost is O(#generations); no data is read.
 
+    Concurrent readers (ADVICE r9): ``keep_last`` is also the tolerated
+    READER staleness, in triggers. A reader that resolved a manifest
+    and is still scanning its ``gen=`` directories after ``keep_last``
+    further triggers have published can find them deleted mid-scan —
+    the writer's replay safety does not cover it. Raise ``keep_last``
+    above the longest reader's trigger-count lifetime when long-running
+    readers share the state dir.
+
     Returns ``{"deleted_gens": [...], "deleted_manifests": [...]}``.
     """
     import posixpath

@@ -302,3 +302,48 @@ def test_hard_negative_ann_corpus_never_shuffles(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     for cols in exchange_inputs(df):
         assert "cvec" not in cols and "embedding" not in cols, cols
+
+
+def test_hard_negative_ann_shuffle_path_single_linear_exchange(spark, sf_dir):
+    """broadcast_anchors=False (VERDICT r9 item 6 / ADVICE r9): the
+    unbounded-anchor variant must plan the candidate join as a
+    cell-keyed SortMergeJoin — each side's vectors cross exactly ONE
+    linear hash shuffle on cell (never |anchors| x |corpus|, never a
+    cartesian), and every exchange after the join carries only scalar
+    candidate pairs."""
+    from renkodf_spark.plans import shuffle_inputs
+
+    df = q.queries()["hard_negative_pairs_ann_shuffle"](spark, sf_dir)
+    plan = _executed(df)
+    assert "SortMergeJoin" in plan and "CartesianProduct" not in plan
+    vec_shuffles = {
+        tuple(cols) for cols in shuffle_inputs(df) if {"cvec", "avec"} & set(cols)
+    }
+    # the candidate subtree is stamped once per consumer (pos + negk),
+    # but the only vector-bearing shuffle SHAPES allowed are the two
+    # narrow pre-join sides keyed by cell — never a joined row (which
+    # would carry both vectors) and never a post-rank row
+    assert vec_shuffles == {
+        ("neighbor_id", "cvec", "__nlabel", "cell"),
+        ("anchor_id", "avec", "__alabel", "cell"),
+    }, vec_shuffles
+
+
+def test_hard_negative_ann_join_strategy_parity(spark, sf_dir):
+    """The broadcast and shuffle candidate joins must be bit-identical
+    — the strategy knob is a plan choice, not a semantics choice."""
+    a = (
+        q.queries()["hard_negative_pairs_ann"](spark, sf_dir)
+        .orderBy("anchor_id", "rank")
+        .toPandas()
+    )
+    b = (
+        q.queries()["hard_negative_pairs_ann_shuffle"](spark, sf_dir)
+        .orderBy("anchor_id", "rank")
+        .toPandas()
+    )
+    assert len(a) == len(b) and list(a.columns) == list(b.columns)
+    for col in a.columns:
+        sa, sb = a[col], b[col]
+        assert (sa.isna() == sb.isna()).all(), col
+        assert (sa.dropna().to_numpy() == sb.dropna().to_numpy()).all(), col

@@ -264,3 +264,33 @@ def test_subchunk_disabled_by_default_on_small_groups(spark):
     renko_chunked(ticks, 5.0, window="2 days", instrument=inst).count()
     assert inst["hot_pairs"] == 0
     assert all("hot" not in w for w in inst["windows"])
+
+
+def test_hot_plan_probe_matches_actual_shuffle_placement(spark):
+    """_hot_plan elects collision-free sub-chunk ids by probing
+    F.pmod(F.hash(symbol, __sub), n) and ASSUMES repartition(n,
+    "symbol", "__sub") places rows on exactly that partition (ADVICE
+    r9: an unpinned implementation coupling — HashPartitioning could
+    drift from the F.hash expression in a future Spark). Pin it: for a
+    spread of symbols and candidate ids, the partition a row actually
+    lands on after the operator's own repartition call must equal the
+    probed prediction. A failure here means placement silently degrades
+    to hash collisions (performance, not correctness) — fix _hot_plan's
+    probe to whatever hash the shuffle now uses."""
+    from pyspark.sql import functions as F
+
+    n_part = 16
+    rows = [(s, i) for s in ("HOT", "S1", "zz-9", "") for i in range(32)]
+    df = spark.createDataFrame(rows, "symbol string, __sub long")
+    predicted = df.select(
+        "symbol",
+        "__sub",
+        F.pmod(F.hash("symbol", F.col("__sub").cast("long")), F.lit(n_part)).alias("pred"),
+    )
+    landed = (
+        predicted.repartition(n_part, "symbol", "__sub")
+        .withColumn("actual", F.spark_partition_id())
+        .collect()
+    )
+    bad = [(r["symbol"], r["__sub"], r["pred"], r["actual"]) for r in landed if r["pred"] != r["actual"]]
+    assert not bad, f"hash probe no longer predicts shuffle placement: {bad[:5]}"

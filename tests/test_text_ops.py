@@ -95,6 +95,41 @@ def test_bpe_batched_is_sequential_prefix_on_corpus(spark, sf_dir):
     assert [tuple(r) for r in bpe_merges(docs, k=8, batch_m=1).collect()] == seq
 
 
+def test_bpe_batched_k64_fill_and_divergence_shape(spark, sf_dir):
+    """Realistic-vocab batching (VERDICT r9 item 5), pinned at k=64:
+
+    - fill=True learns exactly k rules and the fixed-round run's output
+      is a PREFIX of the same-batch_m fill run (same election, more
+      rounds);
+    - wherever the batched list diverges from sequential election, the
+      divergence is the DOCUMENTED created-pair overtake and nothing
+      else: sequential's pick at the divergence point is built from a
+      symbol the batched run had already merged, and the batched pick
+      did not outrank it on count (ties broken by string order are the
+      boundary case). A divergence of any other shape is a bug."""
+    from renkodf_spark.operators.text import bpe_merges
+    from renkodf_spark.queries.pipeline import _docs
+
+    docs = _docs(spark, sf_dir)
+    seq = [tuple(r) for r in bpe_merges(docs, k=64).collect()]
+    assert len(seq) == 64
+    for m in (8, 16):
+        fixed = [tuple(r) for r in bpe_merges(docs, k=64, batch_m=m).collect()]
+        filled = [tuple(r) for r in bpe_merges(docs, k=64, batch_m=m, fill=True).collect()]
+        assert len(filled) == 64 and filled[: len(fixed)] == fixed, (m, len(fixed))
+        lcp = next(
+            (i for i, (a, b) in enumerate(zip(filled, seq)) if a != b), len(filled)
+        )
+        assert lcp >= 8, (m, lcp)  # batching tracks sequential deep into the list
+        if lcp < len(filled):
+            # (rank, left, right, merged, count)
+            _, s_left, s_right, _, s_cnt = seq[lcp]
+            _, _, _, _, b_cnt = filled[lcp]
+            earlier_merged = {r[3] for r in filled[:lcp]}
+            assert {s_left, s_right} & earlier_merged, (m, lcp, seq[lcp])
+            assert b_cnt <= s_cnt, (m, lcp, filled[lcp], seq[lcp])
+
+
 def test_bpe_batched_equals_sequential_when_compatible(spark):
     """A corpus whose top pairs are pairwise symbol-disjoint: every
     batch fills, and batched election equals sequential election rule

@@ -267,9 +267,11 @@ def nearest_centroid(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    carry: tuple = (),
 ) -> DataFrame:
     """Assign each vector to its nearest centroid by cosine — the IVF
-    cell-routing step. Returns ``(id, vec, cell, cell_cos)``.
+    cell-routing step. Returns ``(id, vec, cell, cell_cos)`` plus any
+    ``carry`` columns passed through unchanged.
 
     The argmax runs on cosine ROUNDED to ``round_digits`` (ties break
     to the lexicographically smallest cell), which makes the
@@ -280,7 +282,8 @@ def nearest_centroid(
     Scale: see :func:`_probe_cells` — one broadcast row of centroids,
     zero shuffle of the vectors."""
     return _probe_cells(
-        df, centroids, id_col=id_col, vec_col=vec_col, n_probe=1, round_digits=round_digits
+        df, centroids, id_col=id_col, vec_col=vec_col, n_probe=1,
+        round_digits=round_digits, carry=carry,
     ).drop("probe_rank")
 
 
@@ -751,16 +754,16 @@ def hard_negative_mining(
     best_positive_sim, is_hard)``.
 
     Scale shape: the cosine_topk plan with a label split — broadcast
-    (anchors) x corpus, so the corpus never shuffles for the join; the
-    best-positive reduction is a map-side-combinable MAX keyed by
-    anchor (one row per anchor), broadcast back onto the ranked
-    negatives; the only real shuffle is the per-anchor top-k ranking
-    (cardinality = |anchors|). Hard/semi-hard flags compare the RAW
-    cosine (both engines compute the identical double), rounding only
-    the exported columns.
+    (anchors) x corpus, so the corpus never shuffles for the join and
+    is scanned ONCE (the best-positive is a whole-partition window MAX
+    over the scored pairs, sharing the per-anchor rank window's
+    exchange — see :func:`_mine_candidates` for why a groupBy +
+    self-join would stamp the corpus subtree twice); the only shuffle
+    is the scalar per-anchor ranking (cardinality = |anchors| x
+    candidates). Hard/semi-hard flags compare the RAW cosine (both
+    engines compute the identical double), rounding only the exported
+    columns.
     """
-    from pyspark.sql.window import Window
-
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("__nlabel"),
@@ -771,30 +774,10 @@ def hard_negative_mining(
         F.col(label_col).alias("__alabel"),
         F.col(vec_col).cast("array<double>").alias("avec"),
     )
-    scored = c.join(
-        F.broadcast(a), F.col("neighbor_id") != F.col("anchor_id")
-    ).withColumn("cos", cosine(F.col("avec"), F.col("cvec")))
-    pos = (
-        scored.filter(F.col("__nlabel") == F.col("__alabel"))
-        .groupBy("anchor_id")
-        .agg(F.max("cos").alias("__pos"))
-    )
-    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    negk = (
-        scored.filter(F.col("__nlabel") != F.col("__alabel"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
-    return negk.join(F.broadcast(pos), "anchor_id", "left").select(
-        "anchor_id",
-        "neighbor_id",
-        "rank",
-        F.round("cos", round_digits).alias("neg_sim"),
-        F.round("__pos", round_digits).alias("best_positive_sim"),
-        F.when(F.col("__pos").isNull(), F.lit(None).cast("int"))
-        .otherwise((F.col("cos") > F.col("__pos")).cast("int"))
-        .alias("is_hard"),
-    )
+    # _mine_candidates re-applies the neighbor!=anchor guard; the join
+    # condition here only avoids materializing the diagonal pairs
+    joined = c.join(F.broadcast(a), F.col("neighbor_id") != F.col("anchor_id"))
+    return _mine_candidates(joined, k, round_digits)
 
 
 def hard_negative_mining_ann(
@@ -876,21 +859,43 @@ def hard_negative_mining_ann(
         # (hinted, so AQE can't silently flip it back to a broadcast
         # whose size bound this path exists to escape)
         joined = cc.hint("shuffle_merge").join(qc.hint("shuffle_merge"), "cell")
+    return _mine_candidates(joined, k, round_digits)
+
+
+def _mine_candidates(joined, k: int, round_digits: int) -> DataFrame:
+    """Shared exact-rerank tail of the ANN miners: score the candidate
+    pairs, mine the per-anchor best positive, rank + flag the top-k
+    negatives.
+
+    The best-positive is a whole-partition window MAX over the scored
+    candidates, not a groupBy + self-join: a second consumer of the
+    candidate relation would make Catalyst stamp the whole join subtree
+    twice and push ``__nlabel == __alabel`` INTO the second stamping's
+    join keys — re-keying it by (label, cell), which scans the corpus
+    twice and, on the bucketed-index path, silently disables the
+    bucket-join ("Bucketed: false (disabled by query planner)") and
+    shuffles the corpus vectors. With the window form the corpus
+    subtree is stamped ONCE and the only exchange below the candidate
+    join is a single scalar hashpartitioning(anchor_id) shared by both
+    windows — never a vector."""
+    from pyspark.sql.window import Window
+
     cand = joined.filter(F.col("neighbor_id") != F.col("anchor_id")).withColumn(
         "cos", cosine(F.col("avec"), F.col("cvec"))
     )
-    pos = (
-        cand.filter(F.col("__nlabel") == F.col("__alabel"))
-        .groupBy("anchor_id")
-        .agg(F.max("cos").alias("__pos"))
+    scored = cand.withColumn(
+        "__pos",
+        F.max(
+            F.when(F.col("__nlabel") == F.col("__alabel"), F.col("cos"))
+        ).over(Window.partitionBy("anchor_id")),
     )
     w = Window.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     negk = (
-        cand.filter(F.col("__nlabel") != F.col("__alabel"))
+        scored.filter(F.col("__nlabel") != F.col("__alabel"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
-    return negk.join(F.broadcast(pos), "anchor_id", "left").select(
+    return negk.select(
         "anchor_id",
         "neighbor_id",
         "rank",
@@ -900,3 +905,82 @@ def hard_negative_mining_ann(
         .otherwise((F.col("cos") > F.col("__pos")).cast("int"))
         .alias("is_hard"),
     )
+
+
+def write_ivf_index_bucketed(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    table: str,
+    *,
+    n_buckets: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    carry: tuple = (),
+    round_digits: int = 6,
+) -> None:
+    """Persist an IVF index as a CELL-BUCKETED managed table (plus a
+    ``<table>__centroids`` sibling). Complements :func:`write_ivf_index`
+    (directory-partitioned, for broadcast-probe dynamic pruning): the
+    bucketed layout carries ``HashPartitioning(cell)`` into every later
+    cell-keyed JOIN, so readers that cannot broadcast their probe side
+    — unbounded anchor sets — meet the corpus WITHOUT exchanging a
+    single corpus vector, ever: the corpus shuffles zero times at write
+    (bucketBy shuffles once into buckets — the amortized cost) and zero
+    times per mining run. ``carry`` names extra columns to store
+    (e.g. the label column hard-negative mining needs)."""
+    routed = nearest_centroid(
+        corpus, centroids, id_col=id_col, vec_col=vec_col, round_digits=round_digits,
+        carry=carry,
+    )
+    (
+        routed.select("id", "vec", "cell", *carry)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "cell")
+        .sortBy("cell")
+        .saveAsTable(table)
+    )
+    centroids.write.mode("overwrite").saveAsTable(f"{table}__centroids")
+
+
+def hard_negative_mining_ann_bucketed(
+    spark,
+    table: str,
+    anchors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    n_probe: int = 2,
+    round_digits: int = 4,
+) -> DataFrame:
+    """:func:`hard_negative_mining_ann` over a
+    :func:`write_ivf_index_bucketed` index — the repeated-mining /
+    unbounded-anchor production shape. The corpus side of the candidate
+    join is the bucketed table scan, whose ``HashPartitioning(cell)``
+    already satisfies the join's required distribution: ONLY the
+    anchors' probe rows shuffle (one linear exchange on cell), the
+    corpus vectors cross ZERO exchanges (plan-pinned), and the routing
+    cost (every corpus vector × every centroid) was paid once at index
+    write. Results are identical to the in-line miner with the same
+    centroids (parity-pinned). The mining shuffle width equals the
+    bucket count — size ``n_buckets`` to cluster parallelism at write
+    time."""
+    cents = spark.table(f"{table}__centroids")
+    cc = spark.table(table).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("cvec"),
+        F.col(label_col).alias("__nlabel"),
+        "cell",
+    )
+    qc = _probe_cells(
+        anchors, cents, id_col=id_col, vec_col=vec_col, n_probe=n_probe,
+        round_digits=6, carry=(label_col,),
+    ).select(
+        F.col("id").alias("anchor_id"),
+        F.col("vec").alias("avec"),
+        F.col(label_col).alias("__alabel"),
+        "cell",
+    )
+    joined = cc.hint("shuffle_merge").join(qc.hint("shuffle_merge"), "cell")
+    return _mine_candidates(joined, k, round_digits)

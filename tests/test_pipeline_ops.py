@@ -811,6 +811,46 @@ def test_ivf_index_parity_and_partition_pruning(spark, emb_df, tmp_path):
     assert m, plan
 
 
+def test_hard_negative_bucketed_index_parity_and_zero_corpus_exchange(spark, emb_df):
+    """write_ivf_index_bucketed + hard_negative_mining_ann_bucketed
+    (r10, the repeated-mining / unbounded-anchor shape): results must be
+    identical to the in-line ANN miner with the same centroids, and the
+    candidate join must read the corpus straight out of its cell buckets
+    — a SortMergeJoin where the ONLY vector-bearing exchange is the
+    anchors' probe rows; the corpus vectors cross zero exchanges."""
+    import shutil
+
+    from renkodf_spark.plans import shuffle_inputs
+
+    cents = similarity.embedding_centroids(emb_df, dim=4)
+    spark.sql("DROP TABLE IF EXISTS hn_ivf_b")
+    spark.sql("DROP TABLE IF EXISTS hn_ivf_b__centroids")
+    for orphan in ("hn_ivf_b", "hn_ivf_b__centroids"):
+        shutil.rmtree(f"/tmp/renkodf-spark-test-warehouse/{orphan}", ignore_errors=True)
+    similarity.write_ivf_index_bucketed(
+        emb_df, cents, "hn_ivf_b", n_buckets=4, carry=("label",)
+    )
+
+    anchors = emb_df.filter(F.col("vec_id") % 2 == 0)
+    direct = {
+        tuple(r)
+        for r in similarity.hard_negative_mining_ann(
+            emb_df, anchors, cents, k=3, n_probe=2
+        ).collect()
+    }
+    mined = similarity.hard_negative_mining_ann_bucketed(
+        spark, "hn_ivf_b", anchors, k=3, n_probe=2
+    )
+    assert {tuple(r) for r in mined.collect()} == direct
+
+    plan = mined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan and "CartesianProduct" not in plan
+    vec_shuffles = {
+        tuple(cols) for cols in shuffle_inputs(mined) if {"cvec", "avec"} & set(cols)
+    }
+    assert vec_shuffles == {("anchor_id", "avec", "__alabel", "cell")}, vec_shuffles
+
+
 # ------------------------------------------------------- unigram LM quality
 
 

@@ -342,9 +342,12 @@ def write_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    carry: tuple = (),
 ) -> None:
     """Persist an IVF index: the corpus routed to its nearest centroid
-    cell, written PARTITIONED BY cell under ``<path>/data``, with the
+    cell, written PARTITIONED BY cell under ``<path>/data`` (plus any
+    ``carry`` columns — e.g. the label column
+    :func:`hard_negative_mining_ann_indexed` reads), with the
     centroid table stored under ``<path>/centroids`` (a sibling, not a
     subdirectory of the partitioned layout — Spark's file index treats
     underscore-prefixed paths as hidden and a stray non-``cell=`` dir
@@ -358,11 +361,12 @@ def write_ivf_index(
     the probed corpus fraction (n_probe/cells-ish), not corpus size.
     """
     routed = nearest_centroid(
-        corpus, centroids, id_col=id_col, vec_col=vec_col, round_digits=round_digits
+        corpus, centroids, id_col=id_col, vec_col=vec_col, round_digits=round_digits,
+        carry=carry,
     )
-    routed.select("id", "vec", "cell").write.mode("overwrite").partitionBy("cell").parquet(
-        path + "/data"
-    )
+    routed.select("id", "vec", "cell", *carry).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path + "/data")
     centroids.write.mode("overwrite").parquet(path + "/centroids")
 
 
@@ -905,6 +909,56 @@ def _mine_candidates(joined, k: int, round_digits: int) -> DataFrame:
         .otherwise((F.col("cos") > F.col("__pos")).cast("int"))
         .alias("is_hard"),
     )
+
+
+def hard_negative_mining_ann_indexed(
+    spark,
+    path: str,
+    anchors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    n_probe: int = 2,
+    round_digits: int = 4,
+    broadcast_anchors: bool = True,
+) -> DataFrame:
+    """:func:`hard_negative_mining_ann` over a persisted
+    :func:`write_ivf_index` layout (or the superset layout
+    ``streaming.ann_stream.ivf_index_writer`` maintains): the corpus
+    routing ran once at index time, so a mining run reads ONLY the
+    anchors' probed ``cell=`` partitions — with the default broadcast
+    anchors, Catalyst's dynamic partition pruning reuses the probe-row
+    broadcast as the partition filter, same as ``ivf_topk_indexed``.
+    The index must have been written with the label column in
+    ``carry``. ``broadcast_anchors=False`` falls back to the cell-keyed
+    shuffle join (one linear exchange per side) when the anchor set
+    exceeds the broadcast bound."""
+    cents = spark.read.parquet(path + "/centroids")
+    cc = spark.read.parquet(path + "/data").select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("cvec"),
+        F.col(label_col).alias("__nlabel"),
+        "cell",
+    )
+    qc = _probe_cells(
+        anchors, cents, id_col=id_col, vec_col=vec_col, n_probe=n_probe,
+        round_digits=6, carry=(label_col,),
+    ).select(
+        F.col("id").alias("anchor_id"),
+        F.col("vec").alias("avec"),
+        F.col(label_col).alias("__alabel"),
+        "cell",
+        # restated for DPP: pruning fires only when the broadcast side
+        # carries a selective predicate (the ivf_topk_indexed rule)
+        "probe_rank",
+    ).filter(F.col("probe_rank") <= n_probe).drop("probe_rank")
+    if broadcast_anchors:
+        joined = cc.join(F.broadcast(qc), "cell")
+    else:
+        joined = cc.hint("shuffle_merge").join(qc.hint("shuffle_merge"), "cell")
+    return _mine_candidates(joined, k, round_digits)
 
 
 def write_ivf_index_bucketed(

@@ -1,0 +1,130 @@
+"""Streaming IVF (ANN) index maintenance.
+
+``write_ivf_index`` (operators/similarity.py) pays the routing cost —
+every corpus vector scored against every centroid — once per corpus
+SNAPSHOT. On an ingestion stream that is the wrong unit: re-routing
+100 TB of history because a trigger delivered 1 GB of new vectors is
+the O(triggers × corpus) failure the search/band-index writers already
+solve for postings and LSH bands. This module applies the same
+append-only-generation protocol to the vector index:
+
+* each micro-batch routes ONLY its own vectors (broadcast centroids,
+  zero shuffle — :func:`~renkodf_spark.operators.similarity.nearest_centroid`)
+  and writes them under ``<path>/data/batch_id=N/cell=...`` — the same
+  ``cell=`` sub-partitioning as the batch index, so a probed read
+  prunes to the queried cells across ALL generations with one filter
+  (and :func:`~renkodf_spark.operators.similarity.ivf_topk_indexed`
+  works on the streamed layout unchanged, dynamic partition pruning
+  included);
+* the centroid table is written once beside the data (centroids are
+  FROZEN per index by construction — routing must agree across
+  triggers, exactly the batch contract);
+* the append-only contract is enforced, not assumed (the search-writer
+  rule): a ``vec_id`` seen in a prior generation is dropped before
+  routing, and intra-batch duplicate ids collapse deterministically
+  (smallest vector digest wins) so at-least-once replays index the
+  same row;
+* writes are partition overwrites keyed by batch_id → replays are
+  idempotent; ``compact_every=K`` folds old generations via
+  :func:`~renkodf_spark.streaming.merge_stream.compact_index_generations`
+  (keeping the ``cell=`` sub-partitioning, so pruning survives),
+  bounding the directory count on a long-lived stream.
+
+100 TB shape: per-trigger cost is O(batch × centroids) routing plus a
+partitioned write of the batch — never a function of index size; reads
+stay O(probed cells). Mining/search over the streamed index composes
+with ``ivf_topk_indexed`` and ``hard_negative_mining_ann`` untouched.
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+from pyspark.sql import DataFrame, functions as F
+
+from renkodf_spark.streaming.curation_stream import _is_missing_path
+
+
+def ivf_index_writer(
+    centroids: DataFrame,
+    state_path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    carry: tuple = (),
+    compact_every: int | None = None,
+    compact_target_files: int = 4,
+):
+    """``foreachBatch`` writer maintaining an IVF vector index from an
+    embedding stream — the incremental counterpart of
+    ``similarity.write_ivf_index``. ``centroids`` is the frozen
+    ``(cell, centroid)`` table the index routes with; ``carry`` names
+    extra columns stored beside each vector (e.g. the label column
+    hard-negative mining reads). Query the result with
+    ``ivf_topk_indexed(spark, state_path, ...)`` — the streamed layout
+    is a superset of the batch one (an extra ``batch_id`` partition
+    level the readers' column selection drops)."""
+    from renkodf_spark.operators.similarity import nearest_centroid
+
+    # routing must be deterministic: pin the centroid rows driver-side
+    # once so a re-evaluated lazy plan can't re-derive them differently
+    # between triggers
+    cent_rows = centroids.select("cell", "centroid").collect()
+    cent_schema = centroids.select("cell", "centroid").schema
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window
+
+        spark = batch.sparkSession
+        cents = spark.createDataFrame(cent_rows, cent_schema)
+        data_dir = posixpath.join(state_path, "data")
+
+        # intra-batch duplicate ids collapse deterministically
+        digest = F.md5(F.to_json(F.struct(F.col(vec_col))))
+        w = Window.partitionBy(id_col).orderBy(digest.asc())
+        batch = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        # enforce append-only: drop ids already indexed by a PRIOR
+        # generation (batch N probes only generations < N, so replays
+        # of N are idempotent); only the id partition columns are read
+        try:
+            seen = (
+                spark.read.parquet(data_dir)
+                .filter(F.col("batch_id") < batch_id)
+                .select(F.col("id").alias(id_col))
+                .distinct()
+            )
+            batch = batch.join(seen, id_col, "left_anti")
+        except Exception as exc:
+            if not _is_missing_path(exc):
+                raise
+        routed = nearest_centroid(
+            batch, cents, id_col=id_col, vec_col=vec_col, carry=carry
+        )
+        routed.select("id", "vec", "cell", *carry).write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(posixpath.join(data_dir, f"batch_id={batch_id}"))
+        cents.write.mode("overwrite").parquet(posixpath.join(state_path, "centroids"))
+
+        if compact_every is not None and (batch_id + 1) % compact_every == 0:
+            from renkodf_spark.streaming.merge_stream import compact_index_generations
+
+            compact_index_generations(
+                spark,
+                data_dir,
+                batch_id,
+                partition_by="cell",
+                target_files=compact_target_files,
+            )
+
+    return write_batch
+
+
+def read_ivf_index_stream(spark, state_path: str) -> DataFrame:
+    """All live generations of a :func:`ivf_index_writer` index as one
+    ``(id, vec, cell, ...carry)`` DataFrame — the batch-index shape, so
+    any reader of ``write_ivf_index`` output accepts it."""
+    return spark.read.parquet(posixpath.join(state_path, "data")).drop("batch_id")

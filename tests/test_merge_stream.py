@@ -449,3 +449,93 @@ def test_generic_compaction_crash_recovery(spark, tmp_path):
     gens2 = {r.batch_id for r in spark.read.parquet(idx2).select("batch_id").distinct().collect()}
     assert gens2 == {-3, 2}
     assert rows_of(idx2) == set(a) | set(c)  # b discarded, sources intact
+
+
+# ------------------------------------------------ streaming IVF index
+
+
+def _write_vecs(path, name, rows):
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    pdf.to_parquet(os.path.join(path, name))
+
+
+def test_ivf_index_stream_parity_and_append_only(spark, tmp_path):
+    """Streaming IVF maintenance (r10): after N triggers the
+    generation-partitioned vector index answers ivf_topk_indexed
+    IDENTICALLY to the batch write_ivf_index over the union of all
+    triggers' vectors; mining over it matches the in-line ANN miner; a
+    re-sent vec_id and an intra-batch duplicate are dropped (append-only
+    enforced); each trigger routes only its own vectors."""
+    from renkodf_spark.operators import similarity
+    from renkodf_spark.streaming.ann_stream import (
+        ivf_index_writer,
+        read_ivf_index_stream,
+    )
+
+    vecs = [
+        (i, [float((i * 7 + j * 3) % 11) for j in range(4)], "ab"[i % 2])
+        for i in range(18)
+    ]
+    all_df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>, label string")
+    cents = similarity.embedding_centroids(all_df, dim=4)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_vecs(src, "b1.parquet", vecs[:8] + [vecs[3]])  # intra-batch dup id 3
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>, label string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = str(tmp_path / "ivf_stream")
+    writer = ivf_index_writer(cents, state, carry=("label",), compact_every=2)
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # trigger 2: rest of the corpus + a RE-SENT id 5 with a mutated
+        # vector — append-only must keep the first-generation row
+        mutated = (5, [99.0, 99.0, 99.0, 99.0], "zz")
+        _write_vecs(src, "b2.parquet", vecs[8:] + [mutated])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # the streamed layout is directly queryable by the batch readers
+    batch_path = str(tmp_path / "ivf_batch")
+    similarity.write_ivf_index(all_df, cents, batch_path)
+    queries = all_df.limit(4)
+    got = sorted(
+        map(tuple, similarity.ivf_topk_indexed(spark, state, queries, k=3, n_probe=2).collect())
+    )
+    want = sorted(
+        map(tuple, similarity.ivf_topk_indexed(spark, batch_path, queries, k=3, n_probe=2).collect())
+    )
+    assert got and got == want
+
+    # append-only: id 5 kept its original vector and label; no dup rows
+    idx = read_ivf_index_stream(spark, state)
+    assert idx.count() == 18
+    r5 = idx.filter(F.col("id") == 5).collect()
+    assert len(r5) == 1 and r5[0]["label"] == "b" and r5[0]["vec"][0] != 99.0
+
+    # compaction (compact_every=2 fired at batch_id=1): older
+    # generations folded into the negative generation, pruning intact
+    gens = {
+        int(p.split("=", 1)[1])
+        for p in os.listdir(os.path.join(state, "data"))
+        if p.startswith("batch_id=")
+    }
+    assert any(g < 0 for g in gens), gens
+
+    # mining over the streamed index == the in-line ANN miner, through
+    # the public indexed miner (DPP-pruned read, same as ivf_topk_indexed)
+    anchors = all_df.filter(F.col("vec_id") % 3 == 0)
+    mined = similarity.hard_negative_mining_ann_indexed(
+        spark, state, anchors, k=3, n_probe=2
+    )
+    direct = similarity.hard_negative_mining_ann(all_df, anchors, cents, k=3, n_probe=2)
+    assert {tuple(r) for r in mined.collect()} == {tuple(r) for r in direct.collect()}

@@ -811,6 +811,41 @@ def test_ivf_index_parity_and_partition_pruning(spark, emb_df, tmp_path):
     assert m, plan
 
 
+def test_hard_negative_indexed_parity_and_dynamic_pruning(spark, emb_df, tmp_path):
+    """hard_negative_mining_ann_indexed over a write_ivf_index layout
+    (r10): identical results to the in-line ANN miner, and the index
+    scan is dynamically pruned to the anchors' probed cells (the
+    ivf_topk_indexed DPP rule — no driver collect, no job at plan
+    time)."""
+    cents = similarity.embedding_centroids(emb_df, dim=4)
+    path = str(tmp_path / "hn_ivf")
+    similarity.write_ivf_index(emb_df, cents, path, carry=("label",))
+
+    anchors = emb_df.filter(F.col("vec_id") % 2 == 0)
+    direct = {
+        tuple(r)
+        for r in similarity.hard_negative_mining_ann(
+            emb_df, anchors, cents, k=3, n_probe=2
+        ).collect()
+    }
+    mined = similarity.hard_negative_mining_ann_indexed(
+        spark, path, anchors, k=3, n_probe=2
+    )
+    assert {tuple(r) for r in mined.collect()} == direct
+
+    one = similarity.hard_negative_mining_ann_indexed(
+        spark, path, anchors.limit(2), k=3, n_probe=1
+    )
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*dynamicpruning", plan), plan
+
+    # the shuffle fallback returns the same rows
+    sh = similarity.hard_negative_mining_ann_indexed(
+        spark, path, anchors, k=3, n_probe=2, broadcast_anchors=False
+    )
+    assert {tuple(r) for r in sh.collect()} == direct
+
+
 def test_hard_negative_bucketed_index_parity_and_zero_corpus_exchange(spark, emb_df):
     """write_ivf_index_bucketed + hard_negative_mining_ann_bucketed
     (r10, the repeated-mining / unbounded-anchor shape): results must be

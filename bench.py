@@ -159,6 +159,14 @@ HEADLINE = [
     "bm25_search_spark_vector",
     "hybrid_search_rerank",
     "purchase_window_concurrency",
+    # added round 10 (r9/r10 operators: ANN-backed mining incl. the
+    # shuffle-anchor plan, batched BPE). renko_subchunked_wide is NOT
+    # here on purpose: its deliberately tiny thresholds exist for
+    # oracle coverage of the splice path; the representative sub-chunk
+    # perf lives in the scale section's head-to-head and x100 curve.
+    "hard_negative_pairs_ann",
+    "hard_negative_pairs_ann_shuffle",
+    "bpe_merges_batched",
 ]
 
 

@@ -425,16 +425,19 @@ def scale_block(spark, rep: int) -> dict:
             inst: dict = {}
             t0 = time.perf_counter()
             # subchunk_threshold wired into the x100 entry (VERDICT r9
-            # item 4): at crep=100 the hot symbol carries ~1M+ ticks per
-            # week window — below the 3M default, so r9's artifact never
-            # showed the splice path's parallelism at the curve. 400k/
-            # 200k makes every hot window sub-chunk; hot_stats and the
-            # per-window achieved parallelism are published per sample.
+            # item 4): at crep=100 the hot symbol carries ~1.2M ticks
+            # per week window — below the 3M default, so r9's artifact
+            # never showed the splice path's parallelism at the curve.
+            # 400k/50k splits every hot window into ~24 spec chunks
+            # (measured sweep: target 200k -> 6 chunks / max wall 43s,
+            # 100k -> 12 / 18s, 50k -> 24 / 9.2s, all converged, rows
+            # identical); hot_stats and the per-window achieved
+            # parallelism are published per sample.
             x100_thr = int(os.environ.get("SPARK_GRAFT_X100_SUBCHUNK_THR", "400000"))
             rows = materialize(
                 renko_chunked(
                     cskewed, 5.0, window="1 week", instrument=inst,
-                    subchunk_threshold=x100_thr, subchunk_target=x100_thr // 2,
+                    subchunk_threshold=x100_thr, subchunk_target=x100_thr // 8,
                 )
             )
             el = time.perf_counter() - t0

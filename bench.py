@@ -784,6 +784,29 @@ def main():
                     for k in ("hot_ticks", "bricks", "serial_sec", "chunked_sec", "speedup")
                     if k in curve.get("subchunk", {})
                 },
+                # per-window splice proof at the x100 curve (VERDICT r9
+                # item 4), from the best sample: hot chunk count, how
+                # many speculative scans converged, and the repair
+                # fraction actually rescanned
+                "hot_windows": [
+                    w
+                    for w in min(
+                        curve.get("samples", []), key=lambda s: s["sec"], default={}
+                    ).get("phases", {}).get("windows", [])
+                    if "hot" in w
+                ] if curve.get("samples") else [],
+            }
+        if "bpe_scale" in scale:
+            bp = scale["bpe_scale"]
+            cs["bpe_scale"] = {
+                k: bp[k]
+                for k in (
+                    "k", "rules", "rounds", "sequential_sec",
+                    "sequential_sec_per_merge", "batch8_fill_sec",
+                    "batch8_fill_sec_per_merge", "batch16_fill_sec",
+                    "batch16_fill_sec_per_merge", "speedup_batch8",
+                )
+                if k in bp
             }
         compact["scale"] = cs
     print(json.dumps(compact))

@@ -1,0 +1,480 @@
+"""Pure-stdlib image codecs: PNG / BMP decode, GIF frame decode, plus
+matching encoders for deterministic fixtures.
+
+This closes the two long-standing env-blocked contracts in
+``multimodal.py`` (pixel decode, frame sampling) WITHOUT new
+dependencies: PNG needs only ``zlib`` (stdlib) plus the five scanline
+filters, BMP is raw bytes with padding, and GIF is self-contained LZW —
+all implementable exactly from the public specs (PNG: RFC 2083 / W3C
+PNG spec §6 filters; BMP: BITMAPINFOHEADER layout; GIF: GIF89a spec
+appendix F LZW). JPEG stays honestly unsupported (baseline decode needs
+Huffman+DCT — a real imaging library's job, reference contract
+unchanged).
+
+Scope (documented, test-pinned):
+- PNG: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette→RGB),
+  4 (gray+alpha), 6 (RGBA); no interlace (Adam7 rejected cleanly).
+- BMP: BI_RGB uncompressed, 8-bit palette / 24-bit / 32-bit, bottom-up
+  and top-down rows, 4-byte row padding.
+- GIF: 87a/89a, global+local palettes, variable-width LZW with dict
+  reset, interlaced frames, multi-frame with per-frame delay (frames
+  are decoded as their own rects — no disposal compositing, which is
+  animation RENDERING, not data extraction).
+
+The encoders exist so fixtures are self-made and deterministic: the
+gate queries synthesize payloads whose pixels follow a closed-form
+``(seed + 3x + 7y + 11c) mod 256`` formula, so a DuckDB oracle can
+recompute decoded pixel statistics algebraically without ever parsing
+a byte — the decode path is oracle-gated end to end.
+
+Per-row cost: decoding is a per-payload Python loop hosted in
+mapInPandas Arrow batches (the multimodal plumbing); at 100 TB the
+shape is embarrassingly parallel with no shuffle, and the hot loops
+(unfilter, LZW) are O(bytes) with bytearray arithmetic.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ----------------------------------------------------------------- PNG
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, *, palette: np.ndarray | None = None) -> bytes:
+    """Encode an (h, w) or (h, w, ch) uint8 array as a valid PNG.
+
+    Per-row filter type = row_index % 5, so a round-trip exercises every
+    unfilter branch. With ``palette`` given, ``arr`` must be (h, w)
+    palette indices and a color-type-3 PNG is written."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    if palette is not None:
+        if ch != 1:
+            raise ValueError("palette PNG takes (h, w) index arrays")
+        color_type = 3
+    else:
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    bpp = ch
+    stride = w * ch
+    raw = arr.reshape(h, stride)
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        cur = raw[y].tobytes()
+        f = y % 5
+        out.append(f)
+        if f == 0:
+            out += cur
+        elif f == 1:  # Sub
+            out += bytes((cur[i] - (cur[i - bpp] if i >= bpp else 0)) & 0xFF for i in range(stride))
+        elif f == 2:  # Up
+            out += bytes((cur[i] - prev[i]) & 0xFF for i in range(stride))
+        elif f == 3:  # Average
+            out += bytes(
+                (cur[i] - (((cur[i - bpp] if i >= bpp else 0) + prev[i]) >> 1)) & 0xFF
+                for i in range(stride)
+            )
+        else:  # Paeth
+            out += bytes(
+                (
+                    cur[i]
+                    - _paeth(
+                        cur[i - bpp] if i >= bpp else 0,
+                        prev[i],
+                        prev[i - bpp] if i >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    body = _PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        body += _png_chunk(b"PLTE", np.ascontiguousarray(palette, dtype=np.uint8).tobytes())
+    body += _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+    body += _png_chunk(b"IEND", b"")
+    return body
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode a PNG into an (h, w, channels) uint8 array (palette
+    images expand to RGB). Raises ValueError on non-PNG input or
+    features outside the documented scope (bit depth != 8, Adam7)."""
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    i, n = 8, len(data)
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while i + 8 <= n:
+        (ln,) = struct.unpack(">I", data[i : i + 4])
+        tag = data[i + 4 : i + 8]
+        body = data[i + 8 : i + 8 + ln]
+        i += 12 + ln
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG without IHDR")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth}")
+    if interlace != 0:
+        raise ValueError("unsupported PNG interlace (Adam7)")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG payload length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = bytearray(stride)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        cur = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for i2 in range(ch, stride):
+                cur[i2] = (cur[i2] + cur[i2 - ch]) & 0xFF
+        elif f == 2:  # Up
+            for i2 in range(stride):
+                cur[i2] = (cur[i2] + prev[i2]) & 0xFF
+        elif f == 3:  # Average
+            for i2 in range(stride):
+                left = cur[i2 - ch] if i2 >= ch else 0
+                cur[i2] = (cur[i2] + ((left + prev[i2]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i2 in range(stride):
+                a = cur[i2 - ch] if i2 >= ch else 0
+                c = prev[i2 - ch] if i2 >= ch else 0
+                cur[i2] = (cur[i2] + _paeth(a, prev[i2], c)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = np.frombuffer(bytes(cur), dtype=np.uint8)
+        prev = cur
+    px = out.reshape(h, w, ch)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        px = plte[px[:, :, 0]]
+    return px
+
+
+# ----------------------------------------------------------------- BMP
+
+
+def encode_bmp(arr: np.ndarray, *, top_down: bool = False) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit BI_RGB BMP
+    (bottom-up by default; ``top_down`` writes the negative-height
+    variant)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, ch = arr.shape
+    if ch != 3:
+        raise ValueError("encode_bmp takes RGB")
+    pad = (-(w * 3)) % 4
+    rows = []
+    order = range(h) if top_down else range(h - 1, -1, -1)
+    for y in order:
+        rows.append(arr[y, :, ::-1].tobytes() + bytes(pad))  # RGB->BGR
+    pix = b"".join(rows)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+    )
+    head = b"BM" + struct.pack("<IHHI", 14 + 40 + len(pix), 0, 0, 14 + 40)
+    return head + dib + pix
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Decode an uncompressed BI_RGB BMP (8-bit palette / 24 / 32 bpp,
+    bottom-up or top-down) into (h, w, 3|4) uint8 RGB(A)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (offset,) = struct.unpack("<I", data[10:14])
+    dib_size, w, h_signed, planes, bpp = struct.unpack("<IiiHH", data[14:30])
+    if dib_size < 40:
+        raise ValueError("unsupported BMP header (BITMAPCOREHEADER)")
+    (compression,) = struct.unpack("<I", data[30:34])
+    if compression != 0:
+        raise ValueError(f"unsupported BMP compression {compression}")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    if bpp == 8:
+        (clr_used,) = struct.unpack("<I", data[46:50])
+        n_pal = clr_used or 256
+        pal_off = 14 + dib_size
+        pal = np.frombuffer(data[pal_off : pal_off + 4 * n_pal], dtype=np.uint8).reshape(-1, 4)
+        pal_rgb = pal[:, [2, 1, 0]]  # BGRA -> RGB
+        stride = (w + 3) & ~3
+        rows = np.frombuffer(data[offset : offset + stride * h], dtype=np.uint8).reshape(h, stride)[:, :w]
+        px = pal_rgb[rows]
+    elif bpp in (24, 32):
+        nb = bpp // 8
+        stride = (w * nb + 3) & ~3
+        rows = np.frombuffer(data[offset : offset + stride * h], dtype=np.uint8).reshape(h, stride)[
+            :, : w * nb
+        ].reshape(h, w, nb)
+        px = rows[:, :, [2, 1, 0]] if nb == 3 else rows[:, :, [2, 1, 0, 3]]
+    else:
+        raise ValueError(f"unsupported BMP bpp {bpp}")
+    if not top_down:
+        px = px[::-1]
+    return np.ascontiguousarray(px)
+
+
+# ----------------------------------------------------------------- GIF
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW: variable code width, CLEAR emitted first and on
+    dictionary overflow at 4096 entries."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    run = b""
+    for b in indices:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code >= 4096:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        run = bytes([b])
+    if run:
+        emit(table[run], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        bitbuf |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = bitbuf & ((1 << width) - 1)
+            bitbuf >>= width
+            nbits -= width
+            if code == clear:
+                table = list(base)
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _sub_blocks(data: bytes, i: int) -> tuple[bytes, int]:
+    chunks = []
+    while True:
+        ln = data[i]
+        i += 1
+        if ln == 0:
+            return b"".join(chunks), i
+        chunks.append(data[i : i + ln])
+        i += ln
+
+
+def encode_gif(
+    frames: list[np.ndarray],
+    palette: np.ndarray,
+    *,
+    delays_cs: list[int] | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Encode (h, w) uint8 palette-index frames + an (n<=256, 3) RGB
+    palette as a multi-frame GIF89a (all frames full-canvas here;
+    decode supports arbitrary rects)."""
+    palette = np.ascontiguousarray(palette, dtype=np.uint8)
+    n_pal = len(palette)
+    pal_bits = max(1, (n_pal - 1).bit_length())
+    pal_full = np.zeros((1 << pal_bits, 3), dtype=np.uint8)
+    pal_full[:n_pal] = palette
+    h, w = frames[0].shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | ((pal_bits - 1) << 4) | (pal_bits - 1), 0, 0])
+    out += pal_full.tobytes()
+    delays = delays_cs or [10] * len(frames)
+    min_code = max(2, pal_bits)
+    for fi, fr in enumerate(frames):
+        fr = np.ascontiguousarray(fr, dtype=np.uint8)
+        out += b"\x21\xf9\x04" + bytes([0]) + struct.pack("<H", delays[fi]) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, fr.shape[1], fr.shape[0])
+        out += bytes([0x40 if interlace else 0x00])
+        rows = fr
+        if interlace:
+            order = []
+            for start, step in _GIF_INTERLACE_PASSES:
+                order.extend(range(start, fr.shape[0], step))
+            rows = fr[order]
+        lzw = _lzw_encode(rows.tobytes(), min_code)
+        out.append(min_code)
+        for off in range(0, len(lzw), 255):
+            blk = lzw[off : off + 255]
+            out.append(len(blk))
+            out += blk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(data: bytes) -> list[dict]:
+    """Decode every frame of a GIF into
+    ``{"index", "delay_cs", "top", "left", "pixels": (h, w, 3) uint8}``
+    (palette applied; frames stay their own rects — no disposal
+    compositing)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    W, H = struct.unpack("<HH", data[6:10])
+    packed, _bg, _aspect = data[10], data[11], data[12]
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data[i : i + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        i += 3 * n
+    frames: list[dict] = []
+    delay = 0
+    while i < len(data):
+        b = data[i]
+        i += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = data[i]
+            i += 1
+            body, i = _sub_blocks(data, i)
+            if label == 0xF9 and len(body) >= 3:
+                (delay,) = struct.unpack("<H", body[1:3])
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        left, top, w, h = struct.unpack("<HHHH", data[i : i + 8])
+        fpacked = data[i + 8]
+        i += 9
+        pal = gct
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 0x07)
+            pal = np.frombuffer(data[i : i + 3 * n], dtype=np.uint8).reshape(-1, 3)
+            i += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame without any palette")
+        min_code = data[i]
+        i += 1
+        lzw, i = _sub_blocks(data, i)
+        idx = np.frombuffer(_lzw_decode(lzw, min_code)[: w * h], dtype=np.uint8).reshape(h, w)
+        if fpacked & 0x40:  # interlaced: invert the pass ordering
+            order = []
+            for start, step in _GIF_INTERLACE_PASSES:
+                order.extend(range(start, h, step))
+            deinter = np.empty_like(idx)
+            deinter[order] = idx
+            idx = deinter
+        frames.append(
+            {
+                "index": len(frames),
+                "delay_cs": int(delay),
+                "top": int(top),
+                "left": int(left),
+                "pixels": pal[idx],
+            }
+        )
+        delay = 0
+    return frames
+
+
+# ------------------------------------------------- deterministic fixtures
+
+
+def formula_pixels(seed: int, w: int, h: int, ch: int = 3) -> np.ndarray:
+    """The closed-form fixture pixels ``(seed + 3x + 7y + 11c) mod 256``
+    — an oracle can integrate any statistic of these algebraically
+    without decoding bytes."""
+    x = np.arange(w)[None, :, None]
+    y = np.arange(h)[:, None, None]
+    c = np.arange(ch)[None, None, :]
+    return ((seed + 3 * x + 7 * y + 11 * c) % 256).astype(np.uint8)

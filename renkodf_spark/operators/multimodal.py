@@ -3,17 +3,21 @@ columns with typed metadata, processed by Arrow-batched pandas
 iterators (`mapInPandas`).
 
 The Spark-side machinery — schemas, batch iteration, partitioning
-behavior — is real and tested, and so is the image *header* decode:
+behavior — is real and tested, and so is the decode itself (r10):
 `decode_image_meta` parses PNG/GIF/BMP/JPEG dimensions straight from
-the magic bytes with the stdlib `struct` module (no imaging library
-needed). Payloads in no known format fall back to deterministic
+the magic bytes with the stdlib `struct` module; `decode_image_pixels`
+and `frame_sample` do REAL pixel/frame decode for PNG / BMP / GIF with
+pure stdlib codecs (`imagecodec.py`: zlib + PNG unfilters, BMP raw,
+GIF LZW) — oracle-gated through formula-pixel fixtures and validated
+against system images. The remaining honest boundaries, reported
+per-row in a `status` column rather than raised: JPEG pixel decode
+(Huffman+DCT — an imaging library's job) and real video containers
+(ffmpeg). Payloads in no known format fall back to deterministic
 pseudo-metadata (md5-derived width/height, format='unknown') so the
-plumbing stays exercisable with text-as-bytes fixtures. Full *pixel*
-decode and video frame-sampling still require libraries absent from
-this container (PIL / ffmpeg) and remain explicit NotImplementedError
-contracts. At 100 TB the shape is what matters: binary columns never
-explode, batches stream through Arrow, and the decode stage is
-embarrassingly parallel with no shuffle.
+plumbing stays exercisable with text-as-bytes fixtures. At 100 TB the
+shape is what matters: binary columns never explode, batches stream
+through Arrow, and the decode stage is embarrassingly parallel with no
+shuffle.
 """
 
 from __future__ import annotations
@@ -234,15 +238,220 @@ def decode_image_meta(media: DataFrame, batch_size_hint: int = 1024) -> DataFram
     return media.mapInPandas(run, META_SCHEMA)
 
 
-def decode_image_pixels(media: DataFrame) -> DataFrame:
-    """Real pixel decode — requires an imaging library not present in
-    this container. The signature and schema are the contract."""
-    raise NotImplementedError(
-        "pixel decode needs PIL/libvips; wire it into the mapInPandas loop "
-        "of decode_image_meta with an ArrayType(IntegerType) output column"
-    )
+PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("pixels", T.ArrayType(T.IntegerType())),
+        T.StructField("status", T.StringType()),
+    ]
+)
 
 
-def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling placeholder — same contract pattern."""
-    raise NotImplementedError("frame sampling needs ffmpeg bindings")
+def decode_image_pixels(media: DataFrame, *, include_pixels: bool = False) -> DataFrame:
+    """Real pixel decode, no imaging library (r10 — closes the last
+    env-blocked contract alongside :func:`frame_sample`): PNG via
+    stdlib zlib + the five scanline unfilters, BMP raw, GIF via LZW
+    (first frame) — see ``imagecodec.py`` for scope; validated against
+    system PNGs/GIFs from libpng-era encoders. JPEG pixel decode stays
+    honestly unsupported (baseline needs Huffman+DCT — an imaging
+    library's job) and is reported per row in ``status`` rather than
+    raised, so one JPEG can't fail a 100 TB decode stage.
+
+    Output per payload: format/dimensions/``channels``, exact
+    ``pixel_sum``/``n_pixels`` (the oracle-able statistics), the
+    flattened pixel array when ``include_pixels`` (off by default —
+    stats travel, megapixels don't), and ``status``
+    ('ok' | 'unsupported: ...' | 'undecodable: ...')."""
+    from renkodf_spark.operators import imagecodec as ic
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p, mt in zip(pdf["media_id"], pdf["payload"], pdf["media_type"]):
+                parsed = parse_image_header(p) if _should_sniff(mt) else None
+                fmt = parsed[0] if parsed else "unknown"
+                px = None
+                status = "ok"
+                try:
+                    if fmt == "png":
+                        px = ic.decode_png(p)
+                    elif fmt == "bmp":
+                        px = ic.decode_bmp(p)
+                    elif fmt == "gif":
+                        px = ic.decode_gif_frames(p)[0]["pixels"]
+                    elif fmt == "jpeg":
+                        status = "unsupported: jpeg pixel decode needs Huffman+DCT"
+                    else:
+                        status = "unsupported: unknown format"
+                except ValueError as exc:
+                    status = f"unsupported: {exc}"
+                except Exception as exc:  # truncated/corrupt payloads
+                    status = f"undecodable: {type(exc).__name__}"
+                    px = None
+                if px is not None:
+                    h, w, ch = px.shape
+                    rows.append(
+                        (
+                            mid, fmt, w, h, ch,
+                            int(px.astype("int64").sum()), int(px.size),
+                            px.reshape(-1).astype("int32").tolist() if include_pixels else None,
+                            status,
+                        )
+                    )
+                else:
+                    rows.append((mid, fmt, None, None, None, None, None, None, status))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "format", "width", "height", "channels",
+                    "pixel_sum", "n_pixels", "pixels", "status",
+                ],
+            )
+
+    return media.mapInPandas(run, PIXEL_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.LongType()),
+        T.StructField("delay_cs", T.LongType()),
+        T.StructField("top", T.LongType()),
+        T.StructField("left", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("pixels", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def frame_sample(
+    media: DataFrame, every_n: int = 10, *, include_pixels: bool = False
+) -> DataFrame:
+    """Frame sampling over animated GIF payloads (r10): every
+    ``every_n``-th frame of each multi-frame GIF is decoded (LZW,
+    per-frame rect + delay; no disposal compositing — this is frame
+    EXTRACTION for training data, not animation rendering) into one
+    output row with exact pixel statistics. Non-GIF payloads yield no
+    rows — real video containers (mp4 etc.) still need ffmpeg, which is
+    the remaining honest boundary, but the operator contract (schema,
+    Arrow batching, sampling semantics) is now real and oracle-gated on
+    the format the container DOES support."""
+    from renkodf_spark.operators import imagecodec as ic
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p, mt in zip(pdf["media_id"], pdf["payload"], pdf["media_type"]):
+                parsed = parse_image_header(p) if _should_sniff(mt) else None
+                if not parsed or parsed[0] != "gif":
+                    continue
+                try:
+                    frames = ic.decode_gif_frames(p)
+                except Exception:
+                    continue
+                for fr in frames:
+                    if fr["index"] % every_n != 0:
+                        continue
+                    px = fr["pixels"]
+                    rows.append(
+                        (
+                            mid, fr["index"], fr["delay_cs"], fr["top"], fr["left"],
+                            px.shape[1], px.shape[0],
+                            int(px.astype("int64").sum()), int(px.size),
+                            px.reshape(-1).astype("int32").tolist() if include_pixels else None,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_index", "delay_cs", "top", "left",
+                    "width", "height", "pixel_sum", "n_pixels", "pixels",
+                ],
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+# ---------------------------------------- decodable synthetic payloads
+
+
+def synth_decodable_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fully-decodable synthetic corpus (vs :func:`synthetic_media`'s
+    header-only fixtures): id -> a REAL PNG / BMP / GIF file (id%3)
+    whose pixels follow the closed-form ``formula_pixels`` law with
+    seed=id, width=id%24+1, height=(id*7)%24+1 — PNG/BMP as RGB, GIF as
+    a grayscale identity palette (decoded RGB = 3x the index plane).
+    The gate oracle recomputes pixel_sum from the formula alone."""
+    from renkodf_spark.operators import imagecodec as ic
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        gray_pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+        for pdf in batches:
+            payloads, mtypes = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = i % 24 + 1, (i * 7) % 24 + 1
+                kind = i % 3
+                if kind == 0:
+                    payloads.append(ic.encode_png(ic.formula_pixels(i, w, h, 3)))
+                    mtypes.append("image/png")
+                elif kind == 1:
+                    payloads.append(ic.encode_bmp(ic.formula_pixels(i, w, h, 3), top_down=bool(i % 2)))
+                    mtypes.append("image/bmp")
+                else:
+                    idxs = ic.formula_pixels(i, w, h, 1)[:, :, 0]
+                    payloads.append(ic.encode_gif([idxs], gray_pal, interlace=bool(i % 2)))
+                    mtypes.append("image/gif")
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "media_type": mtypes, "payload": payloads}
+            )
+
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(run, MEDIA_SCHEMA)
+
+
+def synth_animated_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Multi-frame GIF corpus for :func:`frame_sample`: id -> a GIF
+    with ``id%3+2`` frames, frame f's index plane =
+    ``formula_pixels(id + 13*f, w, h, 1)``, delay ``(id+f) % 50 + 1``
+    centiseconds — all replayable in SQL."""
+    from renkodf_spark.operators import imagecodec as ic
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        gray_pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = i % 24 + 1, (i * 7) % 24 + 1
+                frames = [
+                    ic.formula_pixels(i + 13 * f, w, h, 1)[:, :, 0]
+                    for f in range(i % 3 + 2)
+                ]
+                payloads.append(
+                    ic.encode_gif(
+                        frames, gray_pal,
+                        delays_cs=[(i + f) % 50 + 1 for f in range(len(frames))],
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "media_type": ["image/gif"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(run, MEDIA_SCHEMA)

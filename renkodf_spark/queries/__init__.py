@@ -42,6 +42,8 @@ _PRIORITY = [
     # -- new in round 10 (never had a gate row)
     "renko_subchunked_wide",
     "hard_negative_pairs_ann_shuffle",
+    "multimodal_pixel_decode",
+    "multimodal_frame_sample",
     # -- new in round 9 (gate rows green r9)
     "hard_negative_pairs_ann",
     "bpe_merges_batched",

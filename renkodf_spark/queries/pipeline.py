@@ -530,3 +530,90 @@ def multimodal_real_headers(spark, sf_dir):
     media = multimodal.synthetic_media(_docs(spark, sf_dir))
     meta = multimodal.decode_image_meta(media)
     return meta.select("media_id", "format", "width", "height")
+
+
+# Real pixel decode (r10): fully-decodable PNG/BMP/GIF payloads whose
+# pixels follow the closed-form (id + 3x + 7y + 11c) mod 256 law, so
+# the oracle INTEGRATES the decoded statistics algebraically — DuckDB
+# never parses a byte, Spark decodes real zlib/LZW files; a codec bug
+# cannot cancel out because the two sides share only the formula.
+_MM_PIXELS_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id, doc_id % 24 + 1 AS w,
+         (doc_id * 7) % 24 + 1 AS h, doc_id % 3 AS kind
+  FROM documents),
+xs AS (SELECT media_id, w, h, kind, unnest(range(w)) AS x FROM m),
+ys AS (SELECT media_id, w, h, kind, x, unnest(range(h)) AS y FROM xs),
+px AS (
+  SELECT media_id, w, h, kind,
+         CASE WHEN kind IN (0, 1)
+              THEN (media_id + 3*x + 7*y) % 256
+                   + (media_id + 3*x + 7*y + 11) % 256
+                   + (media_id + 3*x + 7*y + 22) % 256
+              ELSE 3 * ((media_id + 3*x + 7*y) % 256)
+         END AS s
+  FROM ys)
+SELECT media_id,
+       CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'gif' END AS format,
+       w::BIGINT AS width, h::BIGINT AS height, 3::BIGINT AS channels,
+       SUM(s)::BIGINT AS pixel_sum, (3 * w * h)::BIGINT AS n_pixels,
+       'ok' AS status
+FROM px GROUP BY media_id, w, h, kind
+"""
+
+
+@query(
+    "multimodal_pixel_decode",
+    oracle=_MM_PIXELS_ORACLE,
+    doc="REAL pixel decode with pure stdlib codecs (r10, closes the "
+    "env-blocked contract): PNG through zlib + all five scanline "
+    "unfilters (per-row filter = y%5 at encode time), BMP raw rows "
+    "incl. top-down variants, GIF through LZW incl. interlaced frames "
+    "— decoded per payload in mapInPandas, exact pixel_sum/n_pixels "
+    "hash-matched against the formula integral.",
+)
+def multimodal_pixel_decode(spark, sf_dir):
+    media = multimodal.synth_decodable_media(_docs(spark, sf_dir))
+    return multimodal.decode_image_pixels(media).select(
+        "media_id", "format", "width", "height", "channels",
+        "pixel_sum", "n_pixels", "status",
+    )
+
+
+# Frame sampling (r10): multi-frame GIFs (id%3+2 frames, per-frame
+# delays and formula pixels seeded by id + 13*frame), sampled every
+# 2nd frame. Same oracle philosophy: the SQL replays the sampling
+# arithmetic and integrates the per-frame pixel law.
+_MM_FRAMES_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id, doc_id % 24 + 1 AS w,
+         (doc_id * 7) % 24 + 1 AS h, doc_id % 3 + 2 AS n_frames
+  FROM documents),
+fr AS (SELECT media_id, w, h, unnest(range(n_frames)) AS f FROM m),
+sampled AS (SELECT * FROM fr WHERE f % 2 = 0),
+xs AS (SELECT media_id, w, h, f, unnest(range(w)) AS x FROM sampled),
+ys AS (SELECT media_id, w, h, f, x, unnest(range(h)) AS y FROM xs)
+SELECT media_id, f::BIGINT AS frame_index,
+       ((media_id + f) % 50 + 1)::BIGINT AS delay_cs,
+       w::BIGINT AS width, h::BIGINT AS height,
+       SUM(3 * ((media_id + 13*f + 3*x + 7*y) % 256))::BIGINT AS pixel_sum,
+       (3 * w * h)::BIGINT AS n_pixels
+FROM ys GROUP BY media_id, f, w, h
+"""
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=_MM_FRAMES_ORACLE,
+    doc="animated-GIF frame sampling (r10, closes the env-blocked "
+    "frame-sampling contract for the format the container supports): "
+    "every 2nd frame of each multi-frame GIF decoded via LZW with its "
+    "per-frame delay, pixel sums hash-matched against the per-frame "
+    "formula integral.",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    media = multimodal.synth_animated_media(_docs(spark, sf_dir))
+    return multimodal.frame_sample(media, every_n=2).select(
+        "media_id", "frame_index", "delay_cs", "width", "height",
+        "pixel_sum", "n_pixels",
+    )

@@ -478,3 +478,61 @@ def formula_pixels(seed: int, w: int, h: int, ch: int = 3) -> np.ndarray:
     y = np.arange(h)[:, None, None]
     c = np.arange(ch)[None, None, :]
     return ((seed + 3 * x + 7 * y + 11 * c) % 256).astype(np.uint8)
+
+
+# ----------------------------------------------------------------- WAV
+# (lives here with the other pure-stdlib media codecs; audio is the
+# third opaque-binary modality the multimodal plumbing declares)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode (n, channels) int16 PCM samples as a canonical RIFF WAV."""
+    samples = np.ascontiguousarray(samples, dtype="<i2")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    data = samples.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16
+    )
+    body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM WAV into ((n, channels) int16 array, sample_rate).
+    16-bit integer PCM only (format tag 1) — float/ADPCM/extensible
+    raise ValueError; chunk walk skips unknown chunks (LIST, fact...)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    i, n = 12, len(data)
+    fmt = None
+    pcm = None
+    while i + 8 <= n:
+        tag = data[i : i + 4]
+        (ln,) = struct.unpack("<I", data[i + 4 : i + 8])
+        body = data[i + 8 : i + 8 + ln]
+        i += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            pcm = body
+            if fmt is not None:
+                break
+    if fmt is None or pcm is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, ch, rate, _bps, _align, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV encoding (fmt={audio_fmt}, bits={bits})")
+    arr = np.frombuffer(pcm[: len(pcm) - len(pcm) % (2 * ch)], dtype="<i2")
+    return arr.reshape(-1, ch), rate
+
+
+def formula_samples(seed: int, n: int, ch: int = 1) -> np.ndarray:
+    """Closed-form int16 fixture samples
+    ``((seed + 5i + 9c) mod 65536) - 32768`` — same oracle philosophy
+    as :func:`formula_pixels`."""
+    i = np.arange(n)[:, None]
+    c = np.arange(ch)[None, :]
+    return (((seed + 5 * i + 9 * c) % 65536) - 32768).astype(np.int16)

@@ -381,6 +381,101 @@ def frame_sample(
     return media.mapInPandas(run, FRAME_SCHEMA)
 
 
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sample_sum", T.LongType()),
+        T.StructField("samples", T.ArrayType(T.IntegerType())),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+
+def decode_audio_samples(media: DataFrame, *, include_samples: bool = False) -> DataFrame:
+    """PCM WAV decode (r10 — the audio modality's real decode, stdlib
+    struct + numpy): per payload the exact sample statistics
+    (``sample_sum`` over all channels, integer ``duration_ms``) plus
+    the flattened int16 samples when ``include_samples``. Non-RIFF or
+    non-16-bit-PCM payloads report ``status`` per row instead of
+    raising — compressed codecs (mp3/opus/aac) are the honest ffmpeg
+    boundary, same contract as JPEG pixels."""
+    from renkodf_spark.operators import imagecodec as ic
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    arr, rate = ic.decode_wav(p)
+                except ValueError as exc:
+                    rows.append((mid, None, None, None, None, None, None, f"unsupported: {exc}"))
+                    continue
+                except Exception as exc:
+                    rows.append((mid, None, None, None, None, None, None, f"undecodable: {type(exc).__name__}"))
+                    continue
+                n, ch = arr.shape
+                rows.append(
+                    (
+                        mid, rate, ch, n, n * 1000 // rate,
+                        int(arr.astype("int64").sum()),
+                        arr.reshape(-1).astype("int32").tolist() if include_samples else None,
+                        "ok",
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "channels", "n_samples",
+                    "duration_ms", "sample_sum", "samples", "status",
+                ],
+            )
+
+    return media.mapInPandas(run, AUDIO_SCHEMA)
+
+
+ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("window_index", T.LongType()),
+        T.StructField("n_in_window", T.LongType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+def audio_window_energy(media: DataFrame, *, window: int = 256) -> DataFrame:
+    """Per-window audio energy (the feature-extraction step of an audio
+    training pipeline): Σ sample² over each consecutive ``window``
+    samples (all channels), exact int64 — so the statistic is
+    engine-replayable, unlike a float RMS. One output row per
+    (payload, window); undecodable payloads yield no rows."""
+    from renkodf_spark.operators import imagecodec as ic
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    arr, _rate = ic.decode_wav(p)
+                except Exception:
+                    continue
+                sq = (arr.astype("int64") ** 2).sum(axis=1)
+                for wi in range(0, len(sq), window):
+                    blk = sq[wi : wi + window]
+                    rows.append((mid, wi // window, len(blk), int(blk.sum())))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "window_index", "n_in_window", "energy"]
+            )
+
+    return media.mapInPandas(run, ENERGY_SCHEMA)
+
+
 # ---------------------------------------- decodable synthetic payloads
 
 
@@ -450,6 +545,34 @@ def synth_animated_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {
                     "media_id": pdf[id_col],
                     "media_type": ["image/gif"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(run, MEDIA_SCHEMA)
+
+
+def synth_audio_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decodable PCM WAV corpus: id -> n_samples = id%1200+64 frames of
+    ``formula_samples(id)`` int16 audio, channels = id%2+1, sample_rate
+    = 8000 + (id%3)*4000 — every decoded statistic replayable in SQL."""
+    from renkodf_spark.operators import imagecodec as ic
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                payloads.append(
+                    ic.encode_wav(
+                        ic.formula_samples(i, i % 1200 + 64, i % 2 + 1),
+                        8000 + (i % 3) * 4000,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "media_type": ["audio/wav"] * len(payloads),
                     "payload": payloads,
                 }
             )

@@ -44,6 +44,8 @@ _PRIORITY = [
     "hard_negative_pairs_ann_shuffle",
     "multimodal_pixel_decode",
     "multimodal_frame_sample",
+    "multimodal_audio_meta",
+    "multimodal_audio_energy",
     # -- new in round 9 (gate rows green r9)
     "hard_negative_pairs_ann",
     "bpe_merges_batched",

@@ -617,3 +617,67 @@ def multimodal_frame_sample(spark, sf_dir):
         "media_id", "frame_index", "delay_cs", "width", "height",
         "pixel_sum", "n_pixels",
     )
+
+
+# Audio modality (r10): PCM WAV payloads with closed-form int16 samples
+# ((id + 5i + 9c) mod 65536) - 32768 — same oracle philosophy as the
+# pixel decode: DuckDB integrates the decoded statistics, Spark decodes
+# real RIFF bytes.
+_MM_AUDIO_BASE = """
+m AS (
+  SELECT doc_id AS media_id, doc_id % 1200 + 64 AS n,
+         doc_id % 2 + 1 AS ch, 8000 + (doc_id % 3) * 4000 AS rate
+  FROM documents),
+si AS (SELECT media_id, n, ch, rate, unnest(range(n)) AS i FROM m),
+sc AS (SELECT media_id, n, ch, rate, i, unnest(range(ch)) AS c FROM si),
+sv AS (SELECT media_id, n, ch, rate, i,
+              (media_id + 5*i + 9*c) % 65536 - 32768 AS s
+       FROM sc)
+"""
+
+_MM_AUDIO_ORACLE = f"""
+WITH {_MM_AUDIO_BASE}
+SELECT media_id, rate::BIGINT AS sample_rate, ch::BIGINT AS channels,
+       n::BIGINT AS n_samples, (n * 1000 // rate)::BIGINT AS duration_ms,
+       SUM(s)::BIGINT AS sample_sum, 'ok' AS status
+FROM sv GROUP BY media_id, rate, ch, n
+"""
+
+
+@query(
+    "multimodal_audio_meta",
+    oracle=_MM_AUDIO_ORACLE,
+    doc="REAL PCM WAV decode (r10, the audio modality): RIFF chunk "
+    "walk + int16 samples via stdlib struct/numpy, exact sample_sum "
+    "and integer duration hash-matched against the formula integral; "
+    "compressed codecs (mp3/opus) report per-row status — the honest "
+    "ffmpeg boundary.",
+)
+def multimodal_audio_meta(spark, sf_dir):
+    media = multimodal.synth_audio_media(_docs(spark, sf_dir))
+    return multimodal.decode_audio_samples(media).select(
+        "media_id", "sample_rate", "channels", "n_samples",
+        "duration_ms", "sample_sum", "status",
+    )
+
+
+_MM_ENERGY_ORACLE = f"""
+WITH {_MM_AUDIO_BASE}
+SELECT media_id, (i // 256)::BIGINT AS window_index,
+       (COUNT(*) / MIN(ch))::BIGINT AS n_in_window,
+       SUM(s * s)::BIGINT AS energy
+FROM sv GROUP BY media_id, i // 256
+"""
+
+
+@query(
+    "multimodal_audio_energy",
+    oracle=_MM_ENERGY_ORACLE,
+    doc="per-window audio energy (r10, the audio feature-extraction "
+    "step): sum of squared int16 samples over consecutive 256-sample "
+    "windows across channels — exact int64, so the whole decode + "
+    "feature path replays in SQL.",
+)
+def multimodal_audio_energy(spark, sf_dir):
+    media = multimodal.synth_audio_media(_docs(spark, sf_dir))
+    return multimodal.audio_window_energy(media, window=256)

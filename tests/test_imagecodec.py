@@ -200,3 +200,83 @@ def test_frame_sample_operator(spark):
         spark.range(0, 30, 3).selectExpr("id AS doc_id")  # id%3==0 -> all PNG
     )
     assert multimodal.frame_sample(png_only, every_n=1).count() == 0
+
+
+# ----------------------------------------------------------------- WAV
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    for ch in (1, 2):
+        s = ic.formula_samples(123, 1000, ch)
+        arr, rate = ic.decode_wav(ic.encode_wav(s, 8000))
+        assert rate == 8000 and arr.shape == (1000, ch)
+        np.testing.assert_array_equal(arr, s)
+
+
+def test_wav_skips_unknown_chunks_and_rejects_float():
+    s = ic.formula_samples(9, 64, 1)
+    data = ic.encode_wav(s, 16000)
+    # splice a LIST chunk (odd length -> exercises word alignment)
+    import struct as st
+
+    inject = b"LIST" + st.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = data[:12] + inject + data[12:]
+    spliced = spliced[:4] + st.pack("<I", len(spliced) - 8) + spliced[8:]
+    arr, rate = ic.decode_wav(spliced)
+    np.testing.assert_array_equal(arr, s)
+
+    bad = bytearray(data)
+    bad[20] = 3  # IEEE float format tag
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        ic.decode_wav(bytes(bad))
+    with pytest.raises(ValueError, match="RIFF"):
+        ic.decode_wav(b"nope")
+
+
+def test_decode_audio_samples_operator(spark):
+    from renkodf_spark.operators import multimodal
+
+    ids = spark.range(20).selectExpr("id AS doc_id")
+    rows = {
+        r["media_id"]: r
+        for r in multimodal.decode_audio_samples(
+            multimodal.synth_audio_media(ids), include_samples=True
+        ).collect()
+    }
+    for i, r in rows.items():
+        n, ch = i % 1200 + 64, i % 2 + 1
+        want = ic.formula_samples(i, n, ch)
+        assert r["status"] == "ok"
+        assert (r["n_samples"], r["channels"]) == (n, ch)
+        assert r["sample_rate"] == 8000 + (i % 3) * 4000
+        assert r["duration_ms"] == n * 1000 // r["sample_rate"]
+        assert r["sample_sum"] == int(want.astype("int64").sum())
+        np.testing.assert_array_equal(
+            np.array(r["samples"], dtype=np.int16).reshape(n, ch), want
+        )
+    # non-WAV payload reports status, no exception
+    bad = multimodal.documents_as_media(
+        spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    )
+    (br,) = multimodal.decode_audio_samples(bad).collect()
+    assert br["status"].startswith("unsupported") and br["sample_sum"] is None
+
+
+def test_audio_window_energy_operator(spark):
+    from renkodf_spark.operators import multimodal
+
+    ids = spark.range(6).selectExpr("id AS doc_id")
+    out = multimodal.audio_window_energy(
+        multimodal.synth_audio_media(ids), window=256
+    ).collect()
+    by_key = {(r["media_id"], r["window_index"]): r for r in out}
+    total = 0
+    for i in range(6):
+        n, ch = i % 1200 + 64, i % 2 + 1
+        sq = (ic.formula_samples(i, n, ch).astype("int64") ** 2).sum(axis=1)
+        for wi in range(0, n, 256):
+            total += 1
+            r = by_key[(i, wi // 256)]
+            assert r["energy"] == int(sq[wi : wi + 256].sum())
+            assert r["n_in_window"] == len(sq[wi : wi + 256])
+    assert len(out) == total

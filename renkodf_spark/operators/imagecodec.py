@@ -536,3 +536,102 @@ def formula_samples(seed: int, n: int, ch: int = 1) -> np.ndarray:
     i = np.arange(n)[:, None]
     c = np.arange(ch)[None, :]
     return (((seed + 5 * i + 9 * c) % 65536) - 32768).astype(np.int16)
+
+
+# ----------------------------------------------------------------- AVI
+# Uncompressed ('DIB ') AVI: the RIFF walk again, with BMP-style raw
+# frames — a REAL video container decodable without ffmpeg. Compressed
+# fourccs (mjpg, h264...) are the honest ffmpeg boundary.
+
+
+def encode_avi(frames: list[np.ndarray], fps: int = 25) -> bytes:
+    """Encode (h, w, 3) uint8 RGB frames as an uncompressed 24-bit AVI
+    ('vids'/'DIB ' stream, bottom-up BGR rows padded to 4 bytes)."""
+    h, w, _ = frames[0].shape
+    pad = (-(w * 3)) % 4
+    frame_size = (w * 3 + pad) * h
+    us_per_frame = 1_000_000 // fps
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        us_per_frame, frame_size * fps, 0, 0x10, len(frames), 0, 1,
+        frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids"
+        + b"DIB "
+        # flags, priority, language, initial_frames, scale, rate, start,
+        # length, suggested_buffer, quality, sample_size
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), frame_size, 0xFFFFFFFF, 0)
+        + struct.pack("<HHHH", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return b"LIST" + struct.pack("<I", 4 + len(body)) + kind + body
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi_body = b""
+    for fr in frames:
+        fr = np.ascontiguousarray(fr, dtype=np.uint8)
+        rows = b"".join(
+            fr[y, :, ::-1].tobytes() + bytes(pad) for y in range(h - 1, -1, -1)
+        )
+        movi_body += chunk(b"00db", rows)
+    movi = lst(b"movi", movi_body)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_frames(data: bytes) -> tuple[list[np.ndarray], int]:
+    """Decode an uncompressed 24-bit AVI into ((h, w, 3) RGB frame
+    list, microseconds-per-frame). Compressed streams ('00dc' without a
+    'DIB ' fourcc, MJPG etc.) raise ValueError — the ffmpeg boundary."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    w = h = None
+    us_per_frame = 0
+    bpp = 24
+    frames: list[np.ndarray] = []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal w, h, us_per_frame, bpp
+        i = lo
+        while i + 8 <= hi:
+            tag = data[i : i + 4]
+            (ln,) = struct.unpack("<I", data[i + 4 : i + 8])
+            body_lo = i + 8
+            body_hi = min(body_lo + ln, hi)
+            if tag == b"LIST":
+                walk(body_lo + 4, body_hi)  # skip the list kind fourcc
+            elif tag == b"avih":
+                (us_per_frame,) = struct.unpack("<I", data[body_lo : body_lo + 4])
+                w, h = struct.unpack("<II", data[body_lo + 32 : body_lo + 40])
+            elif tag == b"strh":
+                fourcc = data[body_lo + 4 : body_lo + 8]
+                if data[body_lo : body_lo + 4] == b"vids" and fourcc not in (
+                    b"DIB ", b"\x00\x00\x00\x00",
+                ):
+                    raise ValueError(f"unsupported AVI codec {fourcc!r} (needs ffmpeg)")
+            elif tag == b"strf":
+                (bpp,) = struct.unpack("<H", data[body_lo + 14 : body_lo + 16])
+                if bpp != 24:
+                    raise ValueError(f"unsupported AVI bit depth {bpp}")
+            elif tag in (b"00db", b"00dc"):
+                if w is None:
+                    raise ValueError("AVI frame before avih header")
+                pad = (-(w * 3)) % 4
+                stride = w * 3 + pad
+                raw = np.frombuffer(data[body_lo : body_lo + stride * h], dtype=np.uint8)
+                fr = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+                frames.append(np.ascontiguousarray(fr[::-1]))
+            i = body_lo + ln + (ln & 1)
+
+    walk(12, len(data))
+    if not frames:
+        raise ValueError("AVI with no decodable frames")
+    return frames, int(us_per_frame)

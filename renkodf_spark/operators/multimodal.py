@@ -336,28 +336,44 @@ FRAME_SCHEMA = T.StructType(
 def frame_sample(
     media: DataFrame, every_n: int = 10, *, include_pixels: bool = False
 ) -> DataFrame:
-    """Frame sampling over animated GIF payloads (r10): every
-    ``every_n``-th frame of each multi-frame GIF is decoded (LZW,
-    per-frame rect + delay; no disposal compositing — this is frame
-    EXTRACTION for training data, not animation rendering) into one
-    output row with exact pixel statistics. Non-GIF payloads yield no
-    rows — real video containers (mp4 etc.) still need ffmpeg, which is
-    the remaining honest boundary, but the operator contract (schema,
-    Arrow batching, sampling semantics) is now real and oracle-gated on
-    the format the container DOES support."""
+    """Frame sampling over animated GIFs AND uncompressed AVI video
+    (r10): every ``every_n``-th frame is decoded (GIF: LZW with
+    per-frame rect + delay, no disposal compositing; AVI: raw 'DIB '
+    frames with the container's constant frame duration) into one
+    output row with exact pixel statistics — frame EXTRACTION for
+    training data, not animation rendering. Payloads in compressed
+    video codecs (MJPG/H.264/mp4...) and unknown formats yield no
+    rows — that decode genuinely needs ffmpeg, which is the remaining
+    honest boundary; the container walk, sampling semantics and
+    statistics are real and oracle-gated on the formats stdlib CAN
+    decode."""
     from renkodf_spark.operators import imagecodec as ic
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, p, mt in zip(pdf["media_id"], pdf["payload"], pdf["media_type"]):
-                parsed = parse_image_header(p) if _should_sniff(mt) else None
-                if not parsed or parsed[0] != "gif":
-                    continue
-                try:
-                    frames = ic.decode_gif_frames(p)
-                except Exception:
-                    continue
+                frames = None
+                if len(p) >= 12 and p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+                    try:
+                        avi_frames, us = ic.decode_avi_frames(p)
+                        frames = [
+                            {
+                                "index": i, "delay_cs": us // 10_000,
+                                "top": 0, "left": 0, "pixels": fr,
+                            }
+                            for i, fr in enumerate(avi_frames)
+                        ]
+                    except Exception:
+                        continue
+                else:
+                    parsed = parse_image_header(p) if _should_sniff(mt) else None
+                    if not parsed or parsed[0] != "gif":
+                        continue
+                    try:
+                        frames = ic.decode_gif_frames(p)
+                    except Exception:
+                        continue
                 for fr in frames:
                     if fr["index"] % every_n != 0:
                         continue
@@ -573,6 +589,34 @@ def synth_audio_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {
                     "media_id": pdf[id_col],
                     "media_type": ["audio/wav"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(run, MEDIA_SCHEMA)
+
+
+def synth_video_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decodable uncompressed-AVI corpus: id -> ``id%3+2`` RGB frames of
+    ``formula_pixels(id + 13*f)`` at fps = 10 + id%4 (so the frame
+    duration is id-derivable too) — the video-container twin of
+    :func:`synth_animated_media`."""
+    from renkodf_spark.operators import imagecodec as ic
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = i % 24 + 1, (i * 7) % 24 + 1
+                frames = [
+                    ic.formula_pixels(i + 13 * f, w, h, 3) for f in range(i % 3 + 2)
+                ]
+                payloads.append(ic.encode_avi(frames, fps=10 + i % 4))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "media_type": ["video/x-msvideo"] * len(payloads),
                     "payload": payloads,
                 }
             )

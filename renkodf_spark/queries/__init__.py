@@ -46,6 +46,7 @@ _PRIORITY = [
     "multimodal_frame_sample",
     "multimodal_audio_meta",
     "multimodal_audio_energy",
+    "multimodal_video_frames",
     # -- new in round 9 (gate rows green r9)
     "hard_negative_pairs_ann",
     "bpe_merges_batched",

@@ -681,3 +681,49 @@ FROM sv GROUP BY media_id, i // 256
 def multimodal_audio_energy(spark, sf_dir):
     media = multimodal.synth_audio_media(_docs(spark, sf_dir))
     return multimodal.audio_window_energy(media, window=256)
+
+
+# Video container (r10): uncompressed AVI with formula-pixel RGB frames
+# — frame_sample walks a REAL video container without ffmpeg; the
+# oracle replays the per-frame law and the container's constant frame
+# duration (fps = 10 + id%4; delay_cs = (1000000 // fps) // 10000).
+_MM_VIDEO_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id, doc_id % 24 + 1 AS w,
+         (doc_id * 7) % 24 + 1 AS h, doc_id % 3 + 2 AS n_frames,
+         10 + doc_id % 4 AS fps
+  FROM documents),
+fr AS (SELECT media_id, w, h, fps, unnest(range(n_frames)) AS f FROM m),
+sampled AS (SELECT * FROM fr WHERE f % 2 = 0),
+xs AS (SELECT media_id, w, h, fps, f, unnest(range(w)) AS x FROM sampled),
+ys AS (SELECT media_id, w, h, fps, f, x, unnest(range(h)) AS y FROM xs),
+px AS (
+  SELECT media_id, w, h, fps, f,
+         (media_id + 13*f + 3*x + 7*y) % 256
+         + (media_id + 13*f + 3*x + 7*y + 11) % 256
+         + (media_id + 13*f + 3*x + 7*y + 22) % 256 AS s
+  FROM ys)
+SELECT media_id, f::BIGINT AS frame_index,
+       ((1000000 // fps) // 10000)::BIGINT AS delay_cs,
+       w::BIGINT AS width, h::BIGINT AS height,
+       SUM(s)::BIGINT AS pixel_sum, (3 * w * h)::BIGINT AS n_pixels
+FROM px GROUP BY media_id, f, w, h, fps
+"""
+
+
+@query(
+    "multimodal_video_frames",
+    oracle=_MM_VIDEO_ORACLE,
+    doc="frame sampling over a REAL video container (r10): uncompressed "
+    "24-bit AVI walked via the RIFF structure (avih/strl/movi, raw "
+    "'DIB ' frames, codec gate raising only for compressed fourccs — "
+    "the honest ffmpeg boundary); every 2nd frame's exact pixel sum "
+    "and the container frame duration hash-matched against the "
+    "formula replay.",
+)
+def multimodal_video_frames(spark, sf_dir):
+    media = multimodal.synth_video_media(_docs(spark, sf_dir))
+    return multimodal.frame_sample(media, every_n=2).select(
+        "media_id", "frame_index", "delay_cs", "width", "height",
+        "pixel_sum", "n_pixels",
+    )

@@ -280,3 +280,44 @@ def test_audio_window_energy_operator(spark):
             assert r["energy"] == int(sq[wi : wi + 256].sum())
             assert r["n_in_window"] == len(sq[wi : wi + 256])
     assert len(out) == total
+
+
+# ----------------------------------------------------------------- AVI
+
+
+def test_avi_roundtrip_and_codec_gate():
+    frames = [rng.randint(0, 256, size=(9, 5, 3), dtype=np.uint8) for _ in range(4)]
+    dec, us = ic.decode_avi_frames(ic.encode_avi(frames, fps=20))
+    assert us == 50_000 and len(dec) == 4
+    for a, b in zip(frames, dec):
+        np.testing.assert_array_equal(a, b)
+    # compressed fourcc -> the documented ffmpeg boundary
+    data = bytearray(ic.encode_avi(frames[:1]))
+    i = data.find(b"vids")
+    data[i + 4 : i + 8] = b"MJPG"
+    with pytest.raises(ValueError, match="needs ffmpeg"):
+        ic.decode_avi_frames(bytes(data))
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        ic.decode_avi_frames(b"RIFFxxxxWAVE")
+
+
+def test_frame_sample_over_avi(spark):
+    """frame_sample walks the AVI container: every_n sampling, the
+    container's constant frame duration, exact per-frame pixel sums."""
+    from renkodf_spark.operators import multimodal
+
+    ids = spark.range(8).selectExpr("id AS doc_id")
+    out = multimodal.frame_sample(
+        multimodal.synth_video_media(ids), every_n=2
+    ).collect()
+    by_key = {(r["media_id"], r["frame_index"]): r for r in out}
+    expect = 0
+    for i in range(8):
+        w, h, fps = i % 24 + 1, (i * 7) % 24 + 1, 10 + i % 4
+        for f in range(0, i % 3 + 2, 2):
+            expect += 1
+            r = by_key[(i, f)]
+            assert r["delay_cs"] == (1_000_000 // fps) // 10_000
+            want = int(ic.formula_pixels(i + 13 * f, w, h, 3).astype("int64").sum())
+            assert r["pixel_sum"] == want and (r["width"], r["height"]) == (w, h)
+    assert len(out) == expect

@@ -4,12 +4,12 @@ matching encoders for deterministic fixtures.
 This closes the two long-standing env-blocked contracts in
 ``multimodal.py`` (pixel decode, frame sampling) WITHOUT new
 dependencies: PNG needs only ``zlib`` (stdlib) plus the five scanline
-filters, BMP is raw bytes with padding, and GIF is self-contained LZW —
-all implementable exactly from the public specs (PNG: RFC 2083 / W3C
-PNG spec §6 filters; BMP: BITMAPINFOHEADER layout; GIF: GIF89a spec
-appendix F LZW). JPEG stays honestly unsupported (baseline decode needs
-Huffman+DCT — a real imaging library's job, reference contract
-unchanged).
+filters, BMP is raw bytes with padding, GIF is self-contained LZW,
+baseline JPEG is Huffman + an 8x8 IDCT (numpy matmul), PCM WAV and
+uncompressed AVI are RIFF walks — all implementable from the public
+specs (PNG: RFC 2083 / W3C spec §6 filters; BMP: BITMAPINFOHEADER;
+GIF: GIF89a appendix F LZW; JPEG: ITU T.81 baseline; RIFF/AVI: the
+MS container docs).
 
 Scope (documented, test-pinned):
 - PNG: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette→RGB),
@@ -20,6 +20,12 @@ Scope (documented, test-pinned):
   reset, interlaced frames, multi-frame with per-frame delay (frames
   are decoded as their own rects — no disposal compositing, which is
   animation RENDERING, not data extraction).
+- JPEG: baseline sequential (SOF0/1), table-driven Huffman from the
+  file's own DHT, 4:4:4/4:2:2/4:2:0 with nearest upsample, restart
+  intervals; progressive/arithmetic/12-bit raise ValueError.
+- WAV: 16-bit integer PCM, chunk walk skips unknown chunks.
+- AVI: uncompressed 24-bit 'DIB ' streams; compressed fourccs raise
+  (the genuine ffmpeg boundary).
 
 The encoders exist so fixtures are self-made and deterministic: the
 gate queries synthesize payloads whose pixels follow a closed-form
@@ -227,7 +233,13 @@ def decode_bmp(data: bytes) -> np.ndarray:
     if dib_size < 40:
         raise ValueError("unsupported BMP header (BITMAPCOREHEADER)")
     (compression,) = struct.unpack("<I", data[30:34])
-    if compression != 0:
+    if compression == 3 and bpp == 32 and dib_size >= 56:
+        # BI_BITFIELDS with the STANDARD BGRA masks is byte-identical
+        # to plain 32bpp (the layout BITMAPV4/V5 writers emit)
+        masks = struct.unpack("<III", data[54:66])
+        if masks != (0x00FF0000, 0x0000FF00, 0x000000FF):
+            raise ValueError(f"unsupported BMP channel masks {[hex(m) for m in masks]}")
+    elif compression != 0:
         raise ValueError(f"unsupported BMP compression {compression}")
     top_down = h_signed < 0
     h = abs(h_signed)
@@ -635,3 +647,411 @@ def decode_avi_frames(data: bytes) -> tuple[list[np.ndarray], int]:
     if not frames:
         raise ValueError("AVI with no decodable frames")
     return frames, int(us_per_frame)
+
+
+# ---------------------------------------------------------------- JPEG
+# Baseline sequential JPEG (SOF0), both directions, pure stdlib+numpy.
+# The decoder is TABLE-DRIVEN — Huffman tables come from the file's own
+# DHT segments, quantization from DQT — so it decodes real-world
+# baseline files, not just our encoder's output. Progressive (SOF2),
+# arithmetic coding and 12-bit precision raise ValueError (scope).
+# The encoder emits 4:4:4 (or grayscale) with CUSTOM flat-length
+# canonical Huffman tables (all DC categories at one code length, all
+# 162 AC symbols at another) — valid canonical tables any conformant
+# decoder accepts, with zero hardcoded spec tables to mis-remember.
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)
+
+_DCT_C = np.array(
+    [
+        [np.sqrt(1 / 8)] * 8
+    ]
+    + [
+        [np.sqrt(2 / 8) * np.cos((2 * x + 1) * u * np.pi / 16) for x in range(8)]
+        for u in range(1, 8)
+    ]
+)
+
+
+def _idct2(block: np.ndarray) -> np.ndarray:
+    return _DCT_C.T @ block @ _DCT_C
+
+
+def _fdct2(block: np.ndarray) -> np.ndarray:
+    return _DCT_C @ block @ _DCT_C.T
+
+
+class _HuffDecoder:
+    """Canonical Huffman decoder from a DHT (counts[16], symbols)."""
+
+    def __init__(self, counts, symbols):
+        self.lookup = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                self.lookup[(length, code)] = symbols[k]
+                k += 1
+                code += 1
+            code <<= 1
+
+    def read(self, br) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.bit()
+            sym = self.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing;
+    stops at markers (restart handling is the caller's job)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError("unexpected marker inside scan")
+            self.buf = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_to_marker(self) -> int:
+        """Drop partial bits and consume a marker (for restarts)."""
+        self.nbits = 0
+        while self.data[self.pos] == 0xFF and self.data[self.pos + 1] == 0xFF:
+            self.pos += 1  # fill bytes
+        if self.data[self.pos] != 0xFF:
+            raise ValueError("expected restart marker")
+        m = self.data[self.pos + 1]
+        self.pos += 2
+        return m
+
+
+def _extend(v: int, size: int) -> int:
+    return v if size == 0 or v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline (SOF0) JPEG into (h, w, 3) RGB or (h, w, 1)
+    grayscale uint8. Handles 4:4:4 / 4:2:2 / 4:2:0 subsampling (nearest
+    upsample), restart intervals, multiple DHT/DQT segments."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    i = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffDecoder] = {}
+    huff_ac: dict[int, _HuffDecoder] = {}
+    frame = None
+    restart_interval = 0
+    while True:
+        if data[i] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = data[i + 1]
+        i += 2
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue
+        if marker == 0xD9:
+            raise ValueError("JPEG EOI before scan")
+        (seglen,) = struct.unpack(">H", data[i : i + 2])
+        seg = data[i + 2 : i + seglen]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0xF
+                j += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[j : j + 64], dtype=np.uint8).astype(np.int32)
+                    j += 64
+                else:
+                    tbl = np.frombuffer(seg[j : j + 128], dtype=">u2").astype(np.int32)
+                    j += 128
+                qt[tq] = tbl
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0xF
+                counts = list(seg[j + 1 : j + 17])
+                n = sum(counts)
+                symbols = list(seg[j + 17 : j + 17 + n])
+                (huff_dc if tc == 0 else huff_ac)[th] = _HuffDecoder(counts, symbols)
+                j += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline-ish)
+            prec = seg[0]
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported JPEG mode (progressive/arithmetic)")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan_sel = {}
+            for c in range(ns):
+                cid, tabs = seg[1 + 2 * c : 3 + 2 * c]
+                scan_sel[cid] = (tabs >> 4, tabs & 0xF)
+            i += seglen
+            return _decode_scan(
+                data, i, frame, scan_sel, qt, huff_dc, huff_ac, restart_interval
+            )
+        i += seglen
+
+
+def _decode_scan(data, pos, frame, scan_sel, qt, huff_dc, huff_ac, dri):
+    w, h, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for c in comps:
+        planes.append(np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64))
+    br = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu_count and mcu_count % dri == 0:
+                m = br.align_to_marker()
+                if not (0xD0 <= m <= 0xD7):
+                    raise ValueError("missing JPEG restart marker")
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dc_t, ac_t = scan_sel[c["id"]]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = huff_dc[dc_t].read(br)
+                        diff = _extend(br.bits(s), s) if s else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = huff_ac[ac_t].read(br)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflow")
+                            zz[k] = _extend(br.bits(s), s)
+                            k += 1
+                        blk = np.zeros(64, dtype=np.float64)
+                        blk[_ZIGZAG] = zz * q
+                        px = _idct2(blk.reshape(8, 8)) + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu_count += 1
+    # upsample to full resolution and crop
+    out = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        return np.clip(np.round(out[0]), 0, 255).astype(np.uint8)[:, :, None]
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        for k in range(width - 1, -1, -1):
+            self.buf = (self.buf << 1) | ((code >> k) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.buf)
+                if self.buf == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.buf = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        if self.nbits:
+            self.buf <<= 8 - self.nbits
+            self.buf |= (1 << (8 - self.nbits)) - 1  # pad with 1s per spec
+            self.out.append(self.buf)
+            if self.buf == 0xFF:
+                self.out.append(0x00)
+            self.buf = 0
+            self.nbits = 0
+
+
+# flat canonical tables (see module note): every DC category at code
+# length 4, every AC (run,size) symbol at code length 8 — valid DHT any
+# conformant decoder accepts, nothing spec-memorized to get wrong.
+_JPEG_DC_SYMS = list(range(12))
+_JPEG_AC_SYMS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_JPEG_DC_COUNTS = [0, 0, 0, 12] + [0] * 12
+_JPEG_AC_COUNTS = [0] * 7 + [len(_JPEG_AC_SYMS)] + [0] * 8
+
+
+def _flat_codes(counts, symbols):
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[symbols[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return codes
+
+_JPEG_DC_CODES = _flat_codes(_JPEG_DC_COUNTS, _JPEG_DC_SYMS)
+_JPEG_AC_CODES = _flat_codes(_JPEG_AC_COUNTS, _JPEG_AC_SYMS)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def encode_jpeg(arr: np.ndarray, *, quant: int = 1, restart_interval: int = 0) -> bytes:
+    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
+    baseline 4:4:4 JPEG with uniform quantization ``quant`` (1 =
+    highest fidelity; grayscale images whose pixels are constant within
+    each aligned 8x8 block round-trip BIT-EXACTLY at quant=1 — only the
+    integer DC coefficient survives the DCT, which is what makes the
+    decode oracle-able)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if gray:
+        planes = [arr.astype(np.float64)]
+    else:
+        r, g, b = (arr[:, :, k].astype(np.float64) for k in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = []
+    for p in planes:
+        q = np.empty((ph, pw))
+        q[:h, :w] = p
+        q[h:, :w] = p[-1:, :]
+        q[:, w:] = q[:, w - 1 : w]
+        padded.append(q)
+
+    qtab = np.full(64, quant, dtype=np.int32)
+    bw = _BitWriter()
+    pred = [0] * len(planes)
+    mcu_count = 0
+    rst = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+                pred = [0] * len(planes)
+            mcu_count += 1
+            for ci, p in enumerate(padded):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = np.round(_fdct2(blk) / qtab.reshape(8, 8)).astype(np.int64)
+                zz = coef.reshape(-1)[_ZIGZAG]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                s = _category(diff)
+                code, ln = _JPEG_DC_CODES[s]
+                bw.write(code, ln)
+                if s:
+                    bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                run = 0
+                last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+                for k in range(1, last_nz + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        c, ln = _JPEG_AC_CODES[0xF0]
+                        bw.write(c, ln)
+                        run -= 16
+                    s = _category(v)
+                    c, ln = _JPEG_AC_CODES[(run << 4) | s]
+                    bw.write(c, ln)
+                    bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last_nz < 63:
+                    c, ln = _JPEG_AC_CODES[0x00]
+                    bw.write(c, ln)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    ncomp = len(planes)
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(qtab.reshape(-1)[_ZIGZAG].astype(np.uint8)))
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_COUNTS) + bytes(_JPEG_DC_SYMS)
+        + bytes([0x10]) + bytes(_JPEG_AC_COUNTS) + bytes(_JPEG_AC_SYMS),
+    )
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0])  # component id, 1x1 sampling, qtab 0
+    out += seg(0xC0, sof)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

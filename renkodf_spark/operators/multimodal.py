@@ -5,14 +5,14 @@ iterators (`mapInPandas`).
 The Spark-side machinery — schemas, batch iteration, partitioning
 behavior — is real and tested, and so is the decode itself (r10):
 `decode_image_meta` parses PNG/GIF/BMP/JPEG dimensions straight from
-the magic bytes with the stdlib `struct` module; `decode_image_pixels`
-and `frame_sample` do REAL pixel/frame decode for PNG / BMP / GIF with
-pure stdlib codecs (`imagecodec.py`: zlib + PNG unfilters, BMP raw,
-GIF LZW) — oracle-gated through formula-pixel fixtures and validated
-against system images. The remaining honest boundaries, reported
-per-row in a `status` column rather than raised: JPEG pixel decode
-(Huffman+DCT — an imaging library's job) and real video containers
-(ffmpeg). Payloads in no known format fall back to deterministic
+the magic bytes with the stdlib `struct` module; `decode_image_pixels`,
+`frame_sample` and `decode_audio_samples` do REAL decode for
+PNG / BMP / GIF / baseline JPEG / uncompressed AVI / PCM WAV with pure
+stdlib+numpy codecs (`imagecodec.py`) — oracle-gated through
+closed-form fixtures and validated against system images from external
+encoders. The remaining honest boundaries, reported per-row in a
+`status` column rather than raised: progressive JPEG, compressed
+video/audio codecs (the genuine ffmpeg territory). Payloads in no known format fall back to deterministic
 pseudo-metadata (md5-derived width/height, format='unknown') so the
 plumbing stays exercisable with text-as-bytes fixtures. At 100 TB the
 shape is what matters: binary columns never explode, batches stream
@@ -257,11 +257,12 @@ def decode_image_pixels(media: DataFrame, *, include_pixels: bool = False) -> Da
     """Real pixel decode, no imaging library (r10 — closes the last
     env-blocked contract alongside :func:`frame_sample`): PNG via
     stdlib zlib + the five scanline unfilters, BMP raw, GIF via LZW
-    (first frame) — see ``imagecodec.py`` for scope; validated against
-    system PNGs/GIFs from libpng-era encoders. JPEG pixel decode stays
-    honestly unsupported (baseline needs Huffman+DCT — an imaging
-    library's job) and is reported per row in ``status`` rather than
-    raised, so one JPEG can't fail a 100 TB decode stage.
+    (first frame), baseline JPEG via table-driven Huffman + 8x8 IDCT —
+    see ``imagecodec.py`` for scope; validated against system
+    PNGs/GIFs/JPEGs from external encoders. Out-of-scope features
+    (progressive JPEG, Adam7, exotic depths) are reported per row in
+    ``status`` rather than raised, so one bad payload can't fail a
+    100 TB decode stage.
 
     Output per payload: format/dimensions/``channels``, exact
     ``pixel_sum``/``n_pixels`` (the oracle-able statistics), the
@@ -286,7 +287,7 @@ def decode_image_pixels(media: DataFrame, *, include_pixels: bool = False) -> Da
                     elif fmt == "gif":
                         px = ic.decode_gif_frames(p)[0]["pixels"]
                     elif fmt == "jpeg":
-                        status = "unsupported: jpeg pixel decode needs Huffman+DCT"
+                        px = ic.decode_jpeg(p)
                     else:
                         status = "unsupported: unknown format"
                 except ValueError as exc:
@@ -617,6 +618,39 @@ def synth_video_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {
                     "media_id": pdf[id_col],
                     "media_type": ["video/x-msvideo"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(run, MEDIA_SCHEMA)
+
+
+def synth_jpeg_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decodable baseline-JPEG corpus whose decode is EXACT: grayscale
+    images constant within each aligned 8x8 block (value of block
+    (bx,by) = (id + 3*bx + 7*by) % 256, w = 8*(id%3+1), h =
+    8*((id*7)%3+1), quant=1, restart interval id%3) — only the integer
+    DC coefficient survives the DCT, so the decoded pixels equal the
+    law bit-for-bit and the oracle integrates them algebraically."""
+    import numpy as np
+
+    from renkodf_spark.operators import imagecodec as ic
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                bw, bh = i % 3 + 1, (i * 7) % 3 + 1
+                bx = np.arange(bw)[None, :]
+                by = np.arange(bh)[:, None]
+                blocks = ((i + 3 * bx + 7 * by) % 256).astype(np.uint8)
+                img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+                payloads.append(ic.encode_jpeg(img, restart_interval=i % 3))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "media_type": ["image/jpeg"] * len(payloads),
                     "payload": payloads,
                 }
             )

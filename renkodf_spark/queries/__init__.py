@@ -47,6 +47,7 @@ _PRIORITY = [
     "multimodal_audio_meta",
     "multimodal_audio_energy",
     "multimodal_video_frames",
+    "multimodal_jpeg_decode",
     # -- new in round 9 (gate rows green r9)
     "hard_negative_pairs_ann",
     "bpe_merges_batched",

@@ -619,6 +619,47 @@ def multimodal_frame_sample(spark, sf_dir):
     )
 
 
+# Baseline JPEG decode (r10): the Huffman+DCT path, oracle-gated via
+# the block-constant trick — a grayscale image constant within each
+# aligned 8x8 block leaves ONLY the integer DC coefficient after the
+# DCT, so at quant=1 the decode is bit-exact and the oracle integrates
+# the block law algebraically. Restart intervals (id%3) exercise the
+# DRI/RSTn machinery inside the gate too.
+_MM_JPEG_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id, doc_id % 3 + 1 AS bw, (doc_id * 7) % 3 + 1 AS bh
+  FROM documents),
+bx AS (SELECT media_id, bw, bh, unnest(range(bw)) AS x FROM m),
+bxy AS (SELECT media_id, bw, bh, x, unnest(range(bh)) AS y FROM bx)
+SELECT media_id, 'jpeg' AS format,
+       (8 * bw)::BIGINT AS width, (8 * bh)::BIGINT AS height,
+       1::BIGINT AS channels,
+       (64 * SUM((media_id + 3*x + 7*y) % 256))::BIGINT AS pixel_sum,
+       (64 * bw * bh)::BIGINT AS n_pixels, 'ok' AS status
+FROM bxy GROUP BY media_id, bw, bh
+"""
+
+
+@query(
+    "multimodal_jpeg_decode",
+    oracle=_MM_JPEG_ORACLE,
+    doc="REAL baseline JPEG pixel decode (r10: table-driven Huffman "
+    "from the file's own DHT, dequant, 8x8 IDCT, restart intervals — "
+    "pure stdlib+numpy): block-constant grayscale fixtures decode "
+    "BIT-EXACTLY at quant=1 (only the integer DC coefficient survives "
+    "the DCT), so the whole entropy-decode + IDCT path hash-matches an "
+    "algebraic oracle; lossy-regime fidelity and real-file decode are "
+    "test-pinned (system JPEGs decode within JPEG loss of the PNG "
+    "ground truth).",
+)
+def multimodal_jpeg_decode(spark, sf_dir):
+    media = multimodal.synth_jpeg_media(_docs(spark, sf_dir))
+    return multimodal.decode_image_pixels(media).select(
+        "media_id", "format", "width", "height", "channels",
+        "pixel_sum", "n_pixels", "status",
+    )
+
+
 # Audio modality (r10): PCM WAV payloads with closed-form int16 samples
 # ((id + 5i + 9c) mod 65536) - 32768 — same oracle philosophy as the
 # pixel decode: DuckDB integrates the decoded statistics, Spark decodes

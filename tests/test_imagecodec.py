@@ -321,3 +321,57 @@ def test_frame_sample_over_avi(spark):
             want = int(ic.formula_pixels(i + 13 * f, w, h, 3).astype("int64").sum())
             assert r["pixel_sum"] == want and (r["width"], r["height"]) == (w, h)
     assert len(out) == expect
+
+
+# ---------------------------------------------------------------- JPEG
+
+
+def test_jpeg_block_constant_grayscale_is_exact():
+    """Constant-within-8x8-block grayscale leaves only the integer DC
+    coefficient after the DCT, so quant=1 decode is bit-exact — the
+    property the oracle-gated gate query stands on."""
+    blocks = rng.randint(0, 256, size=(3, 4), dtype=np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    for dri in (0, 2):
+        dec = ic.decode_jpeg(ic.encode_jpeg(img, restart_interval=dri))
+        np.testing.assert_array_equal(dec[:, :, 0], img)
+
+
+def test_jpeg_roundtrip_tolerance_and_restarts():
+    g = rng.randint(0, 256, size=(40, 33), dtype=np.uint8)
+    for dri in (0, 1, 3):
+        dg = ic.decode_jpeg(ic.encode_jpeg(g, restart_interval=dri))[:, :, 0]
+        assert np.abs(dg.astype(int) - g.astype(int)).max() <= 2, dri
+    c = rng.randint(0, 256, size=(19, 22, 3), dtype=np.uint8)
+    dc = ic.decode_jpeg(ic.encode_jpeg(c))
+    assert np.abs(dc.astype(int) - c.astype(int)).max() <= 4  # color xform rounding
+    # lossy regime still structurally sane
+    dl = ic.decode_jpeg(ic.encode_jpeg(c, quant=16))
+    assert dl.shape == c.shape and abs(float(dl.mean()) - float(c.mean())) < 8
+
+
+def test_jpeg_decodes_real_system_files_within_jpeg_loss():
+    """Cross-format external validation: the Python-logo JPEG shipped
+    with CPython's test data must decode to within normal JPEG loss of
+    the SAME image's PNG (decoded by our independent PNG codec) — a
+    systematically wrong zigzag/IDCT/Huffman would miss by 10x."""
+    base = "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/test/imghdrdata/"
+    if not os.path.exists(base + "python.jpg"):
+        pytest.skip("no system JPEG test data")
+    jpg = ic.decode_jpeg(open(base + "python.jpg", "rb").read())
+    png = ic.decode_png(open(base + "python.png", "rb").read())[:, :, :3]
+    assert jpg.shape == png.shape
+    diff = np.abs(jpg.astype(int) - png.astype(int))
+    assert float(diff.mean()) < 15, float(diff.mean())
+
+
+def test_cross_codec_exactness_on_external_files():
+    """Two independent decoders (PNG: zlib+filters; BMP: raw V5
+    bitfields) must agree bit-for-bit on external encodings of the
+    same image."""
+    base = "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/test/imghdrdata/"
+    if not os.path.exists(base + "python.bmp"):
+        pytest.skip("no system BMP test data")
+    png = ic.decode_png(open(base + "python.png", "rb").read())[:, :, :3]
+    bmp = ic.decode_bmp(open(base + "python.bmp", "rb").read())[:, :, :3]
+    np.testing.assert_array_equal(png, bmp)

@@ -400,12 +400,14 @@ def test_sniffing_gated_on_media_type(spark):
     assert (r["format"], r["width"], r["height"]) == ("bmp", 12, 34)
 
 
-def test_multimodal_stubs_raise(spark, docs_df):
+def test_multimodal_unknown_payloads_report_status(spark, docs_df):
+    """r10: the former NotImplementedError stubs are real decoders now
+    — text-as-bytes payloads flow through them as per-row 'unsupported'
+    statuses (pixels) and zero rows (frames), never exceptions."""
     media = multimodal.documents_as_media(docs_df)
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image_pixels(media)
-    with pytest.raises(NotImplementedError):
-        multimodal.frame_sample(media)
+    rows = multimodal.decode_image_pixels(media).collect()
+    assert rows and all(r["status"].startswith("unsupported") for r in rows)
+    assert multimodal.frame_sample(media).count() == 0
 
 
 # ---------------------------------------------------------------- sketches

@@ -656,3 +656,117 @@ def synth_jpeg_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(run, MEDIA_SCHEMA)
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("dhash_hi", T.LongType()),
+        T.StructField("dhash_lo", T.LongType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash over DECODED pixels (r10: the
+    image-near-dup feature a multimodal training corpus dedups on,
+    LAION-style) — connects the stdlib codecs to the dedup/Hamming
+    family.
+
+    Definition (deliberately integer-exact, so the whole feature is
+    engine-replayable — no float bilinear resize): per pixel
+    ``gray = r+g+b``; the image is bucketed into a 9x8 grid with
+    ``bx = floor(x*9/w)``, ``by = floor(y*8/h)``; bit (by, bx) = 1 iff
+    bucket (by, bx)'s gray MEAN exceeds bucket (by, bx+1)'s, compared
+    exactly by cross-multiplication of (sum, count) pairs. The 64 bits
+    pack row-major into two non-negative 32-bit halves (``dhash_hi`` =
+    rows 0-3) — two BIGINTs instead of one so no engine ever sees a
+    sign bit. Undecodable payloads report ``status`` per row.
+
+    Near-dup pairs: join on Hamming distance of the halves via the
+    existing ``bit_count(xor)`` machinery (:func:`dhash_hamming_pairs`).
+    """
+    from renkodf_spark.operators import imagecodec as ic
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, p, mt in zip(pdf["media_id"], pdf["payload"], pdf["media_type"]):
+                parsed = parse_image_header(p) if _should_sniff(mt) else None
+                fmt = parsed[0] if parsed else "unknown"
+                try:
+                    if fmt == "png":
+                        px = ic.decode_png(p)
+                    elif fmt == "bmp":
+                        px = ic.decode_bmp(p)
+                    elif fmt == "gif":
+                        px = ic.decode_gif_frames(p)[0]["pixels"]
+                    elif fmt == "jpeg":
+                        px = ic.decode_jpeg(p)
+                    else:
+                        rows.append((mid, fmt, None, None, "unsupported: unknown format"))
+                        continue
+                except ValueError as exc:
+                    rows.append((mid, fmt, None, None, f"unsupported: {exc}"))
+                    continue
+                except Exception as exc:
+                    rows.append((mid, fmt, None, None, f"undecodable: {type(exc).__name__}"))
+                    continue
+                h, w = px.shape[:2]
+                gray = px[:, :, : min(3, px.shape[2])].astype(np.int64).sum(axis=2)
+                if px.shape[2] == 1:
+                    gray = gray * 3  # grayscale == r=g=b, same scale
+                bx = np.arange(w) * 9 // w
+                by = np.arange(h) * 8 // h
+                sums = np.zeros((8, 9), dtype=np.int64)
+                counts = np.zeros((8, 9), dtype=np.int64)
+                np.add.at(sums, (by[:, None].repeat(w, 1), bx[None, :].repeat(h, 0)), gray)
+                np.add.at(counts, (by[:, None].repeat(w, 1), bx[None, :].repeat(h, 0)), 1)
+                hi = lo = 0
+                for r in range(8):
+                    for c in range(8):
+                        bit = int(
+                            sums[r, c] * counts[r, c + 1] > sums[r, c + 1] * counts[r, c]
+                        )
+                        pos = (r % 4) * 8 + c
+                        if r < 4:
+                            hi |= bit << pos
+                        else:
+                            lo |= bit << pos
+                rows.append((mid, fmt, hi, lo, "ok"))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "format", "dhash_hi", "dhash_lo", "status"]
+            )
+
+    return media.mapInPandas(run, DHASH_SCHEMA)
+
+
+def dhash_hamming_pairs(hashes: DataFrame, *, max_distance: int = 10) -> DataFrame:
+    """Near-dup image pairs by dHash Hamming distance — the verify
+    stage over :func:`image_dhash` output. All-pairs within the hash
+    RELATION (64 bits/id — at 100 TB block by a band of the hash first,
+    the LSH pattern; the gate corpus is the exact stage)."""
+    a = hashes.select(
+        F.col("media_id").alias("id_a"),
+        F.col("dhash_hi").alias("hi_a"),
+        F.col("dhash_lo").alias("lo_a"),
+    )
+    b = hashes.select(
+        F.col("media_id").alias("id_b"),
+        F.col("dhash_hi").alias("hi_b"),
+        F.col("dhash_lo").alias("lo_b"),
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+            + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", "hamming")
+    )

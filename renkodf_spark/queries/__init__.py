@@ -48,6 +48,8 @@ _PRIORITY = [
     "multimodal_audio_energy",
     "multimodal_video_frames",
     "multimodal_jpeg_decode",
+    "multimodal_image_dhash",
+    "multimodal_dhash_neardup_pairs",
     # -- new in round 9 (gate rows green r9)
     "hard_negative_pairs_ann",
     "bpe_merges_batched",

@@ -619,6 +619,108 @@ def multimodal_frame_sample(spark, sf_dir):
     )
 
 
+# Perceptual image hashing (r10): dHash over DECODED pixels — the
+# image-near-dup feature. The hash definition is integer-exact by
+# construction (9x8 floor-bucketed gray sums, adjacent buckets compared
+# by cross-multiplication — no float resize), so DuckDB replays the
+# ENTIRE pipeline: formula pixels -> bucket sums -> comparison bits ->
+# packed halves -> Hamming pairs.
+def _dhash_ctes(id_filter: str = "TRUE") -> str:
+    return f"""
+m AS (
+  SELECT doc_id AS media_id, doc_id % 24 + 1 AS w,
+         (doc_id * 7) % 24 + 1 AS h, doc_id % 3 AS kind
+  FROM documents WHERE {id_filter}),
+xs AS (SELECT media_id, w, h, kind, unnest(range(w)) AS x FROM m),
+ys AS (SELECT media_id, w, h, kind, x, unnest(range(h)) AS y FROM xs),
+g AS (
+  SELECT media_id,
+         CASE WHEN kind IN (0, 1)
+              THEN (media_id + 3*x + 7*y) % 256
+                   + (media_id + 3*x + 7*y + 11) % 256
+                   + (media_id + 3*x + 7*y + 22) % 256
+              ELSE 3 * ((media_id + 3*x + 7*y) % 256)
+         END AS gray,
+         (x * 9) // w AS bx, (y * 8) // h AS by
+  FROM ys),
+bsum AS (
+  SELECT media_id, by, bx, SUM(gray)::BIGINT AS s, COUNT(*)::BIGINT AS n
+  FROM g GROUP BY media_id, by, bx),
+bits AS (
+  SELECT a.media_id, a.by AS r, a.bx AS c,
+         CASE WHEN a.s * b.n > b.s * a.n THEN 1 ELSE 0 END AS bit
+  FROM bsum a JOIN bsum b
+    ON a.media_id = b.media_id AND a.by = b.by AND b.bx = a.bx + 1
+  WHERE a.bx < 8),
+hashes AS (
+  SELECT media_id,
+         COALESCE(SUM(CASE WHEN r < 4
+                      THEN bit * (1::BIGINT << ((r % 4) * 8 + c)) END), 0)::BIGINT AS dhash_hi,
+         COALESCE(SUM(CASE WHEN r >= 4
+                      THEN bit * (1::BIGINT << ((r % 4) * 8 + c)) END), 0)::BIGINT AS dhash_lo
+  FROM bits GROUP BY media_id)
+"""
+
+
+_MM_DHASH_ORACLE = f"""
+WITH {_dhash_ctes()}
+SELECT m.media_id,
+       CASE m.kind WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'gif' END AS format,
+       COALESCE(h.dhash_hi, 0) AS dhash_hi, COALESCE(h.dhash_lo, 0) AS dhash_lo,
+       'ok' AS status
+FROM m LEFT JOIN hashes h USING (media_id)
+"""
+
+
+@query(
+    "multimodal_image_dhash",
+    oracle=_MM_DHASH_ORACLE,
+    doc="perceptual dHash over decoded pixels (r10, the LAION-style "
+    "image-near-dup feature): decode -> gray sums over a floor-bucketed "
+    "9x8 grid -> adjacent-bucket comparisons by exact cross- "
+    "multiplication -> 64 bits packed into two sign-safe halves; the "
+    "oracle replays decode-to-hash algebraically.",
+)
+def multimodal_image_dhash(spark, sf_dir):
+    media = multimodal.synth_decodable_media(_docs(spark, sf_dir))
+    return multimodal.image_dhash(media)
+
+
+_MM_DHASH_PAIRS_ORACLE = f"""
+WITH {_dhash_ctes("doc_id % 5 = 0")},
+-- every image hashes, including ones too small for any adjacent-bucket
+-- comparison (their 64 bits are all zero — same as the operator)
+hall AS (
+  SELECT m.media_id, COALESCE(h.dhash_hi, 0) AS dhash_hi,
+         COALESCE(h.dhash_lo, 0) AS dhash_lo
+  FROM m LEFT JOIN hashes h USING (media_id))
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       (bit_count(xor(a.dhash_hi, b.dhash_hi))
+        + bit_count(xor(a.dhash_lo, b.dhash_lo)))::BIGINT AS hamming
+FROM hall a JOIN hall b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+      + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 2
+"""
+
+
+@query(
+    "multimodal_dhash_neardup_pairs",
+    oracle=_MM_DHASH_PAIRS_ORACLE,
+    doc="image near-dup pairs by dHash Hamming distance <= 2 over the "
+    "decoded corpus slice (id % 5 = 0) — decode -> perceptual hash -> "
+    "pair verify, end to end in one declarative plan; oracle replays "
+    "every stage including the xor/bit_count distance.",
+)
+def multimodal_dhash_neardup_pairs(spark, sf_dir):
+    media = multimodal.synth_decodable_media(
+        _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    )
+    hashes = multimodal.image_dhash(media)
+    return multimodal.dhash_hamming_pairs(hashes, max_distance=2).withColumn(
+        "hamming", F.col("hamming").cast("long")
+    )
+
+
 # Baseline JPEG decode (r10): the Huffman+DCT path, oracle-gated via
 # the block-constant trick — a grayscale image constant within each
 # aligned 8x8 block leaves ONLY the integer DC coefficient after the

@@ -375,3 +375,48 @@ def test_cross_codec_exactness_on_external_files():
     png = ic.decode_png(open(base + "python.png", "rb").read())[:, :, :3]
     bmp = ic.decode_bmp(open(base + "python.bmp", "rb").read())[:, :, :3]
     np.testing.assert_array_equal(png, bmp)
+
+
+# --------------------------------------------------- perceptual hashing
+
+
+def test_image_dhash_and_neardup_pairs(spark):
+    """dHash: a lightly-perturbed image stays within a small Hamming
+    distance of the original while an inverted image lands far away;
+    the integer cross-multiplication definition is replayed exactly in
+    numpy here (the gate queries replay it in SQL)."""
+    from renkodf_spark.operators import multimodal
+
+    base = ic.formula_pixels(7, 20, 16, 3)
+    tweaked = base.copy()
+    tweaked[3, 4] = (tweaked[3, 4].astype(int) + 9 % 256).astype(np.uint8)
+    inverted = (255 - base.astype(int)).astype(np.uint8)
+
+    rows = [
+        (0, "image/png", bytearray(ic.encode_png(base))),
+        (1, "image/png", bytearray(ic.encode_png(tweaked))),
+        (2, "image/png", bytearray(ic.encode_png(inverted))),
+        (3, "image/bmp", bytearray(ic.encode_bmp(base))),  # same pixels, other codec
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    hs = {r["media_id"]: r for r in multimodal.image_dhash(media).collect()}
+    assert all(r["status"] == "ok" for r in hs.values())
+    # same pixels through two codecs -> identical hash
+    assert (hs[0]["dhash_hi"], hs[0]["dhash_lo"]) == (hs[3]["dhash_hi"], hs[3]["dhash_lo"])
+
+    def ham(a, b):
+        return bin(a["dhash_hi"] ^ b["dhash_hi"]).count("1") + bin(
+            a["dhash_lo"] ^ b["dhash_lo"]
+        ).count("1")
+
+    assert ham(hs[0], hs[1]) <= 4
+    assert ham(hs[0], hs[2]) >= 20  # inversion flips the gradient bits
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.dhash_hamming_pairs(
+            multimodal.image_dhash(media), max_distance=4
+        ).collect()
+    }
+    assert (0, 3) in pairs and pairs[(0, 3)] == 0
+    assert (0, 2) not in pairs

@@ -50,6 +50,7 @@ _PRIORITY = [
     "multimodal_jpeg_decode",
     "multimodal_image_dhash",
     "multimodal_dhash_neardup_pairs",
+    "multimodal_dedup_keep",
     # -- new in round 9 (gate rows green r9)
     "hard_negative_pairs_ann",
     "bpe_merges_batched",

@@ -721,6 +721,38 @@ def multimodal_dhash_neardup_pairs(spark, sf_dir):
     )
 
 
+_MM_DHASH_DEDUP_ORACLE = f"""
+WITH {_dhash_ctes()},
+hall AS (
+  SELECT m.media_id, COALESCE(h.dhash_hi, 0) AS dhash_hi,
+         COALESCE(h.dhash_lo, 0) AS dhash_lo
+  FROM m LEFT JOIN hashes h USING (media_id))
+SELECT dhash_hi, dhash_lo, MIN(media_id) AS keeper_id, COUNT(*) AS n_dupes
+FROM hall GROUP BY dhash_hi, dhash_lo
+"""
+
+
+@query(
+    "multimodal_dedup_keep",
+    oracle=_MM_DHASH_DEDUP_ORACLE,
+    doc="image dedup apply stage (r10): decode -> perceptual dHash -> "
+    "exact-dedup election on the hash (keeper = min media_id, the "
+    "dedup_exact shape over perceptual identity) — one declarative "
+    "DAG from raw bytes to the keep decision, fully replayed by the "
+    "oracle.",
+)
+def multimodal_dedup_keep(spark, sf_dir):
+    media = multimodal.synth_decodable_media(_docs(spark, sf_dir))
+    return (
+        multimodal.image_dhash(media)
+        .groupBy("dhash_hi", "dhash_lo")
+        .agg(
+            F.min("media_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+    )
+
+
 # Baseline JPEG decode (r10): the Huffman+DCT path, oracle-gated via
 # the block-constant trick — a grayscale image constant within each
 # aligned 8x8 block leaves ONLY the integer DC coefficient after the

@@ -167,6 +167,10 @@ HEADLINE = [
     "hard_negative_pairs_ann",
     "hard_negative_pairs_ann_shuffle",
     "bpe_merges_batched",
+    # real multimodal decode (r10): the codec-bound stages at sf0.1
+    "multimodal_pixel_decode",
+    "multimodal_image_dhash",
+    "multimodal_audio_energy",
 ]
 
 

@@ -770,3 +770,61 @@ def dhash_hamming_pairs(hashes: DataFrame, *, max_distance: int = 10) -> DataFra
         .filter(F.col("hamming") <= max_distance)
         .select("id_a", "id_b", "hamming")
     )
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_windows", T.LongType()),
+        T.StructField("fp_hi", T.LongType()),
+        T.StructField("fp_lo", T.LongType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+
+def audio_fingerprint(media: DataFrame, *, window: int = 256) -> DataFrame:
+    """Audio near-dup fingerprint (r10: the audio twin of
+    :func:`image_dhash`, chromaprint's shape reduced to its exact
+    core): per consecutive ``window`` samples the exact int64 energy
+    (Σ sample² across channels), then bit k = 1 iff window k+1's
+    energy EXCEEDS window k's — an amplitude-scale-robust envelope
+    signature. The first 64 delta bits pack into two sign-safe 32-bit
+    halves (shorter clips zero-pad); everything is integer-exact, so
+    the raw-bytes→fingerprint chain replays in SQL. Near-dup pairs:
+    :func:`dhash_hamming_pairs` works unchanged on the renamed halves
+    (it is just xor/bit_count)."""
+    from renkodf_spark.operators import imagecodec as ic
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    arr, _rate = ic.decode_wav(p)
+                except ValueError as exc:
+                    rows.append((mid, None, None, None, f"unsupported: {exc}"))
+                    continue
+                except Exception as exc:
+                    rows.append((mid, None, None, None, f"undecodable: {type(exc).__name__}"))
+                    continue
+                sq = (arr.astype("int64") ** 2).sum(axis=1)
+                n_win = -(-len(sq) // window)
+                energies = [
+                    int(sq[wi : wi + window].sum()) for wi in range(0, len(sq), window)
+                ]
+                hi = lo = 0
+                for k in range(min(64, n_win - 1)):
+                    bit = int(energies[k + 1] > energies[k])
+                    if k < 32:
+                        hi |= bit << k
+                    else:
+                        lo |= bit << (k - 32)
+                rows.append((mid, n_win, hi, lo, "ok"))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_windows", "fp_hi", "fp_lo", "status"]
+            )
+
+    return media.mapInPandas(run, AUDIO_FP_SCHEMA)

@@ -51,6 +51,7 @@ _PRIORITY = [
     "multimodal_image_dhash",
     "multimodal_dhash_neardup_pairs",
     "multimodal_dedup_keep",
+    "multimodal_audio_fingerprint",
     # -- new in round 9 (gate rows green r9)
     "hard_negative_pairs_ann",
     "bpe_merges_batched",

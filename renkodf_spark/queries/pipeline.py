@@ -858,6 +858,45 @@ def multimodal_audio_energy(spark, sf_dir):
     return multimodal.audio_window_energy(media, window=256)
 
 
+# Audio fingerprint (r10): energy-envelope delta bits over the same
+# WAV corpus — the audio near-dup feature; fully integer so the bytes →
+# fingerprint chain replays in SQL (window energies grouped from the
+# sample law, delta comparisons, bit packing into sign-safe halves).
+_MM_AUDIO_FP_ORACLE = f"""
+WITH {_MM_AUDIO_BASE},
+we AS (
+  SELECT media_id, n, (i // 256) AS wi, SUM(s * s)::BIGINT AS e
+  FROM sv GROUP BY media_id, n, i // 256),
+bits AS (
+  SELECT a.media_id, a.wi AS k,
+         CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+  FROM we a JOIN we b ON a.media_id = b.media_id AND b.wi = a.wi + 1
+  WHERE a.wi < 64),
+fp AS (
+  SELECT media_id,
+         COALESCE(SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) END), 0)::BIGINT AS fp_hi,
+         COALESCE(SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) END), 0)::BIGINT AS fp_lo
+  FROM bits GROUP BY media_id)
+SELECT m.media_id, ((m.n + 255) // 256)::BIGINT AS n_windows,
+       COALESCE(fp.fp_hi, 0) AS fp_hi, COALESCE(fp.fp_lo, 0) AS fp_lo,
+       'ok' AS status
+FROM m LEFT JOIN fp USING (media_id)
+"""
+
+
+@query(
+    "multimodal_audio_fingerprint",
+    oracle=_MM_AUDIO_FP_ORACLE,
+    doc="audio near-dup fingerprint (r10, the audio twin of the image "
+    "dHash): exact per-window energies -> envelope delta bits -> two "
+    "sign-safe packed halves, the whole raw-bytes-to-fingerprint chain "
+    "replayed algebraically by the oracle.",
+)
+def multimodal_audio_fingerprint(spark, sf_dir):
+    media = multimodal.synth_audio_media(_docs(spark, sf_dir))
+    return multimodal.audio_fingerprint(media, window=256)
+
+
 # Video container (r10): uncompressed AVI with formula-pixel RGB frames
 # — frame_sample walks a REAL video container without ffmpeg; the
 # oracle replays the per-frame law and the container's constant frame

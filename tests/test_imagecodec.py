@@ -420,3 +420,34 @@ def test_image_dhash_and_neardup_pairs(spark):
     }
     assert (0, 3) in pairs and pairs[(0, 3)] == 0
     assert (0, 2) not in pairs
+
+
+def test_audio_fingerprint_operator(spark):
+    """Envelope fingerprint: identical audio through different encodes
+    matches; a rescaled copy keeps the envelope SHAPE (same bits); a
+    reversed copy diverges."""
+    from renkodf_spark.operators import multimodal
+
+    n = 256 * 20
+    base = ic.formula_samples(3, n, 1)
+    # amplitude halved: every energy scales by ~1/4 -> delta SIGNS keep
+    half = (base // 2).astype(np.int16)
+    rev = base[::-1].copy()
+    rows = [
+        (0, "audio/wav", bytearray(ic.encode_wav(base))),
+        (1, "audio/wav", bytearray(ic.encode_wav(base, 8000))),  # rate-only change
+        (2, "audio/wav", bytearray(ic.encode_wav(half))),
+        (3, "audio/wav", bytearray(ic.encode_wav(rev))),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    fp = {r["media_id"]: r for r in multimodal.audio_fingerprint(media).collect()}
+    assert all(r["status"] == "ok" for r in fp.values())
+    assert (fp[0]["fp_hi"], fp[0]["fp_lo"]) == (fp[1]["fp_hi"], fp[1]["fp_lo"])
+
+    def ham(a, b):
+        return bin(a["fp_hi"] ^ b["fp_hi"]).count("1") + bin(
+            a["fp_lo"] ^ b["fp_lo"]
+        ).count("1")
+
+    assert ham(fp[0], fp[2]) <= 6  # scale-robust (integer halving jitters ties)
+    assert ham(fp[0], fp[3]) >= 8  # reversal flips the envelope

@@ -717,9 +717,12 @@ def image_dhash(media: DataFrame) -> DataFrame:
                     rows.append((mid, fmt, None, None, f"undecodable: {type(exc).__name__}"))
                     continue
                 h, w = px.shape[:2]
-                gray = px[:, :, : min(3, px.shape[2])].astype(np.int64).sum(axis=2)
-                if px.shape[2] == 1:
-                    gray = gray * 3  # grayscale == r=g=b, same scale
+                if px.shape[2] >= 3:
+                    gray = px[:, :, :3].astype(np.int64).sum(axis=2)
+                else:
+                    # grayscale (and gray+alpha: alpha is not color) —
+                    # r=g=b, same scale as the RGB sum
+                    gray = px[:, :, 0].astype(np.int64) * 3
                 bx = np.arange(w) * 9 // w
                 by = np.arange(h) * 8 // h
                 sums = np.zeros((8, 9), dtype=np.int64)

@@ -104,6 +104,27 @@ def test_gif_interlace_and_small_palette():
 # ------------------------------------------- real-world external bytes
 
 
+def _cpython_imghdr_dir():
+    """CPython's test-suite image fixtures (python.png/jpg/bmp/gif — the
+    same 16x16 logo in every format), located generically: the running
+    interpreter's stdlib first, then any python install visible on
+    common mount roots."""
+    import sysconfig
+
+    cands = [os.path.join(sysconfig.get_paths().get("stdlib", ""), "test", "imghdrdata")]
+    for pat in (
+        "/usr/lib/python3*/test/imghdrdata",
+        "/mnt/*/*/*/python/install/lib/python3*/test/imghdrdata",
+        "/opt/*/lib/python3*/test/imghdrdata",
+    ):
+        cands += glob.glob(pat)
+    for c in cands:
+        if os.path.exists(os.path.join(c, "python.png")):
+            return c
+    return None
+
+
+
 def test_decodes_real_system_images():
     """External-encoder validation: PNGs/GIFs shipped with system
     packages (libpng/giflib-era encoders, not our own) must decode with
@@ -355,11 +376,11 @@ def test_jpeg_decodes_real_system_files_within_jpeg_loss():
     with CPython's test data must decode to within normal JPEG loss of
     the SAME image's PNG (decoded by our independent PNG codec) — a
     systematically wrong zigzag/IDCT/Huffman would miss by 10x."""
-    base = "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/test/imghdrdata/"
-    if not os.path.exists(base + "python.jpg"):
-        pytest.skip("no system JPEG test data")
-    jpg = ic.decode_jpeg(open(base + "python.jpg", "rb").read())
-    png = ic.decode_png(open(base + "python.png", "rb").read())[:, :, :3]
+    base = _cpython_imghdr_dir()
+    if base is None:
+        pytest.skip("no CPython image test data in this container")
+    jpg = ic.decode_jpeg(open(os.path.join(base, "python.jpg"), "rb").read())
+    png = ic.decode_png(open(os.path.join(base, "python.png"), "rb").read())[:, :, :3]
     assert jpg.shape == png.shape
     diff = np.abs(jpg.astype(int) - png.astype(int))
     assert float(diff.mean()) < 15, float(diff.mean())
@@ -369,11 +390,11 @@ def test_cross_codec_exactness_on_external_files():
     """Two independent decoders (PNG: zlib+filters; BMP: raw V5
     bitfields) must agree bit-for-bit on external encodings of the
     same image."""
-    base = "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/test/imghdrdata/"
-    if not os.path.exists(base + "python.bmp"):
-        pytest.skip("no system BMP test data")
-    png = ic.decode_png(open(base + "python.png", "rb").read())[:, :, :3]
-    bmp = ic.decode_bmp(open(base + "python.bmp", "rb").read())[:, :, :3]
+    base = _cpython_imghdr_dir()
+    if base is None:
+        pytest.skip("no CPython image test data in this container")
+    png = ic.decode_png(open(os.path.join(base, "python.png"), "rb").read())[:, :, :3]
+    bmp = ic.decode_bmp(open(os.path.join(base, "python.bmp"), "rb").read())[:, :, :3]
     np.testing.assert_array_equal(png, bmp)
 
 

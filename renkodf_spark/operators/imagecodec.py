@@ -776,6 +776,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             raise ValueError("JPEG marker sync lost")
         marker = data[i + 1]
         i += 2
+        if marker == 0xFF:  # 0xFF fill bytes before a marker (T.81 B.1.1.2)
+            i -= 1
+            continue
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             continue
         if marker == 0xD9:

@@ -238,6 +238,30 @@ def decode_image_meta(media: DataFrame, batch_size_hint: int = 1024) -> DataFram
     return media.mapInPandas(run, META_SCHEMA)
 
 
+def _decode_pixels(p, fmt: str):
+    """Shared format dispatch + exception-to-status mapping for the
+    pixel consumers (decode_image_pixels, image_dhash): returns
+    ``(pixels | None, status)`` — out-of-scope features map to
+    'unsupported: ...', truncated/corrupt payloads to
+    'undecodable: ...', never an exception."""
+    from renkodf_spark.operators import imagecodec as ic
+
+    try:
+        if fmt == "png":
+            return ic.decode_png(p), "ok"
+        if fmt == "bmp":
+            return ic.decode_bmp(p), "ok"
+        if fmt == "gif":
+            return ic.decode_gif_frames(p)[0]["pixels"], "ok"
+        if fmt == "jpeg":
+            return ic.decode_jpeg(p), "ok"
+        return None, "unsupported: unknown format"
+    except ValueError as exc:
+        return None, f"unsupported: {exc}"
+    except Exception as exc:  # truncated/corrupt payloads
+        return None, f"undecodable: {type(exc).__name__}"
+
+
 PIXEL_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -269,7 +293,6 @@ def decode_image_pixels(media: DataFrame, *, include_pixels: bool = False) -> Da
     flattened pixel array when ``include_pixels`` (off by default —
     stats travel, megapixels don't), and ``status``
     ('ok' | 'unsupported: ...' | 'undecodable: ...')."""
-    from renkodf_spark.operators import imagecodec as ic
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -277,24 +300,7 @@ def decode_image_pixels(media: DataFrame, *, include_pixels: bool = False) -> Da
             for mid, p, mt in zip(pdf["media_id"], pdf["payload"], pdf["media_type"]):
                 parsed = parse_image_header(p) if _should_sniff(mt) else None
                 fmt = parsed[0] if parsed else "unknown"
-                px = None
-                status = "ok"
-                try:
-                    if fmt == "png":
-                        px = ic.decode_png(p)
-                    elif fmt == "bmp":
-                        px = ic.decode_bmp(p)
-                    elif fmt == "gif":
-                        px = ic.decode_gif_frames(p)[0]["pixels"]
-                    elif fmt == "jpeg":
-                        px = ic.decode_jpeg(p)
-                    else:
-                        status = "unsupported: unknown format"
-                except ValueError as exc:
-                    status = f"unsupported: {exc}"
-                except Exception as exc:  # truncated/corrupt payloads
-                    status = f"undecodable: {type(exc).__name__}"
-                    px = None
+                px, status = _decode_pixels(p, fmt)
                 if px is not None:
                     h, w, ch = px.shape
                     rows.append(
@@ -433,6 +439,12 @@ def decode_audio_samples(media: DataFrame, *, include_samples: bool = False) -> 
                     continue
                 except Exception as exc:
                     rows.append((mid, None, None, None, None, None, None, f"undecodable: {type(exc).__name__}"))
+                    continue
+                if rate <= 0:
+                    # a parseable fmt chunk can still declare rate=0 —
+                    # per-row status, never a stage-failing division
+                    rows.append((mid, None, None, None, None, None, None,
+                                 f"unsupported: WAV sample rate {rate}"))
                     continue
                 n, ch = arr.shape
                 rows.append(
@@ -641,7 +653,10 @@ def synth_jpeg_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             payloads = []
             for i in pdf[id_col]:
                 i = int(i)
-                bw, bh = i % 3 + 1, (i * 7) % 3 + 1
+                # (i*7)%3 == i%3, which made every fixture square in
+                # block units and blind to a width/height transpose
+                # (code-review r10) — i//3 decorrelates the axes
+                bw, bh = i % 3 + 1, (i // 3) % 3 + 1
                 bx = np.arange(bw)[None, :]
                 by = np.arange(bh)[:, None]
                 blocks = ((i + 3 * bx + 7 * by) % 256).astype(np.uint8)
@@ -688,7 +703,6 @@ def image_dhash(media: DataFrame) -> DataFrame:
     Near-dup pairs: join on Hamming distance of the halves via the
     existing ``bit_count(xor)`` machinery (:func:`dhash_hamming_pairs`).
     """
-    from renkodf_spark.operators import imagecodec as ic
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -698,23 +712,9 @@ def image_dhash(media: DataFrame) -> DataFrame:
             for mid, p, mt in zip(pdf["media_id"], pdf["payload"], pdf["media_type"]):
                 parsed = parse_image_header(p) if _should_sniff(mt) else None
                 fmt = parsed[0] if parsed else "unknown"
-                try:
-                    if fmt == "png":
-                        px = ic.decode_png(p)
-                    elif fmt == "bmp":
-                        px = ic.decode_bmp(p)
-                    elif fmt == "gif":
-                        px = ic.decode_gif_frames(p)[0]["pixels"]
-                    elif fmt == "jpeg":
-                        px = ic.decode_jpeg(p)
-                    else:
-                        rows.append((mid, fmt, None, None, "unsupported: unknown format"))
-                        continue
-                except ValueError as exc:
-                    rows.append((mid, fmt, None, None, f"unsupported: {exc}"))
-                    continue
-                except Exception as exc:
-                    rows.append((mid, fmt, None, None, f"undecodable: {type(exc).__name__}"))
+                px, status = _decode_pixels(p, fmt)
+                if px is None:
+                    rows.append((mid, fmt, None, None, status))
                     continue
                 h, w = px.shape[:2]
                 if px.shape[2] >= 3:
@@ -725,10 +725,17 @@ def image_dhash(media: DataFrame) -> DataFrame:
                     gray = px[:, :, 0].astype(np.int64) * 3
                 bx = np.arange(w) * 9 // w
                 by = np.arange(h) * 8 // h
-                sums = np.zeros((8, 9), dtype=np.int64)
-                counts = np.zeros((8, 9), dtype=np.int64)
-                np.add.at(sums, (by[:, None].repeat(w, 1), bx[None, :].repeat(h, 0)), gray)
-                np.add.at(counts, (by[:, None].repeat(w, 1), bx[None, :].repeat(h, 0)), 1)
+                # per-bucket sums via one C-speed weighted bincount over
+                # the flattened bucket ids; counts are separable
+                # (bucketing is an outer product of the two axes) — no
+                # unbuffered np.add.at scatter on the per-image hot path
+                idx = (by[:, None] * 9 + bx[None, :]).ravel()
+                sums = np.bincount(idx, weights=gray.ravel(), minlength=72).astype(
+                    np.int64
+                ).reshape(8, 9)
+                counts = np.outer(
+                    np.bincount(by, minlength=8), np.bincount(bx, minlength=9)
+                ).astype(np.int64)
                 hi = lo = 0
                 for r in range(8):
                     for c in range(8):

@@ -834,8 +834,6 @@ def hard_negative_mining_ann(
     the corpus ONCE with :func:`write_ivf_index` and mine over the
     persisted layout so even that single corpus shuffle amortizes away.
     """
-    from pyspark.sql.window import Window
-
     cc = _probe_cells(
         corpus, centroids, id_col=id_col, vec_col=vec_col, n_probe=1,
         round_digits=6, carry=(label_col,),

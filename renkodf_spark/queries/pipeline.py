@@ -761,7 +761,7 @@ def multimodal_dedup_keep(spark, sf_dir):
 # DRI/RSTn machinery inside the gate too.
 _MM_JPEG_ORACLE = """
 WITH m AS (
-  SELECT doc_id AS media_id, doc_id % 3 + 1 AS bw, (doc_id * 7) % 3 + 1 AS bh
+  SELECT doc_id AS media_id, doc_id % 3 + 1 AS bw, (doc_id // 3) % 3 + 1 AS bh
   FROM documents),
 bx AS (SELECT media_id, bw, bh, unnest(range(bw)) AS x FROM m),
 bxy AS (SELECT media_id, bw, bh, x, unnest(range(bh)) AS y FROM bx)

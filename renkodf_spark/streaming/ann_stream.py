@@ -30,10 +30,14 @@ append-only-generation protocol to the vector index:
   (keeping the ``cell=`` sub-partitioning, so pruning survives),
   bounding the directory count on a long-lived stream.
 
-100 TB shape: per-trigger cost is O(batch × centroids) routing plus a
-partitioned write of the batch — never a function of index size; reads
-stay O(probed cells). Mining/search over the streamed index composes
-with ``ivf_topk_indexed`` and ``hard_negative_mining_ann`` untouched.
+100 TB shape: per-trigger routing + write cost is O(batch × centroids)
+— never a function of index size — and reads stay O(probed cells).
+The one index-sized term is OPT-IN: exact append-only ENFORCEMENT
+re-reads the id column of prior generations each trigger (O(ids), the
+vectors never move); producers with unique ids pass
+``enforce_append_only=False`` and pay O(batch) throughout. Mining and
+search over the streamed index compose with ``ivf_topk_indexed`` and
+``hard_negative_mining_ann`` untouched.
 """
 
 from __future__ import annotations
@@ -52,6 +56,7 @@ def ivf_index_writer(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     carry: tuple = (),
+    enforce_append_only: bool = True,
     compact_every: int | None = None,
     compact_target_files: int = 4,
 ):
@@ -63,7 +68,18 @@ def ivf_index_writer(
     hard-negative mining reads). Query the result with
     ``ivf_topk_indexed(spark, state_path, ...)`` — the streamed layout
     is a superset of the batch one (an extra ``batch_id`` partition
-    level the readers' column selection drops)."""
+    level the readers' column selection drops).
+
+    Cost honesty (code-review r10): with ``enforce_append_only=True``
+    each trigger re-reads the ID COLUMN of every prior generation and
+    distinct-shuffles it for the anti-join — exact enforcement is
+    O(ids indexed so far) per trigger (the vectors are never read:
+    column pruning keeps the scan to the 8-byte id field, but it is a
+    data scan, not metadata). The routing/write work stays O(batch).
+    When the producer guarantees unique ids (the common CDC-keyed
+    case), pass ``enforce_append_only=False`` and the per-trigger cost
+    is O(batch) throughout; at-least-once REPLAYS remain idempotent
+    either way (the generation overwrite is keyed by batch_id)."""
     from renkodf_spark.operators.similarity import nearest_centroid
 
     # routing must be deterministic: pin the centroid rows driver-side
@@ -87,27 +103,39 @@ def ivf_index_writer(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        # enforce append-only: drop ids already indexed by a PRIOR
-        # generation (batch N probes only generations < N, so replays
-        # of N are idempotent); only the id partition columns are read
-        try:
-            seen = (
-                spark.read.parquet(data_dir)
-                .filter(F.col("batch_id") < batch_id)
-                .select(F.col("id").alias(id_col))
-                .distinct()
-            )
-            batch = batch.join(seen, id_col, "left_anti")
-        except Exception as exc:
-            if not _is_missing_path(exc):
-                raise
+        if enforce_append_only:
+            # drop ids already indexed by a PRIOR generation (batch N
+            # probes only generations < N, so replays of N are
+            # idempotent); cost documented in the docstring
+            try:
+                seen = (
+                    spark.read.parquet(data_dir)
+                    .filter(F.col("batch_id") < batch_id)
+                    .select(F.col("id").alias(id_col))
+                    .distinct()
+                )
+                batch = batch.join(seen, id_col, "left_anti")
+            except Exception as exc:
+                # first trigger: the dir doesn't exist; an EMPTY first
+                # generation (all-duplicate or empty batch) leaves only
+                # _SUCCESS markers, which fails schema inference rather
+                # than the path check — both mean "nothing indexed yet"
+                if not (_is_missing_path(exc) or "UNABLE_TO_INFER_SCHEMA" in str(exc)):
+                    raise
         routed = nearest_centroid(
             batch, cents, id_col=id_col, vec_col=vec_col, carry=carry
         )
         routed.select("id", "vec", "cell", *carry).write.mode("overwrite").partitionBy(
             "cell"
         ).parquet(posixpath.join(data_dir, f"batch_id={batch_id}"))
-        cents.write.mode("overwrite").parquet(posixpath.join(state_path, "centroids"))
+        # the centroid table is frozen per index: write it once (a
+        # per-trigger overwrite would briefly delete the directory a
+        # concurrent ivf_topk_indexed reader is resolving)
+        cent_path = posixpath.join(state_path, "centroids")
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(cent_path)
+        if not hpath.getFileSystem(spark._jsc.hadoopConfiguration()).exists(hpath):
+            cents.write.mode("overwrite").parquet(cent_path)
 
         if compact_every is not None and (batch_id + 1) % compact_every == 0:
             from renkodf_spark.streaming.merge_stream import compact_index_generations

@@ -192,12 +192,12 @@ def kernel_throughput() -> dict:
 
     rng = np.random.default_rng(42)
     n = 2_000_000
-    results = {}
+    results = {"samples": {}}
     for label, sigma, brick in [("sparse", 0.000005, 0.0003), ("dense", 0.3, 1.0)]:
         base = 0.86 if brick < 1 else 100.0
         prices = base + np.cumsum(rng.normal(0, sigma, n))
         times = np.arange(n)
-        best = 0.0
+        samples = []
         for _ in range(5):  # best-of-5: each rep is <=0.6s and the box
             # is co-tenant — r5->r6 drifted -19/-22% on unchanged code
             # with only 3 reps (VERDICT r6 item 2)
@@ -208,9 +208,53 @@ def kernel_throughput() -> dict:
                 scan_ticks_vectorized(times, prices, 1, brick, state, out)
             else:
                 scan_ticks(times, prices.tolist(), 1, brick, state, out)
-            best = max(best, n / (time.perf_counter() - t0))
-        results[label] = best
+            samples.append(round(n / (time.perf_counter() - t0) / 1e6, 3))
+        results["samples"][label] = samples
+        results[label] = max(samples) * 1e6
     return results
+
+
+def _kernel_fingerprint() -> str:
+    """sha256 of the kernel source — the guard that lets kernel samples
+    min-aggregate across a round's bench runs (VERDICT r10 item 2)
+    without ever carrying numbers across a kernel code change."""
+    import hashlib
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "renkodf_spark", "kernel.py"
+    )
+    with open(path, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()[:16]
+
+
+def merge_kernel_runs(tput: dict, full_path: str) -> dict:
+    """Fold this run's kernel throughput samples together with every
+    prior run of the SAME kernel source recorded in bench_full.json
+    (VERDICT r10 item 2: the committed artifact recorded the round's
+    worst co-tenant run — 3.57 M t/s dense while the same code measured
+    6.39 in a quieter run the same day; best-across-runs makes the
+    committed number robust to CPU steal, exactly the min-aggregation
+    the query timings already apply across interleaved passes). The
+    fingerprint guard means a kernel edit always restarts the sample
+    pool — stale numbers can never outlive the code they measured."""
+    fp = _kernel_fingerprint()
+    merged = {
+        "fingerprint": fp,
+        "samples": {k: list(v) for k, v in tput["samples"].items()},
+        "runs_merged": 1,
+    }
+    try:
+        with open(full_path) as f:
+            prior = json.load(f).get("kernel", {})
+        if prior.get("fingerprint") == fp:
+            for lbl, vals in prior.get("samples", {}).items():
+                merged["samples"].setdefault(lbl, []).extend(vals)
+            merged["runs_merged"] = prior.get("runs_merged", 1) + 1
+    except (OSError, ValueError):
+        pass
+    for lbl in ("sparse", "dense"):
+        merged[f"{lbl}_mticks"] = max(merged["samples"].get(lbl, [0.0]))
+    return merged
 
 
 def materialize(df) -> int:
@@ -669,6 +713,17 @@ def main():
             file=sys.stderr,
         )
 
+    # second kernel visit, temporally separated from the pre-Spark one
+    # by the whole headline loop (VERDICT r10 item 2: two samples far
+    # apart in time decorrelate a co-tenant burst the way the query
+    # passes already do). Spark's executor threads idle between jobs,
+    # so the single-core loop is measurable here; a busy-box sample
+    # only LOWERS throughput, and we take the max.
+    tput2 = kernel_throughput()
+    for lbl in ("sparse", "dense"):
+        tput["samples"][lbl].extend(tput2["samples"][lbl])
+        tput[lbl] = max(tput[lbl], tput2[lbl])
+
     timings["kernel_mticks_per_sec_sparse"] = round(tput["sparse"] / 1e6, 3)
     timings["kernel_mticks_per_sec_dense"] = round(tput["dense"] / 1e6, 3)
     print(
@@ -732,6 +787,13 @@ def main():
     # driver contract (metric/value/unit/queries/sf) plus the headline
     # numbers a round-over-round comparison needs.
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    # kernel numbers min-aggregate (throughput: max) across the round's
+    # runs of the same kernel source — samples[] + best committed, like
+    # every scale entry (VERDICT r10 item 2)
+    kernel_block = merge_kernel_runs(tput, full_path)
+    for lbl in ("sparse", "dense"):
+        timings[f"kernel_mticks_per_sec_{lbl}"] = kernel_block[f"{lbl}_mticks"]
+    payload["kernel"] = kernel_block
     with open(full_path, "w") as f:
         json.dump(payload, f)
     print(json.dumps(payload), file=sys.stderr)

@@ -39,6 +39,8 @@ from renkodf_spark.queries import pipeline6  # noqa: F401
 # mechanical so the artifact no longer depends on habit).
 # Names not listed keep their module registration order after these.
 _PRIORITY = [
+    # -- new in round 11 (never had a gate row)
+    "multimodal_curation_end_to_end",
     # -- new in round 10 (never had a gate row)
     "renko_subchunked_wide",
     "hard_negative_pairs_ann_shuffle",

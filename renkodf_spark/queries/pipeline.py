@@ -709,7 +709,9 @@ WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
     doc="image near-dup pairs by dHash Hamming distance <= 2 over the "
     "decoded corpus slice (id % 5 = 0) — decode -> perceptual hash -> "
     "pair verify, end to end in one declarative plan; oracle replays "
-    "every stage including the xor/bit_count distance.",
+    "every stage including the xor/bit_count distance. r11: candidates "
+    "come from the multi-index Hamming band equi-join (pigeonhole-exact "
+    "recall, no cartesian), parity-pinned against the all-pairs twin.",
 )
 def multimodal_dhash_neardup_pairs(spark, sf_dir):
     media = multimodal.synth_decodable_media(
@@ -751,6 +753,60 @@ def multimodal_dedup_keep(spark, sf_dir):
             F.count(F.lit(1)).alias("n_dupes"),
         )
     )
+
+
+_MM_E2E_ORACLE = f"""
+WITH {_dhash_ctes()},
+hall AS (
+  SELECT m.media_id, COALESCE(h.dhash_hi, 0) AS dhash_hi,
+         COALESCE(h.dhash_lo, 0) AS dhash_lo
+  FROM m LEFT JOIN hashes h USING (media_id)),
+keep AS (
+  SELECT dhash_hi, dhash_lo, MIN(media_id) AS media_id,
+         COUNT(*) AS n_exact_dupes
+  FROM hall GROUP BY dhash_hi, dhash_lo),
+drops AS (
+  SELECT DISTINCT b.media_id
+  FROM keep a JOIN keep b ON a.media_id < b.media_id
+  WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+        + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 2)
+SELECT k.media_id AS doc_id, d.lang, d.n_chars,
+       k.n_exact_dupes, k.dhash_hi, k.dhash_lo
+FROM keep k JOIN documents d ON d.doc_id = k.media_id
+WHERE k.media_id NOT IN (SELECT media_id FROM drops)
+"""
+
+
+@query(
+    "multimodal_curation_end_to_end",
+    oracle=_MM_E2E_ORACLE,
+    doc="the image curation DAG composed end to end (r11, VERDICT r10 "
+    "item 3 — the image twin of curation_end_to_end): decode -> "
+    "perceptual dHash -> exact-hash keep election -> BANDED Hamming "
+    "near-dup pairs among the keepers (distance <= 2, multi-index "
+    "band equi-join, no cartesian) -> greedy drop of each pair's "
+    "larger id -> survivors joined back to their document metadata. "
+    "One declarative plan from raw bytes to the curated corpus, every "
+    "stage replayed by the composed oracle.",
+)
+def multimodal_curation_end_to_end(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    media = multimodal.synth_decodable_media(docs)
+    keepers = (
+        multimodal.image_dhash(media)
+        .groupBy("dhash_hi", "dhash_lo")
+        .agg(
+            F.min("media_id").alias("media_id"),
+            F.count(F.lit(1)).alias("n_exact_dupes"),
+        )
+    )
+    pairs = multimodal.dhash_hamming_pairs(keepers, max_distance=2)
+    drops = pairs.select(F.col("id_b").alias("media_id")).distinct()
+    survivors = keepers.join(drops, "media_id", "left_anti")
+    return survivors.join(
+        docs.select("doc_id", "lang", "n_chars"),
+        survivors["media_id"] == F.col("doc_id"),
+    ).select("doc_id", "lang", "n_chars", "n_exact_dupes", "dhash_hi", "dhash_lo")
 
 
 # Baseline JPEG decode (r10): the Huffman+DCT path, oracle-gated via

@@ -130,11 +130,18 @@ def ivf_index_writer(
         ).parquet(posixpath.join(data_dir, f"batch_id={batch_id}"))
         # the centroid table is frozen per index: write it once (a
         # per-trigger overwrite would briefly delete the directory a
-        # concurrent ivf_topk_indexed reader is resolving)
+        # concurrent ivf_topk_indexed reader is resolving). The skip is
+        # gated on a COMPLETED write — the committer's _SUCCESS marker —
+        # not bare directory existence (ADVICE r10): a trigger that
+        # crashed mid-write leaves a partial dir without _SUCCESS, and
+        # the foreachBatch replay must repair it with a fresh overwrite
+        # rather than route every later reader against a corrupt table.
         cent_path = posixpath.join(state_path, "centroids")
         jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(cent_path)
-        if not hpath.getFileSystem(spark._jsc.hadoopConfiguration()).exists(hpath):
+        success = jvm.org.apache.hadoop.fs.Path(
+            posixpath.join(cent_path, "_SUCCESS")
+        )
+        if not success.getFileSystem(spark._jsc.hadoopConfiguration()).exists(success):
             cents.write.mode("overwrite").parquet(cent_path)
 
         if compact_every is not None and (batch_id + 1) % compact_every == 0:

@@ -472,3 +472,116 @@ def test_audio_fingerprint_operator(spark):
 
     assert ham(fp[0], fp[2]) <= 6  # scale-robust (integer halving jitters ties)
     assert ham(fp[0], fp[3]) >= 8  # reversal flips the envelope
+
+# --------------------------------------- banded Hamming pairs (r11)
+
+
+def test_hash64_band_exprs_reassemble_and_straddle(spark):
+    """The band-extraction expressions slice the conceptual 64-bit word
+    (hi = bits 0-31, lo = bits 32-63) exactly: for adversarial hash
+    values the Spark-evaluated band keys equal a pure-Python replay,
+    including bands straddling the hi/lo boundary, and OR-ing the
+    shifted bands back together reassembles both halves bit-for-bit."""
+    from renkodf_spark.operators.multimodal import _hash64_band_exprs
+
+    vals = [
+        (0, 0),
+        (0xFFFFFFFF, 0xFFFFFFFF),
+        (0x80000001, 0x7FFFFFFE),
+        (0x12345678, 0x9ABCDEF0),
+        (1, 0),
+        (0, 1),
+        (0xDEADBEEF, 0x0BADF00D),
+    ]
+    df = spark.createDataFrame(
+        [(i, hi, lo) for i, (hi, lo) in enumerate(vals)], "i long, hi long, lo long"
+    )
+    for num_bands in (1, 2, 3, 7, 11, 64):
+        base, extra = divmod(64, num_bands)
+        widths = [base + (1 if b < extra else 0) for b in range(num_bands)]
+        exprs = _hash64_band_exprs("hi", "lo", num_bands)
+        got = df.select("i", *[e.alias(f"b{b}") for b, e in exprs]).collect()
+        for row in got:
+            hi, lo = vals[row["i"]]
+            word = hi | (lo << 32)
+            start = 0
+            for b, w in enumerate(widths):
+                expect = (word >> start) & ((1 << w) - 1)
+                if expect >= 1 << 63:  # the single-64-bit-band case is
+                    expect -= 1 << 64  # a signed BIGINT (still a bijection)
+                assert row[f"b{b}"] == expect, (num_bands, b, hex(word))
+                start += w
+
+
+def test_dhash_banded_parity_and_plan(spark):
+    """The r11 banded near-dup path: identical pairs to the all-pairs
+    twin at several distances (pigeonhole recall is EXACT, not
+    approximate), and the executed plan contains no
+    BroadcastNestedLoopJoin / CartesianProduct — the scale fix the r10
+    verdict asked for."""
+    from renkodf_spark.operators import multimodal
+
+    ids = spark.range(0, 120).withColumnRenamed("id", "doc_id")
+    hashes = multimodal.image_dhash(multimodal.synth_decodable_media(ids)).cache()
+    try:
+        for d in (0, 2, 10):
+            banded = multimodal.dhash_hamming_pairs(hashes, max_distance=d)
+            allp = multimodal.dhash_hamming_pairs(hashes, max_distance=d, banded=False)
+            assert sorted(map(tuple, banded.collect())) == sorted(
+                map(tuple, allp.collect())
+            )
+        plan = banded._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+    finally:
+        hashes.unpersist()
+
+
+def test_dhash_banded_works_on_audio_fingerprint_columns(spark):
+    """The banded path keeps audio_fingerprint's renamed-halves reuse:
+    fp_hi/fp_lo route through the same band table via the column
+    parameters, parity with all-pairs."""
+    from renkodf_spark.operators import multimodal
+
+    ids = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    fp = multimodal.audio_fingerprint(multimodal.synth_audio_media(ids)).cache()
+    try:
+        kw = dict(max_distance=4, hi_col="fp_hi", lo_col="fp_lo")
+        banded = multimodal.dhash_hamming_pairs(fp, **kw)
+        allp = multimodal.dhash_hamming_pairs(fp, banded=False, **kw)
+        assert sorted(map(tuple, banded.collect())) == sorted(map(tuple, allp.collect()))
+    finally:
+        fp.unpersist()
+
+
+def test_dhash_banded_rejects_out_of_range_distance(spark):
+    from renkodf_spark.operators import multimodal
+
+    ids = spark.range(0, 4).withColumnRenamed("id", "doc_id")
+    hashes = multimodal.image_dhash(multimodal.synth_decodable_media(ids))
+    for bad in (-1, 64, 100):
+        with pytest.raises(ValueError):
+            multimodal.dhash_band_table(hashes, max_distance=bad)
+
+
+def test_frame_sample_avi_sniff_gated_on_declared_type(spark):
+    """ADVICE r10: the RIFF/AVI magic is only consulted for payloads
+    declared video/*, application/octet-stream, or untyped — an AVI
+    byte-stream declared text/plain must NOT decode as video, matching
+    the image-side _should_sniff contract."""
+    from renkodf_spark.operators import multimodal
+
+    frames = [ic.formula_pixels(5 + 13 * f, 6, 4, 3) for f in range(3)]
+    avi = bytearray(ic.encode_avi(frames, fps=10))
+    rows = [
+        (0, "video/x-msvideo", avi),
+        (1, None, avi),
+        (2, "application/octet-stream", avi),
+        (3, "text/plain", avi),  # declared non-video: never sniffed
+        (4, "image/fake", avi),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = multimodal.frame_sample(media, every_n=1).groupBy("media_id").count().collect()
+    counts = {r["media_id"]: r["count"] for r in got}
+    assert counts.get(0) == 3 and counts.get(1) == 3 and counts.get(2) == 3
+    assert 3 not in counts and 4 not in counts

@@ -539,3 +539,49 @@ def test_ivf_index_stream_parity_and_append_only(spark, tmp_path):
     )
     direct = similarity.hard_negative_mining_ann(all_df, anchors, cents, k=3, n_probe=2)
     assert {tuple(r) for r in mined.collect()} == {tuple(r) for r in direct.collect()}
+
+
+def test_ivf_centroid_write_repairs_partial(spark, tmp_path):
+    """ADVICE r10: the frozen-centroid skip is gated on a COMPLETED
+    write (_SUCCESS), not bare directory existence — a centroids dir
+    left by a mid-write crash (no _SUCCESS) is repaired by the
+    foreachBatch replay, and a completed dir is never rewritten."""
+    from renkodf_spark.operators import similarity
+    from renkodf_spark.streaming.ann_stream import ivf_index_writer
+
+    vecs = [
+        (i, [float((i * 7 + j * 3) % 11) for j in range(4)], "ab"[i % 2])
+        for i in range(12)
+    ]
+    all_df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label string"
+    )
+    cents = similarity.embedding_centroids(all_df, dim=4)
+
+    state = str(tmp_path / "ivf_crash")
+    cent_dir = os.path.join(state, "centroids")
+    # simulate the crashed first trigger: a partial centroid table —
+    # wrong content, committer marker missing
+    spark.createDataFrame(
+        [(99, [0.0, 0.0, 0.0, 0.0])], "cell int, centroid array<double>"
+    ).write.parquet(cent_dir)
+    os.remove(os.path.join(cent_dir, "_SUCCESS"))
+
+    writer = ivf_index_writer(cents, state)
+    writer(all_df, 0)  # replayed trigger must repair the partial dir
+
+    assert os.path.exists(os.path.join(cent_dir, "_SUCCESS"))
+    got = {
+        (r["cell"], tuple(r["centroid"]))
+        for r in spark.read.parquet(cent_dir).collect()
+    }
+    want = {
+        (r["cell"], tuple(r["centroid"]))
+        for r in cents.select("cell", "centroid").collect()
+    }
+    assert got == want
+
+    # completed dir: the next trigger leaves it untouched
+    mtime = os.path.getmtime(os.path.join(cent_dir, "_SUCCESS"))
+    writer(all_df.limit(0), 1)
+    assert os.path.getmtime(os.path.join(cent_dir, "_SUCCESS")) == mtime

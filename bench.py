@@ -171,6 +171,10 @@ HEADLINE = [
     "multimodal_pixel_decode",
     "multimodal_image_dhash",
     "multimodal_audio_energy",
+    # added round 11: banded-Hamming near-dup pairs (the r10 perf-weak
+    # stage, now an equi-join) and the composed image-curation DAG
+    "multimodal_dhash_neardup_pairs",
+    "multimodal_curation_end_to_end",
 ]
 
 

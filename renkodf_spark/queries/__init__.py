@@ -41,6 +41,7 @@ from renkodf_spark.queries import pipeline6  # noqa: F401
 _PRIORITY = [
     # -- new in round 11 (never had a gate row)
     "multimodal_curation_end_to_end",
+    "semantic_dedup_capped",
     # -- new in round 10 (never had a gate row)
     "renko_subchunked_wide",
     "hard_negative_pairs_ann_shuffle",

@@ -198,6 +198,63 @@ def semantic_dedup_keep(spark, sf_dir):
     return similarity.semantic_dedup(emb, cents, threshold=_SEMDEDUP_THR)
 
 
+# r11 (VERDICT r10 item 4): the hot-cell guard, oracle-proven — the
+# oracle replays the cell-size window, the ceil(n/cap) sub-cell count,
+# the pmod(id, n_sub) round-robin split, and the within-sub-cell drop.
+_SEMDEDUP_CAP = 20
+
+_SEMDEDUP_CAPPED_ORACLE = (
+    _CENTROID_CTES
+    + f""",
+cents AS (SELECT cell, LIST(mval ORDER BY i) AS cv FROM m GROUP BY cell),
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assign AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY ROUND(list_dot_product(v, cv)
+                          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+                    cell) AS rk
+  FROM vecs CROSS JOIN cents),
+mem AS (
+  SELECT c.vec_id, c.cell, v.v
+  FROM (SELECT vec_id, cell FROM assign WHERE rk = 1) c JOIN vecs v USING (vec_id)),
+subbed AS (
+  SELECT vec_id, cell, v,
+         vec_id % CAST(CEIL(COUNT(*) OVER (PARTITION BY cell)
+                            / {_SEMDEDUP_CAP}.0) AS BIGINT) AS sub
+  FROM mem),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM subbed a JOIN subbed b
+    ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id > b.vec_id
+  WHERE ROUND(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+        >= {_SEMDEDUP_THR})
+SELECT s.vec_id, s.cell FROM subbed s LEFT JOIN dropped USING (vec_id)
+WHERE dropped.vec_id IS NULL
+"""
+)
+
+
+@query(
+    "semantic_dedup_capped",
+    oracle=_SEMDEDUP_CAPPED_ORACLE,
+    doc="SemDeDup with the r11 hot-cell spill active (max_cell_size="
+    f"{_SEMDEDUP_CAP}, small enough that every cell splits at both gate "
+    "SFs): over-size cells split round-robin by pmod(id, ceil(n/cap)) "
+    "and pairs compare only within a sub-cell — bounding the "
+    "pathological sum(cell^2) term; the oracle replays the size window, "
+    "the split arithmetic, and the capped drop set exactly.",
+)
+def semantic_dedup_capped(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cents = similarity.embedding_centroids(emb, dim=_SEM_DIM)
+    return similarity.semantic_dedup(
+        emb, cents, threshold=_SEMDEDUP_THR, max_cell_size=_SEMDEDUP_CAP
+    )
+
+
 # ------------------------------------------------------------ z-order layout
 
 _Z_BITS = 16

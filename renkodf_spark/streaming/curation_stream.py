@@ -504,3 +504,110 @@ def cms_rollup_writer(
         )
 
     return write_batch
+
+
+def dhash_dedup_writer(
+    out_path: str,
+    state_path: str,
+    *,
+    id_col: str = "media_id",
+):
+    """Streaming perceptual image dedup for ``foreachBatch`` (r11,
+    VERDICT r10 item 5 — the image analog of :func:`bloom_dedup_writer`):
+    decode each micro-batch of media rows, dHash them
+    (``operators/multimodal.py::image_dhash``), ADMIT only media whose
+    hash the lifetime state has never seen, and maintain the running
+    keep election — per ``(dhash_hi, dhash_lo)`` the smallest id seen
+    and the total occurrence count. The election is a groupBy with
+    commutative aggregates (min / sum), so the lifetime state over N
+    triggers equals the batch ``multimodal_dedup_keep`` election over
+    the concatenated stream — pinned by test.
+
+    State layout mirrors :func:`bloom_dedup_writer` /
+    :func:`sketch_rollup_writer`: ONE cumulative election snapshot per
+    trigger under ``state_path/batch_id=N`` (partition overwrite — a
+    replayed batch recomputes against the same immutable prior
+    snapshot, idempotent under at-least-once), and each trigger reads
+    only the LATEST prior snapshot. Undecodable payloads elect under
+    their NULL hash group (status is carried in the snapshot), so no
+    row is silently dropped.
+
+    Cost honesty (the ann_stream convention): the snapshot rewrite is
+    O(distinct hashes so far) per trigger — exact election needs the
+    full keeper table. When the distinct-hash relation outgrows a
+    per-trigger rewrite, point :func:`bloom_dedup_writer` at a
+    hash-digest column instead: O(n_bits) state with the documented
+    one-sided false-drop rate, no election counts.
+
+    Admission: a batch row is written to ``out_path/batch_id=N`` iff
+    its hash is absent from the PRIOR snapshot and it is the batch's
+    elected keeper for that hash (smallest id) — first trigger, first
+    occurrence wins, deterministic under replay.
+    """
+    import posixpath
+
+    from renkodf_spark.operators.multimodal import image_dhash
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        hash_input = batch.select(
+            F.col(id_col).alias("media_id"), "media_type", "payload"
+        )
+        hashes = image_dhash(hash_input).select(
+            F.col("media_id").alias(id_col), "dhash_hi", "dhash_lo", "status"
+        )
+        cur = hashes.groupBy("dhash_hi", "dhash_lo").agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+            F.min("status").alias("status"),
+        )
+        try:
+            snaps = spark.read.parquet(state_path).filter(F.col("batch_id") < batch_id)
+            latest = snaps.agg(F.max("batch_id")).collect()[0][0]  # bounded scalar
+            prior = (
+                snaps.filter(F.col("batch_id") == latest).select(
+                    "dhash_hi", "dhash_lo", "keeper_id", "n_dupes", "status"
+                )
+                if latest is not None
+                else None
+            )
+        except Exception as exc:
+            if not _is_missing_path(exc):
+                raise
+            prior = None
+        if prior is None:
+            prior = spark.createDataFrame(
+                [],
+                "dhash_hi long, dhash_lo long, keeper_id long, n_dupes long, status string",
+            )
+        merged = (
+            prior.unionByName(cur)
+            .groupBy("dhash_hi", "dhash_lo")
+            .agg(
+                F.min("keeper_id").alias("keeper_id"),
+                F.sum("n_dupes").alias("n_dupes"),
+                F.min("status").alias("status"),
+            )
+        )
+        merged.write.mode("overwrite").parquet(
+            posixpath.join(state_path, f"batch_id={batch_id}")
+        )
+        # admitted: the batch's elected keeper of each hash unseen by
+        # the PRIOR snapshot (null-safe on the hash so undecodables
+        # admit their first occurrence too)
+        unseen = cur.join(
+            prior.select("dhash_hi", "dhash_lo"),
+            [
+                cur["dhash_hi"].eqNullSafe(prior["dhash_hi"]),
+                cur["dhash_lo"].eqNullSafe(prior["dhash_lo"]),
+            ],
+            "left_anti",
+        )
+        admitted = batch.join(
+            unseen.select(F.col("keeper_id").alias(id_col)), id_col
+        )
+        admitted.select(*batch.columns).write.mode("overwrite").parquet(
+            posixpath.join(out_path, f"batch_id={batch_id}")
+        )
+
+    return write_batch

@@ -722,3 +722,87 @@ def test_cms_rollup_stream_equals_batch(spark, tmp_path):
     assert sorted(
         r["batch_id"] for r in snaps.select("batch_id").distinct().collect()
     ) == [0, 1]
+
+
+def test_dhash_dedup_stream_matches_batch_election(spark, tmp_path):
+    """r11 (VERDICT r10 item 5): the streaming perceptual-dedup writer.
+    After N triggers the lifetime election snapshot equals the batch
+    multimodal_dedup_keep election over the concatenated triggers
+    (min keeper / summed counts — commutative, so stream == batch);
+    admission writes exactly one row per distinct hash, from the
+    trigger that saw it first."""
+    from renkodf_spark.operators import multimodal
+    from renkodf_spark.streaming.curation_stream import dhash_dedup_writer
+
+    def media_for(lo, hi):
+        ids = spark.range(lo, hi).withColumnRenamed("id", "doc_id")
+        return multimodal.synth_decodable_media(ids)
+
+    def write_media(src, name, df):
+        pdf = df.toPandas()
+        pdf["payload"] = pdf["payload"].apply(bytes)
+        pdf.to_parquet(os.path.join(src, name))
+
+    src = str(tmp_path / "msrc")
+    os.makedirs(src)
+    # trigger 2 re-sends ids 40..59 (same payloads, same ids) plus new
+    # ids — cross-trigger duplicate hashes both ways
+    m1, m2 = media_for(0, 60), media_for(40, 110)
+    write_media(src, "b1.parquet", m1)
+    stream = (
+        spark.readStream.schema("media_id long, media_type string, payload binary")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out_path = str(tmp_path / "madmitted")
+    state_path = str(tmp_path / "melection")
+    q = (
+        stream.writeStream.foreachBatch(dhash_dedup_writer(out_path, state_path))
+        .option("checkpointLocation", str(tmp_path / "mck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_media(src, "b2.parquet", m2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    snaps = spark.read.parquet(state_path)
+    latest = snaps.agg(F.max("batch_id")).collect()[0][0]
+    got = {
+        (r["dhash_hi"], r["dhash_lo"]): (r["keeper_id"], r["n_dupes"])
+        for r in snaps.filter(F.col("batch_id") == latest).collect()
+    }
+    want = {
+        (r["dhash_hi"], r["dhash_lo"]): (r["keeper_id"], r["n_dupes"])
+        for r in multimodal.image_dhash(m1.unionByName(m2))
+        .groupBy("dhash_hi", "dhash_lo")
+        .agg(F.min("media_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_dupes"))
+        .collect()
+    }
+    assert got == want  # stream election == batch election, exactly
+
+    # admission: one row per distinct hash, from its first trigger
+    admitted = spark.read.parquet(out_path)
+    assert admitted.count() == len(want)
+    adm_hashes = {
+        (r["dhash_hi"], r["dhash_lo"])
+        for r in multimodal.image_dhash(admitted.drop("batch_id")).collect()
+    }
+    assert adm_hashes == set(want)
+    # a hash first seen in trigger 1 admits its trigger-1 keeper even
+    # if trigger 2 later brings a smaller id for the same hash
+    t1_keepers = {
+        (r["dhash_hi"], r["dhash_lo"]): r["keeper_id"]
+        for r in multimodal.image_dhash(m1)
+        .groupBy("dhash_hi", "dhash_lo")
+        .agg(F.min("media_id").alias("keeper_id"))
+        .collect()
+    }
+    adm_by_hash = {
+        (r["dhash_hi"], r["dhash_lo"]): r["media_id"]
+        for r in multimodal.image_dhash(admitted.drop("batch_id")).collect()
+    }
+    for h, kid in t1_keepers.items():
+        assert adm_by_hash[h] == kid

@@ -1207,3 +1207,85 @@ def test_ivfpq_validation(spark):
         pq.ivfpq_topk(emb, emb, cents, books, dim=4, m=2, k=0)
     with pytest.raises(ValueError):
         pq.ivfpq_topk(emb, emb, cents, books, dim=4, m=2, n_probe=0)
+
+
+# ----------------------------------------- hot-cell guards (r11)
+
+
+def test_semantic_dedup_max_cell_size_guard(spark):
+    """VERDICT r10 item 4: the SemDeDup hot-cell spill. A cap at or
+    above the cell size is EXACT (identical output); a small cap splits
+    the hot cell round-robin by id and only ever misses drops (capped
+    keep-set is a strict superset here, by construction of the groups),
+    never invents them; the split is deterministic."""
+    # 18 vectors, 3 exact-duplicate groups (one-hot axes -> cross-group
+    # cosine 0), all one label -> one hot cell
+    vecs = [
+        (i, [1.0 if j == i % 3 else 0.0 for j in range(4)], "hot") for i in range(18)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>, label string")
+    cents = similarity.embedding_centroids(emb, dim=4)
+    thr = 0.99
+
+    kept_exact = {
+        r["vec_id"] for r in similarity.semantic_dedup(emb, cents, threshold=thr).collect()
+    }
+    assert kept_exact == {0, 1, 2}  # min id per duplicate group
+
+    # cap >= cell size: no split, identical to exact
+    same = similarity.semantic_dedup(emb, cents, threshold=thr, max_cell_size=18)
+    assert {r["vec_id"] for r in same.collect()} == kept_exact
+
+    # cap 9 -> n_sub = 2, sub-cell = id % 2; each group {g, g+3, ...}
+    # splits across parities, so each parity keeps its own minimum:
+    # recall loss = exactly the cross-sub-cell drops, nothing else
+    capped = similarity.semantic_dedup(emb, cents, threshold=thr, max_cell_size=9)
+    kept_capped = {r["vec_id"] for r in capped.collect()}
+    assert kept_capped == {0, 1, 2, 3, 4, 5}
+    assert kept_exact < kept_capped  # superset: only drops are missed
+    # deterministic: a second run is identical
+    again = similarity.semantic_dedup(emb, cents, threshold=thr, max_cell_size=9)
+    assert {r["vec_id"] for r in again.collect()} == kept_capped
+
+    with pytest.raises(ValueError):
+        similarity.semantic_dedup(emb, cents, threshold=thr, max_cell_size=0)
+
+
+def test_ivf_topk_max_cell_size_guard(spark, emb_df):
+    """VERDICT r10 item 4, the IVF twin: a cap at or above every cell
+    size leaves ivf_topk untouched; max_cell_size=1 restricts the
+    candidate pool to each cell's member nearest its centroid (rounded
+    routing cosine, tie to smaller id) — the documented recall trade."""
+    cents_df = similarity.embedding_centroids(emb_df, dim=4)
+    q = emb_df.filter(F.col("vec_id") < 2)
+
+    exact = sorted(
+        map(tuple, similarity.ivf_topk(emb_df, q, cents_df, k=3, n_probe=2).collect())
+    )
+    same = sorted(
+        map(
+            tuple,
+            similarity.ivf_topk(
+                emb_df, q, cents_df, k=3, n_probe=2, max_cell_size=10_000
+            ).collect(),
+        )
+    )
+    assert exact and exact == same
+
+    # allowed pool under cap=1: per cell, the member with the highest
+    # rounded routing cosine (tie -> smaller id)
+    nc = similarity.nearest_centroid(emb_df, cents_df).collect()
+    best = {}
+    for r in nc:
+        key = r["cell"]
+        cand = (-round(r["cell_cos"], 6), r["id"])
+        if key not in best or cand < best[key]:
+            best[key] = cand
+    allowed = {v[1] for v in best.values()}
+    capped = similarity.ivf_topk(
+        emb_df, q, cents_df, k=3, n_probe=2, max_cell_size=1
+    ).collect()
+    assert capped and all(r["neighbor_id"] in allowed for r in capped)
+
+    with pytest.raises(ValueError):
+        similarity.ivf_topk(emb_df, q, cents_df, max_cell_size=-1)

@@ -353,6 +353,38 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+def _decode_frames(p, mt):
+    """Shared container walk for :func:`frame_sample` and
+    :func:`frame_dhash`: AVI (RIFF magic, gated on the declared type
+    via :func:`_should_sniff_video`) or animated GIF (gated via
+    :func:`_should_sniff`). Returns a list of frame dicts
+    (index/delay_cs/top/left/pixels) or None for undecodable /
+    gated-out payloads — a None never fails the stage."""
+    from renkodf_spark.operators import imagecodec as ic
+
+    if (
+        _should_sniff_video(mt)
+        and len(p) >= 12
+        and p[:4] == b"RIFF"
+        and p[8:12] == b"AVI "
+    ):
+        try:
+            avi_frames, us = ic.decode_avi_frames(p)
+        except Exception:
+            return None
+        return [
+            {"index": i, "delay_cs": us // 10_000, "top": 0, "left": 0, "pixels": fr}
+            for i, fr in enumerate(avi_frames)
+        ]
+    parsed = parse_image_header(p) if _should_sniff(mt) else None
+    if not parsed or parsed[0] != "gif":
+        return None
+    try:
+        return ic.decode_gif_frames(p)
+    except Exception:
+        return None
+
+
 def frame_sample(
     media: DataFrame, every_n: int = 10, *, include_pixels: bool = False
 ) -> DataFrame:
@@ -367,38 +399,14 @@ def frame_sample(
     honest boundary; the container walk, sampling semantics and
     statistics are real and oracle-gated on the formats stdlib CAN
     decode."""
-    from renkodf_spark.operators import imagecodec as ic
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, p, mt in zip(pdf["media_id"], pdf["payload"], pdf["media_type"]):
-                frames = None
-                if (
-                    _should_sniff_video(mt)
-                    and len(p) >= 12
-                    and p[:4] == b"RIFF"
-                    and p[8:12] == b"AVI "
-                ):
-                    try:
-                        avi_frames, us = ic.decode_avi_frames(p)
-                        frames = [
-                            {
-                                "index": i, "delay_cs": us // 10_000,
-                                "top": 0, "left": 0, "pixels": fr,
-                            }
-                            for i, fr in enumerate(avi_frames)
-                        ]
-                    except Exception:
-                        continue
-                else:
-                    parsed = parse_image_header(p) if _should_sniff(mt) else None
-                    if not parsed or parsed[0] != "gif":
-                        continue
-                    try:
-                        frames = ic.decode_gif_frames(p)
-                    except Exception:
-                        continue
+                frames = _decode_frames(p, mt)
+                if frames is None:
+                    continue
                 for fr in frames:
                     if fr["index"] % every_n != 0:
                         continue
@@ -723,8 +731,6 @@ def image_dhash(media: DataFrame) -> DataFrame:
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
             rows = []
             for mid, p, mt in zip(pdf["media_id"], pdf["payload"], pdf["media_type"]):
@@ -734,43 +740,55 @@ def image_dhash(media: DataFrame) -> DataFrame:
                 if px is None:
                     rows.append((mid, fmt, None, None, status))
                     continue
-                h, w = px.shape[:2]
-                if px.shape[2] >= 3:
-                    gray = px[:, :, :3].astype(np.int64).sum(axis=2)
-                else:
-                    # grayscale (and gray+alpha: alpha is not color) —
-                    # r=g=b, same scale as the RGB sum
-                    gray = px[:, :, 0].astype(np.int64) * 3
-                bx = np.arange(w) * 9 // w
-                by = np.arange(h) * 8 // h
-                # per-bucket sums via one C-speed weighted bincount over
-                # the flattened bucket ids; counts are separable
-                # (bucketing is an outer product of the two axes) — no
-                # unbuffered np.add.at scatter on the per-image hot path
-                idx = (by[:, None] * 9 + bx[None, :]).ravel()
-                sums = np.bincount(idx, weights=gray.ravel(), minlength=72).astype(
-                    np.int64
-                ).reshape(8, 9)
-                counts = np.outer(
-                    np.bincount(by, minlength=8), np.bincount(bx, minlength=9)
-                ).astype(np.int64)
-                hi = lo = 0
-                for r in range(8):
-                    for c in range(8):
-                        bit = int(
-                            sums[r, c] * counts[r, c + 1] > sums[r, c + 1] * counts[r, c]
-                        )
-                        pos = (r % 4) * 8 + c
-                        if r < 4:
-                            hi |= bit << pos
-                        else:
-                            lo |= bit << pos
+                hi, lo = _dhash_from_pixels(px)
                 rows.append((mid, fmt, hi, lo, "ok"))
             yield pd.DataFrame(
                 rows, columns=["media_id", "format", "dhash_hi", "dhash_lo", "status"]
             )
 
     return media.mapInPandas(run, DHASH_SCHEMA)
+
+
+def _dhash_from_pixels(px) -> "tuple[int, int]":
+    """The dHash kernel shared by :func:`image_dhash` (whole images)
+    and :func:`frame_dhash` (decoded video frames): per-pixel gray =
+    r+g+b, 9x8 floor-bucketed sums, adjacent buckets compared by exact
+    cross-multiplication, 64 bits packed into two sign-safe 32-bit
+    halves. Input is an (h, w, ch) uint8 array."""
+    import numpy as np
+
+    if px.ndim == 2:  # tolerate single-plane frames
+        px = px[:, :, None]
+    h, w = px.shape[:2]
+    if px.shape[2] >= 3:
+        gray = px[:, :, :3].astype(np.int64).sum(axis=2)
+    else:
+        # grayscale (and gray+alpha: alpha is not color) —
+        # r=g=b, same scale as the RGB sum
+        gray = px[:, :, 0].astype(np.int64) * 3
+    bx = np.arange(w) * 9 // w
+    by = np.arange(h) * 8 // h
+    # per-bucket sums via one C-speed weighted bincount over
+    # the flattened bucket ids; counts are separable
+    # (bucketing is an outer product of the two axes) — no
+    # unbuffered np.add.at scatter on the per-image hot path
+    idx = (by[:, None] * 9 + bx[None, :]).ravel()
+    sums = np.bincount(idx, weights=gray.ravel(), minlength=72).astype(
+        np.int64
+    ).reshape(8, 9)
+    counts = np.outer(
+        np.bincount(by, minlength=8), np.bincount(bx, minlength=9)
+    ).astype(np.int64)
+    hi = lo = 0
+    for r in range(8):
+        for c in range(8):
+            bit = int(sums[r, c] * counts[r, c + 1] > sums[r, c + 1] * counts[r, c])
+            pos = (r % 4) * 8 + c
+            if r < 4:
+                hi |= bit << pos
+            else:
+                lo |= bit << pos
+    return hi, lo
 
 
 def _hash64_band_exprs(
@@ -908,6 +926,54 @@ def dhash_hamming_pairs(
         .filter(F.col("hamming") <= max_distance)
         .select("id_a", "id_b", "hamming")
     )
+
+
+FRAME_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.LongType()),
+        T.StructField("dhash_hi", T.LongType()),
+        T.StructField("dhash_lo", T.LongType()),
+    ]
+)
+
+
+def frame_dhash(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """Per-sampled-frame perceptual dHash over video containers (r11 —
+    the VIDEO leg of the perceptual-dedup family, completing image
+    (:func:`image_dhash`) and audio (:func:`audio_fingerprint`)): walk
+    the container exactly like :func:`frame_sample` (animated GIF or
+    uncompressed AVI, same declared-type gating), decode every
+    ``every_n``-th frame, and hash its pixels with the shared
+    :func:`_dhash_from_pixels` kernel. Output one
+    ``(media_id, frame_index, dhash_hi, dhash_lo)`` row per sampled
+    frame — the frame-fingerprint table a video-dedup pipeline
+    persists.
+
+    Near-dup videos: feed this relation (keyed by a composite frame
+    id) through the banded :func:`dhash_hamming_pairs` and aggregate
+    matching frames per video pair — see the
+    ``multimodal_video_neardup_pairs`` gate query. Undecodable or
+    gated-out payloads yield no rows, same contract as frame_sample;
+    zero shuffle, embarrassingly parallel."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p, mt in zip(pdf["media_id"], pdf["payload"], pdf["media_type"]):
+                frames = _decode_frames(p, mt)
+                if frames is None:
+                    continue
+                for fr in frames:
+                    if fr["index"] % every_n != 0:
+                        continue
+                    hi, lo = _dhash_from_pixels(fr["pixels"])
+                    rows.append((mid, fr["index"], hi, lo))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_index", "dhash_hi", "dhash_lo"]
+            )
+
+    return media.mapInPandas(run, FRAME_DHASH_SCHEMA)
 
 
 AUDIO_FP_SCHEMA = T.StructType(

@@ -42,6 +42,8 @@ _PRIORITY = [
     # -- new in round 11 (never had a gate row)
     "multimodal_curation_end_to_end",
     "semantic_dedup_capped",
+    "multimodal_video_dhash",
+    "multimodal_video_neardup_pairs",
     # -- new in round 10 (never had a gate row)
     "renko_subchunked_wide",
     "hard_negative_pairs_ann_shuffle",

@@ -997,3 +997,121 @@ def multimodal_video_frames(spark, sf_dir):
         "media_id", "frame_index", "delay_cs", "width", "height",
         "pixel_sum", "n_pixels",
     )
+
+
+# Video perceptual hashing (r11): per-frame dHash over decoded AVI
+# frames — the video leg of the perceptual-dedup family (image dHash /
+# audio fingerprint landed r10). The frame pixel law is
+# (media_id + 13f + 3x + 7y + {0,11,22}) mod 256 per channel, so the
+# oracle replays decode -> per-frame bucket sums -> comparison bits ->
+# packed halves exactly like the image dHash CTEs, with the frame index
+# as an extra grouping key.
+def _video_dhash_ctes(id_filter: str = "TRUE", every_n: int = 1) -> str:
+    return f"""
+m AS (
+  SELECT doc_id AS media_id, doc_id % 24 + 1 AS w,
+         (doc_id * 7) % 24 + 1 AS h, doc_id % 3 + 2 AS n_frames
+  FROM documents WHERE {id_filter}),
+fr AS (SELECT media_id, w, h, unnest(range(n_frames)) AS f FROM m),
+sampled AS (SELECT * FROM fr WHERE f % {every_n} = 0),
+xs AS (SELECT media_id, w, h, f, unnest(range(w)) AS x FROM sampled),
+ys AS (SELECT media_id, w, h, f, x, unnest(range(h)) AS y FROM xs),
+g AS (
+  SELECT media_id, f,
+         (media_id + 13*f + 3*x + 7*y) % 256
+         + (media_id + 13*f + 3*x + 7*y + 11) % 256
+         + (media_id + 13*f + 3*x + 7*y + 22) % 256 AS gray,
+         (x * 9) // w AS bx, (y * 8) // h AS by
+  FROM ys),
+bsum AS (
+  SELECT media_id, f, by, bx, SUM(gray)::BIGINT AS s, COUNT(*)::BIGINT AS n
+  FROM g GROUP BY media_id, f, by, bx),
+fbits AS (
+  SELECT a.media_id, a.f, a.by AS r, a.bx AS c,
+         CASE WHEN a.s * b.n > b.s * a.n THEN 1 ELSE 0 END AS bit
+  FROM bsum a JOIN bsum b
+    ON a.media_id = b.media_id AND a.f = b.f AND a.by = b.by AND b.bx = a.bx + 1
+  WHERE a.bx < 8),
+fhashes AS (
+  SELECT media_id, f,
+         COALESCE(SUM(CASE WHEN r < 4
+                      THEN bit * (1::BIGINT << ((r % 4) * 8 + c)) END), 0)::BIGINT AS dhash_hi,
+         COALESCE(SUM(CASE WHEN r >= 4
+                      THEN bit * (1::BIGINT << ((r % 4) * 8 + c)) END), 0)::BIGINT AS dhash_lo
+  FROM fbits GROUP BY media_id, f),
+fhall AS (
+  SELECT s.media_id, s.f::BIGINT AS frame_index,
+         COALESCE(h.dhash_hi, 0) AS dhash_hi, COALESCE(h.dhash_lo, 0) AS dhash_lo
+  FROM sampled s LEFT JOIN fhashes h ON s.media_id = h.media_id AND s.f = h.f)
+"""
+
+
+_MM_VIDEO_DHASH_ORACLE = f"""
+WITH {_video_dhash_ctes()}
+SELECT media_id, frame_index, dhash_hi, dhash_lo FROM fhall
+"""
+
+
+@query(
+    "multimodal_video_dhash",
+    oracle=_MM_VIDEO_DHASH_ORACLE,
+    doc="per-frame perceptual dHash over REAL decoded AVI containers "
+    "(r11, the video leg of the perceptual-dedup family): RIFF walk -> "
+    "raw 24-bit frames -> the shared 9x8 cross-multiplication dHash "
+    "kernel per frame; the oracle replays the whole container-to-hash "
+    "chain algebraically from the frame pixel law.",
+)
+def multimodal_video_dhash(spark, sf_dir):
+    media = multimodal.synth_video_media(_docs(spark, sf_dir))
+    return multimodal.frame_dhash(media, every_n=1)
+
+
+_MM_VIDEO_NEARDUP_ORACLE = f"""
+WITH {_video_dhash_ctes("doc_id % 5 = 0")},
+fk AS (
+  SELECT media_id * 1000 + frame_index AS fid, media_id, dhash_hi, dhash_lo
+  FROM fhall),
+fpairs AS (
+  SELECT a.media_id AS va, b.media_id AS vb
+  FROM fk a JOIN fk b ON a.fid < b.fid
+  WHERE a.media_id <> b.media_id
+    AND bit_count(xor(a.dhash_hi, b.dhash_hi))
+        + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 2)
+SELECT LEAST(va, vb) AS vid_a, GREATEST(va, vb) AS vid_b,
+       COUNT(*)::BIGINT AS n_close_frames
+FROM fpairs GROUP BY 1, 2
+"""
+
+
+@query(
+    "multimodal_video_neardup_pairs",
+    oracle=_MM_VIDEO_NEARDUP_ORACLE,
+    doc="near-dup VIDEO pairs by frame-level dHash (r11): per-frame "
+    "hashes keyed by a composite frame id run through the BANDED "
+    "Hamming pair stage (distance <= 2, equi-join candidates, no "
+    "cartesian), cross-video frame matches counted per video pair — "
+    "decode -> frame hash -> banded pairs -> pair aggregation, all "
+    "replayed by the oracle.",
+)
+def multimodal_video_neardup_pairs(spark, sf_dir):
+    media = multimodal.synth_video_media(
+        _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    )
+    fh = multimodal.frame_dhash(media, every_n=1)
+    keyed = fh.select(
+        (F.col("media_id") * 1000 + F.col("frame_index")).alias("fid"),
+        "media_id",
+        "dhash_hi",
+        "dhash_lo",
+    )
+    pairs = multimodal.dhash_hamming_pairs(keyed, max_distance=2, id_col="fid")
+    vids = keyed.select("fid", "media_id")
+    return (
+        pairs.join(vids.select(F.col("fid").alias("id_a"), F.col("media_id").alias("va")), "id_a")
+        .join(vids.select(F.col("fid").alias("id_b"), F.col("media_id").alias("vb")), "id_b")
+        .filter(F.col("va") != F.col("vb"))
+        .groupBy(
+            F.least("va", "vb").alias("vid_a"), F.greatest("va", "vb").alias("vid_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_close_frames"))
+    )

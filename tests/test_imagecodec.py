@@ -585,3 +585,93 @@ def test_frame_sample_avi_sniff_gated_on_declared_type(spark):
     counts = {r["media_id"]: r["count"] for r in got}
     assert counts.get(0) == 3 and counts.get(1) == 3 and counts.get(2) == 3
     assert 3 not in counts and 4 not in counts
+
+
+def test_frame_dhash_matches_image_dhash_kernel(spark):
+    """r11: the video leg shares the dHash kernel — a one-frame AVI's
+    frame hash equals image_dhash of the same pixels encoded as PNG;
+    sampling and the declared-type gate behave like frame_sample."""
+    from renkodf_spark.operators import multimodal
+
+    px = ic.formula_pixels(9, 16, 12, 3)
+    avi = bytearray(ic.encode_avi([px], fps=10))
+    png = bytearray(ic.encode_png(px))
+    media = spark.createDataFrame(
+        [
+            (0, "video/x-msvideo", avi),
+            (1, "image/png", png),
+            (2, "text/plain", avi),  # declared non-video: gated out
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    fh = {r["media_id"]: r for r in multimodal.frame_dhash(media).collect()}
+    ih = {r["media_id"]: r for r in multimodal.image_dhash(media).collect()}
+    assert 0 in fh and fh[0]["frame_index"] == 0
+    assert (fh[0]["dhash_hi"], fh[0]["dhash_lo"]) == (ih[1]["dhash_hi"], ih[1]["dhash_lo"])
+    assert 2 not in fh  # _should_sniff_video gate inherited
+
+    # every_n sampling over a multi-frame AVI
+    frames = [ic.formula_pixels(9 + 13 * f, 8, 6, 3) for f in range(4)]
+    m2 = spark.createDataFrame(
+        [(7, "video/x-msvideo", bytearray(ic.encode_avi(frames, fps=10)))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    got = sorted(r["frame_index"] for r in multimodal.frame_dhash(m2, every_n=2).collect())
+    assert got == [0, 2]
+
+
+def test_dhash_band_table_composes_with_incremental_lsh(spark):
+    """The production increment shape for perceptual dedup (r11):
+    dhash_band_table emits the same (id, band, key) relation as the
+    text LSH band index, so dedup.incremental_lsh_pairs works on it
+    unchanged — candidates from new-vs-baseline + new-vs-new band
+    equi-joins, verified with xor/bit_count, equal the full banded
+    pair stage restricted to pairs touching the increment."""
+    from renkodf_spark.operators import dedup, multimodal
+
+    d = 4
+    base_ids = spark.range(0, 80).withColumnRenamed("id", "doc_id")
+    new_ids = spark.range(80, 120).withColumnRenamed("id", "doc_id")
+    hb = multimodal.image_dhash(multimodal.synth_decodable_media(base_ids)).cache()
+    hn = multimodal.image_dhash(multimodal.synth_decodable_media(new_ids)).cache()
+    try:
+        bb = multimodal.dhash_band_table(hb, max_distance=d)
+        nb = multimodal.dhash_band_table(hn, max_distance=d)
+        cand = dedup.incremental_lsh_pairs(nb, bb)
+        allh = hb.unionByName(hn)
+        import pyspark.sql.functions as F
+
+        verified = (
+            cand.join(
+                allh.select(
+                    F.col("media_id").alias("id_a"),
+                    F.col("dhash_hi").alias("hi_a"),
+                    F.col("dhash_lo").alias("lo_a"),
+                ),
+                "id_a",
+            )
+            .join(
+                allh.select(
+                    F.col("media_id").alias("id_b"),
+                    F.col("dhash_hi").alias("hi_b"),
+                    F.col("dhash_lo").alias("lo_b"),
+                ),
+                "id_b",
+            )
+            .withColumn(
+                "hamming",
+                F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+                + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))),
+            )
+            .filter(F.col("hamming") <= d)
+            .select("id_a", "id_b", "hamming")
+        )
+        got = sorted(map(tuple, verified.collect()))
+        full = multimodal.dhash_hamming_pairs(allh, max_distance=d)
+        want = sorted(
+            t for t in map(tuple, full.collect()) if t[0] >= 80 or t[1] >= 80
+        )
+        assert got and got == want
+    finally:
+        hb.unpersist()
+        hn.unpersist()

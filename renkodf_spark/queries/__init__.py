@@ -26,6 +26,7 @@ from renkodf_spark.queries import pipeline4  # noqa: F401
 from renkodf_spark.queries import pipeline5  # noqa: F401
 from renkodf_spark.queries import relational3  # noqa: F401
 from renkodf_spark.queries import pipeline6  # noqa: F401
+from renkodf_spark.queries import pipeline7  # noqa: F401
 
 # Gate-window priority (see module docstring). Rotation policy (ADVICE
 # r2, applied every round): queries that never had a gate row, plus
@@ -40,6 +41,9 @@ from renkodf_spark.queries import pipeline6  # noqa: F401
 # Names not listed keep their module registration order after these.
 _PRIORITY = [
     # -- new in round 11 (never had a gate row)
+    "nb_classifier_model",
+    "nb_classifier_scores",
+    "nb_classifier_eval",
     "multimodal_curation_end_to_end",
     "semantic_dedup_capped",
     "multimodal_video_dhash",

@@ -611,3 +611,137 @@ def dhash_dedup_writer(
         )
 
     return write_batch
+
+
+def nb_model_writer(
+    model_path: str,
+    positive_col: str,
+    *,
+    text_col: str = "text",
+):
+    """Streaming trainer for the Naive-Bayes quality filter
+    (``operators/classifier.py``): maintain the model's sufficient
+    statistics — per-term class token counts plus per-class document
+    counts — over the stream's lifetime, so the filter can be
+    (re)derived at any trigger without rescanning history.  All four
+    statistics are ADDITIVE, so per-trigger counts built from each
+    micro-batch alone SUM into the persisted state and the lifetime
+    model is exactly the batch :func:`classifier.nb_train` model of the
+    concatenated stream (pinned by test).
+
+    State layout mirrors :func:`bloom_dedup_writer` /
+    :func:`cms_rollup_writer`: ONE cumulative snapshot per trigger
+    under ``batch_id=N`` (partition overwrite — at-least-once replays
+    recompute against the same immutable prior snapshot, idempotent),
+    each trigger reading only the LATEST prior snapshot: the state read
+    is O(vocabulary), not O(triggers).  Rows carry a ``kind`` column:
+    ``'term'`` rows hold token counts, the single ``'docs'`` row holds
+    the class document counts the prior derives from (kept apart from
+    term rows so no term string can collide with it).
+
+    ``positive_col`` names a boolean column on the micro-batch (the
+    labeling rule is applied upstream, e.g.
+    ``df.withColumn("is_target", F.col("source") == "src0")``).
+
+    Derive the scoring model with :func:`read_nb_model`.
+    """
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        import posixpath
+
+        spark = batch.sparkSession
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        pairs = batch.select(
+            F.col(positive_col).alias("__pos"), F.explode(toks).alias("term")
+        )
+        term_counts = pairs.groupBy("term").agg(
+            F.sum(F.when(F.col("__pos"), 1).otherwise(0)).cast("long").alias("cnt_pos"),
+            F.sum(F.when(F.col("__pos"), 0).otherwise(1)).cast("long").alias("cnt_neg"),
+        )
+        doc_counts = batch.agg(
+            F.sum(F.when(F.col(positive_col), 1).otherwise(0)).cast("long").alias("cnt_pos"),
+            F.sum(F.when(F.col(positive_col), 0).otherwise(1)).cast("long").alias("cnt_neg"),
+        ).select(F.lit(None).cast("string").alias("term"), "cnt_pos", "cnt_neg")
+        cur = term_counts.select(F.lit("term").alias("kind"), "term", "cnt_pos", "cnt_neg").unionByName(
+            doc_counts.select(F.lit("docs").alias("kind"), "term", "cnt_pos", "cnt_neg")
+        )
+        try:
+            snaps = spark.read.parquet(model_path).filter(F.col("batch_id") < batch_id)
+            latest = snaps.agg(F.max("batch_id")).collect()[0][0]  # bounded scalar
+            prior = (
+                snaps.filter(F.col("batch_id") == latest).select(
+                    "kind", "term", "cnt_pos", "cnt_neg"
+                )
+                if latest is not None
+                else None
+            )
+        except Exception as exc:
+            if not _is_missing_path(exc):
+                raise
+            prior = None
+        merged = cur if prior is None else (
+            prior.unionByName(cur)
+            .groupBy("kind", "term")
+            .agg(
+                F.sum("cnt_pos").cast("long").alias("cnt_pos"),
+                F.sum("cnt_neg").cast("long").alias("cnt_neg"),
+            )
+        )
+        merged.write.mode("overwrite").parquet(
+            posixpath.join(model_path, f"batch_id={batch_id}")
+        )
+
+    return write_batch
+
+
+def read_nb_model(spark, model_path: str, *, alpha: int = 1):
+    """Derive the scoring model from the LATEST streaming snapshot:
+    returns ``(model_df, prior_micros)`` where ``model_df`` has the
+    exact :func:`classifier.nb_train` shape/arithmetic
+    ``(term, cnt_pos, cnt_neg, llr_micros)`` (same round-once integer
+    micro-nat convention, so stream-trained == batch-trained is exact
+    equality, not approximate), and ``prior_micros`` is the class prior
+    ``round(ln(N_pos / N_neg) * 1e6)`` for
+    ``classifier.nb_score(..., prior_micros=...)``.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    snaps = spark.read.parquet(model_path)
+    latest = snaps.agg(F.max("batch_id")).collect()[0][0]  # bounded scalar
+    state = snaps.filter(F.col("batch_id") == latest)
+    counts = state.filter(F.col("kind") == "term").select("term", "cnt_pos", "cnt_neg")
+    totals = counts.agg(
+        F.sum("cnt_pos").alias("__Tp"),
+        F.sum("cnt_neg").alias("__Tn"),
+        F.count(F.lit(1)).alias("__V"),
+    )
+    llr = F.round(
+        (
+            F.log((F.col("cnt_pos") + alpha) / (F.col("__Tp") + alpha * F.col("__V")))
+            - F.log((F.col("cnt_neg") + alpha) / (F.col("__Tn") + alpha * F.col("__V")))
+        )
+        * 1e6
+    ).cast("long")
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "term", "cnt_pos", "cnt_neg", llr.alias("llr_micros")
+    )
+    docs = state.filter(F.col("kind") == "docs").select("cnt_pos", "cnt_neg").collect()
+    (drow,) = docs  # exactly one docs row per snapshot
+    # Spark-side rounding (HALF_UP), the same expression nb_score's
+    # labeled-frame path evaluates — bit-exact stream == batch priors.
+    (prow,) = (
+        spark.range(1)
+        .select(
+            F.round(
+                F.log(
+                    F.lit(int(drow.cnt_pos)).cast("double")
+                    / F.lit(int(drow.cnt_neg)).cast("double")
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("p")
+        )
+        .collect()
+    )
+    return model, int(prow.p)

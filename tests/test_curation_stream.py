@@ -806,3 +806,76 @@ def test_dhash_dedup_stream_matches_batch_election(spark, tmp_path):
     }
     for h, kid in t1_keepers.items():
         assert adm_by_hash[h] == kid
+
+
+def test_nb_model_stream_equals_batch_train(spark, tmp_path):
+    """Streaming NB trainer: the lifetime model derived from the latest
+    snapshot is EXACTLY (integer-for-integer, including the round-once
+    micro-nat LLRs and the prior) the batch nb_train/nb_score model of
+    the concatenated stream, with one cumulative snapshot per trigger
+    and exactly one 'docs' row per snapshot."""
+    from renkodf_spark.operators import classifier
+    from renkodf_spark.streaming.curation_stream import nb_model_writer, read_nb_model
+
+    schema = "doc_id long, text string, is_target boolean"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b1 = [(0, "good clean prose here", True), (1, "spam spam junk", False)]
+    b2 = [(2, "good good prose", True), (3, "junk here junk", False),
+          (4, "fresh words appear", True)]
+
+    def _w(name, rows):
+        pd.DataFrame(rows, columns=["doc_id", "text", "is_target"]).to_parquet(
+            os.path.join(src, name)
+        )
+
+    _w("b1.parquet", b1)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    model_path = str(tmp_path / "nbmodel")
+    q = (
+        stream.writeStream.foreachBatch(nb_model_writer(model_path, "is_target"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _w("b2.parquet", b2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    model, prior = read_nb_model(spark, model_path)
+    all_docs = spark.createDataFrame(b1 + b2, schema)
+    batch_model = classifier.nb_train(all_docs, positive=F.col("is_target"))
+    got = sorted(map(tuple, model.collect()))
+    want = sorted(map(tuple, batch_model.collect()))
+    assert got == want and len(want) > 0
+
+    # prior matches the labeled-frame path used by nb_score, and
+    # scoring under (stream model, explicit prior) == batch scoring
+    stream_scores = sorted(
+        map(tuple, classifier.nb_score(all_docs, model, prior_micros=prior).collect())
+    )
+    batch_scores = sorted(
+        map(
+            tuple,
+            classifier.nb_score(
+                all_docs, batch_model, positive=F.col("is_target")
+            ).collect(),
+        )
+    )
+    assert stream_scores == batch_scores
+
+    # snapshot hygiene: one cumulative snapshot per trigger, exactly
+    # one docs row each, counts monotone across snapshots
+    snaps = spark.read.parquet(model_path)
+    per_batch = {
+        r["batch_id"]: r["n"]
+        for r in snaps.filter(F.col("kind") == "docs")
+        .groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(per_batch.values()) == {1} and len(per_batch) >= 2

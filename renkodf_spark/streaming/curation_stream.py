@@ -618,6 +618,8 @@ def nb_model_writer(
     positive_col: str,
     *,
     text_col: str = "text",
+    n_buckets: int | None = None,
+    compact_every: int | None = None,
 ):
     """Streaming trainer for the Naive-Bayes quality filter
     (``operators/classifier.py``): maintain the model's sufficient
@@ -643,13 +645,36 @@ def nb_model_writer(
     labeling rule is applied upstream, e.g.
     ``df.withColumn("is_target", F.col("source") == "src0")``).
 
-    Derive the scoring model with :func:`read_nb_model`.
+    Cost honesty / the two state layouts:
+
+    * default (``n_buckets=None``): ONE cumulative snapshot per
+      trigger, REWRITTEN whole — O(vocabulary) per trigger, O(vocab)
+      latest-only reads.  Natural-language vocabularies plateau
+      (Heaps' law) so the snapshot stays far smaller than the corpus.
+    * ``n_buckets=K``: the search-index generation protocol — each
+      trigger writes only its OWN counts as an append-only DELTA
+      generation under ``<path>/terms/batch_id=N/tb=...`` (term-hash
+      sub-partitioned) + a one-row ``<path>/docs`` generation, so the
+      trigger cost is O(batch vocabulary) no matter how large the
+      lifetime vocabulary grows (high-cardinality term streams: URLs,
+      ids).  Reads fold all generations with an exact sum;
+      ``compact_every=K`` bounds the generation count via
+      :func:`merge_stream.compact_index_generations` (delta rows carry
+      their ``src_batch``, so they are unique and the compactor's
+      crash-absorbing ``distinct`` — and the reader's — is exact, never
+      a count-collapsing dedup).
+
+    Both layouts are replay-idempotent (partition overwrite keyed by
+    batch_id; deltas are computed from the batch alone, the snapshot
+    recomputes against the immutable prior snapshot).
+
+    Derive the scoring model with :func:`read_nb_model` — it
+    auto-detects the layout and yields identical (exact) models.
     """
+    if compact_every is not None and n_buckets is None:
+        raise ValueError("compact_every requires the bucketed layout (n_buckets)")
 
-    def write_batch(batch: DataFrame, batch_id: int) -> None:
-        import posixpath
-
-        spark = batch.sparkSession
+    def _batch_counts(batch: DataFrame):
         toks = F.split(F.trim(F.col(text_col)), r"\s+")
         pairs = batch.select(
             F.col(positive_col).alias("__pos"), F.explode(toks).alias("term")
@@ -659,11 +684,61 @@ def nb_model_writer(
             F.sum(F.when(F.col("__pos"), 0).otherwise(1)).cast("long").alias("cnt_neg"),
         )
         doc_counts = batch.agg(
-            F.sum(F.when(F.col(positive_col), 1).otherwise(0)).cast("long").alias("cnt_pos"),
-            F.sum(F.when(F.col(positive_col), 0).otherwise(1)).cast("long").alias("cnt_neg"),
-        ).select(F.lit(None).cast("string").alias("term"), "cnt_pos", "cnt_neg")
-        cur = term_counts.select(F.lit("term").alias("kind"), "term", "cnt_pos", "cnt_neg").unionByName(
-            doc_counts.select(F.lit("docs").alias("kind"), "term", "cnt_pos", "cnt_neg")
+            # coalesce: an empty micro-batch sums to NULL
+            F.coalesce(F.sum(F.when(F.col(positive_col), 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias("cnt_pos"),
+            F.coalesce(F.sum(F.when(F.col(positive_col), 0).otherwise(1)), F.lit(0))
+            .cast("long")
+            .alias("cnt_neg"),
+        )
+        return term_counts, doc_counts
+
+    def write_batch_bucketed(batch: DataFrame, batch_id: int) -> None:
+        import posixpath
+
+        from renkodf_spark.operators.search import _term_bucket_expr
+        from renkodf_spark.streaming.merge_stream import compact_index_generations
+
+        spark = batch.sparkSession
+        term_counts, doc_counts = _batch_counts(batch)
+        (
+            term_counts.withColumn("src_batch", F.lit(batch_id).cast("long"))
+            .withColumn("tb", _term_bucket_expr(F.col("term"), n_buckets))
+            .write.mode("overwrite")
+            .partitionBy("tb")
+            .parquet(posixpath.join(model_path, "terms", f"batch_id={batch_id}"))
+        )
+        doc_counts.withColumn(
+            "src_batch", F.lit(batch_id).cast("long")
+        ).write.mode("overwrite").parquet(
+            posixpath.join(model_path, "docs", f"batch_id={batch_id}")
+        )
+        if compact_every is not None and (batch_id + 1) % compact_every == 0:
+            compact_index_generations(
+                spark,
+                posixpath.join(model_path, "terms"),
+                batch_id,
+                partition_by="tb",
+            )
+            compact_index_generations(
+                spark, posixpath.join(model_path, "docs"), batch_id
+            )
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        import posixpath
+
+        spark = batch.sparkSession
+        term_counts, doc_counts = _batch_counts(batch)
+        cur = term_counts.select(
+            F.lit("term").alias("kind"), "term", "cnt_pos", "cnt_neg"
+        ).unionByName(
+            doc_counts.select(
+                F.lit("docs").alias("kind"),
+                F.lit(None).cast("string").alias("term"),
+                "cnt_pos",
+                "cnt_neg",
+            )
         )
         try:
             snaps = spark.read.parquet(model_path).filter(F.col("batch_id") < batch_id)
@@ -691,11 +766,11 @@ def nb_model_writer(
             posixpath.join(model_path, f"batch_id={batch_id}")
         )
 
-    return write_batch
+    return write_batch_bucketed if n_buckets is not None else write_batch
 
 
 def read_nb_model(spark, model_path: str, *, alpha: int = 1):
-    """Derive the scoring model from the LATEST streaming snapshot:
+    """Derive the scoring model from the persisted trainer state:
     returns ``(model_df, prior_micros)`` where ``model_df`` has the
     exact :func:`classifier.nb_train` shape/arithmetic
     ``(term, cnt_pos, cnt_neg, llr_micros)`` (same round-once integer
@@ -703,13 +778,60 @@ def read_nb_model(spark, model_path: str, *, alpha: int = 1):
     equality, not approximate), and ``prior_micros`` is the class prior
     ``round(ln(N_pos / N_neg) * 1e6)`` for
     ``classifier.nb_score(..., prior_micros=...)``.
+
+    Auto-detects the layout: the bucketed delta form (a ``terms/``
+    subdirectory) folds every generation with an exact sum — the
+    leading ``distinct`` absorbs a compaction crash-mid-delete leaving
+    a delta visible twice (rows carry ``src_batch``, so identical rows
+    ARE the same delta, never two real contributions) — while the
+    default form reads the latest cumulative snapshot only.
     """
+    import posixpath
+
     if alpha <= 0:
         raise ValueError(f"alpha must be positive, got {alpha}")
+    try:
+        terms = spark.read.parquet(posixpath.join(model_path, "terms"))
+        bucketed = True
+    except Exception as exc:
+        if not _is_missing_path(exc):
+            raise
+        bucketed = False
+    if bucketed:
+        counts = (
+            terms.select("term", "cnt_pos", "cnt_neg", "src_batch")
+            .distinct()
+            .groupBy("term")
+            .agg(
+                F.sum("cnt_pos").cast("long").alias("cnt_pos"),
+                F.sum("cnt_neg").cast("long").alias("cnt_neg"),
+            )
+        )
+        (drow,) = (
+            spark.read.parquet(posixpath.join(model_path, "docs"))
+            .select("cnt_pos", "cnt_neg", "src_batch")
+            .distinct()
+            .agg(
+                F.sum("cnt_pos").cast("long").alias("cnt_pos"),
+                F.sum("cnt_neg").cast("long").alias("cnt_neg"),
+            )
+            .collect()
+        )
+        return _derive_nb_model(spark, counts, drow, alpha)
     snaps = spark.read.parquet(model_path)
     latest = snaps.agg(F.max("batch_id")).collect()[0][0]  # bounded scalar
     state = snaps.filter(F.col("batch_id") == latest)
     counts = state.filter(F.col("kind") == "term").select("term", "cnt_pos", "cnt_neg")
+    docs = state.filter(F.col("kind") == "docs").select("cnt_pos", "cnt_neg").collect()
+    (drow,) = docs  # exactly one docs row per snapshot
+    return _derive_nb_model(spark, counts, drow, alpha)
+
+
+def _derive_nb_model(spark, counts: DataFrame, drow, alpha: int):
+    """Shared LLR + prior derivation from the summed sufficient
+    statistics — the exact expressions of ``classifier.nb_train`` /
+    ``nb_score``'s labeled-frame path (Spark HALF_UP rounding, not
+    Python banker's), so both state layouts yield bit-equal models."""
     totals = counts.agg(
         F.sum("cnt_pos").alias("__Tp"),
         F.sum("cnt_neg").alias("__Tn"),
@@ -725,10 +847,6 @@ def read_nb_model(spark, model_path: str, *, alpha: int = 1):
     model = counts.crossJoin(F.broadcast(totals)).select(
         "term", "cnt_pos", "cnt_neg", llr.alias("llr_micros")
     )
-    docs = state.filter(F.col("kind") == "docs").select("cnt_pos", "cnt_neg").collect()
-    (drow,) = docs  # exactly one docs row per snapshot
-    # Spark-side rounding (HALF_UP), the same expression nb_score's
-    # labeled-frame path evaluates — bit-exact stream == batch priors.
     (prow,) = (
         spark.range(1)
         .select(

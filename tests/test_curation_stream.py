@@ -879,3 +879,106 @@ def test_nb_model_stream_equals_batch_train(spark, tmp_path):
         .collect()
     }
     assert set(per_batch.values()) == {1} and len(per_batch) >= 2
+
+
+def test_nb_model_bucketed_deltas_equal_batch_train(spark, tmp_path):
+    """Bucketed delta layout: per-trigger generations carry ONLY that
+    batch's vocabulary (O(batch) writes), compaction bounds the
+    generation count, the folded model equals batch nb_train exactly,
+    and the reader's distinct absorbs a compaction crash that leaves a
+    delta visible twice."""
+    import shutil
+
+    from renkodf_spark.operators import classifier
+    from renkodf_spark.streaming.curation_stream import nb_model_writer, read_nb_model
+
+    schema = "doc_id long, text string, is_target boolean"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [
+        [(0, "alpha beta alpha", True), (1, "junk spam", False)],
+        [(2, "gamma beta", True), (3, "spam spam junk", False)],
+        [(4, "delta epsilon alpha", True), (5, "noise junk", False)],
+    ]
+
+    def _w(name, rows):
+        pd.DataFrame(rows, columns=["doc_id", "text", "is_target"]).to_parquet(
+            os.path.join(src, name)
+        )
+
+    _w("b1.parquet", batches[0])
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    model_path = str(tmp_path / "nbmodel")
+    writer = nb_model_writer(model_path, "is_target", n_buckets=8, compact_every=2)
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _w("b2.parquet", batches[1])
+        q.processAllAvailable()
+        _w("b3.parquet", batches[2])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # delta-ness: a generation holds only its own batch's vocabulary
+    gens = sorted(
+        d for d in os.listdir(os.path.join(model_path, "terms"))
+        if d.startswith("batch_id=")
+    )
+    last_gen = os.path.join(model_path, "terms", f"batch_id={len(batches) - 1}")
+    if os.path.exists(last_gen):
+        got_terms = {
+            r.term for r in spark.read.parquet(last_gen).select("term").collect()
+        }
+        want_terms = set()
+        for _, text, _ in batches[2]:
+            want_terms |= set(text.split())
+        assert got_terms == want_terms
+    # compaction ran (compact_every=2) at batch 1: the sources older
+    # than that trigger were folded into the negative generation and
+    # deleted.  Steady-state bound is compact_every + 1 generations
+    # (the compacted gen + up to compact_every fresh deltas) because
+    # the shared compactor never folds the current trigger's own
+    # generation (it must stay visible for overwrite-on-replay).
+    assert len(gens) <= 3, gens
+    assert "batch_id=-2" in gens, gens  # the folded generation
+    assert "batch_id=0" not in gens, gens  # its source was deleted
+
+    all_docs = spark.createDataFrame(sum(batches, []), schema)
+    batch_model = classifier.nb_train(all_docs, positive=F.col("is_target"))
+    model, prior = read_nb_model(spark, model_path)
+    assert sorted(map(tuple, model.collect())) == sorted(
+        map(tuple, batch_model.collect())
+    )
+    batch_scores = sorted(
+        map(
+            tuple,
+            classifier.nb_score(
+                all_docs, batch_model, positive=F.col("is_target")
+            ).collect(),
+        )
+    )
+    stream_scores = sorted(
+        map(tuple, classifier.nb_score(all_docs, model, prior_micros=prior).collect())
+    )
+    assert stream_scores == batch_scores
+
+    # crash absorption: duplicate a visible generation under another id
+    # (a compaction that died mid-delete) — the reader must be unchanged
+    dup_src = os.path.join(model_path, "terms", gens[0])
+    shutil.copytree(dup_src, os.path.join(model_path, "terms", "batch_id=97"))
+    model2, prior2 = read_nb_model(spark, model_path)
+    assert sorted(map(tuple, model2.collect())) == sorted(
+        map(tuple, batch_model.collect())
+    )
+    assert prior2 == prior
+
+    # contract: compact_every without the bucketed layout is an error
+    with pytest.raises(ValueError, match="n_buckets"):
+        nb_model_writer(str(tmp_path / "x"), "is_target", compact_every=2)

@@ -347,3 +347,16 @@ def test_hard_negative_ann_join_strategy_parity(spark, sf_dir):
         sa, sb = a[col], b[col]
         assert (sa.isna() == sb.isna()).all(), col
         assert (sa.dropna().to_numpy() == sb.dropna().to_numpy()).all(), col
+
+
+def test_nb_classifier_text_never_enters_an_exchange(spark, sf_dir):
+    """The NB quality filter moves only (term, count) pairs and
+    integer scores: no exchange input (shuffle OR broadcast) may carry
+    the document text, and the term counts are partial-aggregated
+    before their exchange (map-side combine)."""
+    from renkodf_spark.plans import exchange_inputs
+
+    df = q.queries()["nb_classifier_scores"](spark, sf_dir)
+    for cols in exchange_inputs(df):
+        assert "text" not in set(cols), f"text enters an exchange: {cols}"
+    assert "partial" in _executed(df).lower()

@@ -781,3 +781,193 @@ def bpe_encode(
             F.array_join(F.flatten(encoded), " ")
         ).alias("subword_digest"),
     )
+
+
+# ---------------------------------------------- bigram LM (Stupid Backoff)
+
+# Brants et al. 2007 ("Large Language Models in Machine Translation")
+# back off with a fixed multiplier 0.4 instead of normalized discounts
+# precisely because it keeps the distributed LM counting-only — the
+# property every operator here relies on for exact SQL replay.
+STUPID_BACKOFF = 0.4
+
+
+def _backoff_micros():
+    """``round(ln(0.4) * 1e6)`` as a Spark HALF_UP expression — both
+    engines round the identical double, so the constant is never
+    hardcoded on one side only."""
+    return F.round(F.log(F.lit(STUPID_BACKOFF)) * 1e6).cast("long")
+
+
+def _doc_transitions(text_col):
+    """Doc-local (w1, w2) adjacent-token pairs as an array column —
+    built with slice/zip_with array built-ins so the document text
+    never leaves its row (no shuffle, no UDF). Single-token docs yield
+    an empty array (``sequence`` is unusable here: Spark's
+    sequence(1, 0) counts DOWN instead of returning empty)."""
+    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(t)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.lit(None).cast("array<struct<w1:string,w2:string>>"))
+
+
+def bigram_lm_train(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    alpha: int = 1,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Train a bigram language model with Stupid Backoff scoring
+    (Brants et al. 2007) on ``df`` — the KenLM-style n-gram LM of the
+    CCNet recipe (Wenzek et al. 2020: train on a trusted corpus, score
+    the crawl, keep the model-typical tiers), kept counting-only so a
+    DuckDB oracle replays it bit-exactly.
+
+    Returns ``(unigrams, bigrams, oov_micros)``:
+
+    * ``unigrams`` — ``(term, cnt, lp_micros)`` with the add-``alpha``
+      smoothed unigram log-prob rounded ONCE to integer micro-nats
+      (the :func:`unigram_logprob` convention).
+    * ``bigrams`` — ``(w1, w2, cnt2, trans_micros)`` where
+      ``trans_micros = round(ln(cnt2 / cnt(w1)) * 1e6)`` is the
+      maximum-likelihood transition score (unsmoothed, as in Stupid
+      Backoff — unseen transitions back off instead).
+    * ``oov_micros`` — the smoothed zero-count unigram mass
+      ``round(ln(alpha / (T + alpha*V)) * 1e6)`` as a plain int
+      (bounded scalar, same pattern as the NB class prior): the score
+      of a token never seen in training.
+
+    Scale shape: tokenization and bigram construction are doc-local
+    array expressions (the text payload never enters an exchange —
+    plan-pinned); the only shuffles are count aggregations keyed by
+    term / (w1, w2), both map-side combinable; the (T, V) scalars come
+    back as one broadcast row. Model size is bounded by the distinct
+    bigram count of the TRAINING corpus (the trusted subset — small by
+    construction in the CCNet shape), not the scored corpus.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    counts = (
+        df.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("__T"), F.count(F.lit(1)).alias("__V")
+    )
+    lp = F.round(
+        F.log((F.col("cnt") + alpha) / (F.col("__T") + alpha * F.col("__V"))) * 1e6
+    ).cast("long")
+    unigrams = counts.crossJoin(F.broadcast(totals)).select(
+        "term", "cnt", lp.alias("lp_micros")
+    )
+    bcounts = (
+        df.select(F.explode(_doc_transitions(text_col)).alias("z"))
+        .select("z.w1", "z.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt2"))
+    )
+    bigrams = bcounts.join(
+        unigrams.select(F.col("term").alias("w1"), F.col("cnt").alias("__c1")), "w1"
+    ).select(
+        "w1",
+        "w2",
+        "cnt2",
+        F.round(F.log(F.col("cnt2") / F.col("__c1")) * 1e6)
+        .cast("long")
+        .alias("trans_micros"),
+    )
+    # bounded scalar: the smoothed OOV mass, rounded with the SAME
+    # Spark HALF_UP expression as the model (never Python's banker's
+    # rounding — the nb_model prior precedent)
+    (orow,) = (
+        totals.select(
+            F.round(
+                F.log(F.lit(float(alpha)) / (F.col("__T") + alpha * F.col("__V")))
+                * 1e6
+            )
+            .cast("long")
+            .alias("v")
+        ).collect()
+    )
+    return unigrams, bigrams, int(orow.v)
+
+
+def bigram_logprob(
+    df: DataFrame,
+    model: tuple[DataFrame, DataFrame, int],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document under a :func:`bigram_lm_train` model:
+    position 1 scores with the smoothed unigram log-prob (OOV mass for
+    unseen words); positions 2..n score with the Stupid-Backoff rule
+
+    ``S(w2 | w1) = cnt(w1 w2) / cnt(w1)`` if the bigram was seen,
+    else ``0.4 * S_unigram(w2)``
+
+    — all in integer micro-nats, so the distributed per-doc sum is
+    exact in any order and hash-matches a serial SQL replay. Unlike
+    :func:`unigram_logprob` (which self-trains), the model here is an
+    input: the CCNet shape trains on a trusted subset and scores the
+    whole corpus, so the backoff and OOV branches genuinely fire.
+
+    Output: ``(id_col, n_tokens, sum_logp_micros, avg_logp)`` — the
+    :func:`unigram_logprob` contract, drop-in for tier bucketing.
+
+    Scale shape: the document text never enters an exchange (bigram
+    construction is doc-local; only (id, w1, w2, tf) and narrower move
+    — plan-pinned); scoring is two equi-joins against the model tables
+    keyed by (w1, w2) / term plus one per-doc long-sum aggregation. No
+    window, no driver state beyond the two model scalars.
+    """
+    unigrams, bigrams, oov_micros = model
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.element_at(toks, 1).alias("term"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    first_scored = base.join(unigrams.select("term", "lp_micros"), "term", "left").select(
+        "id",
+        "n_tokens",
+        F.coalesce("lp_micros", F.lit(oov_micros)).alias("__first"),
+    )
+    btf = (
+        df.select(F.col(id_col).alias("id"), F.explode(_doc_transitions(text_col)).alias("z"))
+        .select("id", "z.w1", "z.w2")
+        .groupBy("id", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("btf"))
+    )
+    pair_score = F.coalesce(
+        F.col("trans_micros"),
+        _backoff_micros() + F.coalesce(F.col("__lp2"), F.lit(oov_micros)),
+    )
+    tsums = (
+        btf.join(bigrams.select("w1", "w2", "trans_micros"), ["w1", "w2"], "left")
+        .join(
+            unigrams.select(F.col("term").alias("w2"), F.col("lp_micros").alias("__lp2")),
+            "w2",
+            "left",
+        )
+        .groupBy("id")
+        .agg(F.sum(F.col("btf") * pair_score).cast("long").alias("__tsum"))
+    )
+    total = F.col("__first") + F.coalesce(F.col("__tsum"), F.lit(0))
+    return (
+        first_scored.join(tsums, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            total.cast("long").alias("sum_logp_micros"),
+            F.round(total / (F.col("n_tokens") * F.lit(1e6)), 6).alias("avg_logp"),
+        )
+    )

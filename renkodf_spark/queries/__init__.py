@@ -27,6 +27,7 @@ from renkodf_spark.queries import pipeline5  # noqa: F401
 from renkodf_spark.queries import relational3  # noqa: F401
 from renkodf_spark.queries import pipeline6  # noqa: F401
 from renkodf_spark.queries import pipeline7  # noqa: F401
+from renkodf_spark.queries import pipeline8  # noqa: F401
 
 # Gate-window priority (see module docstring). Rotation policy (ADVICE
 # r2, applied every round): queries that never had a gate row, plus
@@ -41,6 +42,9 @@ from renkodf_spark.queries import pipeline7  # noqa: F401
 # Names not listed keep their module registration order after these.
 _PRIORITY = [
     # -- new in round 11 (never had a gate row)
+    "bigram_lm_transitions",
+    "bigram_lm_doc_quality",
+    "bigram_perplexity_buckets",
     "nb_classifier_model",
     "nb_classifier_scores",
     "nb_classifier_eval",

@@ -1,0 +1,157 @@
+"""Round-11 pipeline queries, part 2: the bigram Stupid-Backoff
+language model (``operators/text.py::bigram_lm_train`` /
+``bigram_logprob``) — the KenLM-style n-gram LM of the CCNet recipe,
+trained on a trusted subset and scoring the whole corpus so the
+backoff and OOV branches genuinely fire — and the kNN-graph family
+(``operators/similarity.py::knn_graph`` / ``mutual_knn_edges``): the
+cell-bounded neighbor graph that SemDeDup-style clustering and
+dataset-cartography pipelines build over the embedding table.
+
+Oracles replay the integer micro-nat convention (round ONCE to BIGINT,
+exact long sums) and the pipeline2/3 centroid-routing CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from renkodf_spark.operators import dedup, similarity, text
+from renkodf_spark.queries.pipeline import _docs, _emb
+from renkodf_spark.queries.pipeline2 import _CENTROID_CTES, _IVF_DIM
+from renkodf_spark.queries.registry import query
+
+# the trusted target domain (the CCNet "train on Wikipedia" stand-in),
+# deterministic from the gate data — same convention as pipeline7's NB
+# classifier.
+_TRUSTED = "src0"
+
+
+def _bigram_model(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs, text.bigram_lm_train(docs.filter(F.col("source") == _TRUSTED))
+
+
+# Shared CTEs: train the unigram+bigram counts on the trusted subset,
+# score every document. Cross-engine exactness: per-term / per-
+# transition log scores are rounded ONCE to BIGINT micro-nats; the
+# only float steps both engines share are ln() of identical
+# integer-derived doubles (BIGINT / BIGINT is true division in both).
+_BG_CTES = rf"""
+WITH ttoks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+  FROM documents WHERE source = '{_TRUSTED}'),
+uni AS (SELECT unnest(t) AS term FROM ttoks),
+counts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM uni GROUP BY 1),
+tot AS (SELECT SUM(cnt) AS T, COUNT(*) AS V FROM counts),
+umodel AS (
+  SELECT term, cnt,
+         CAST(ROUND(ln((cnt + 1) / (T + 1 * V)) * 1e6) AS BIGINT) AS lp
+  FROM counts CROSS JOIN tot),
+oov AS (SELECT CAST(ROUND(ln(1 / (T + 1 * V)) * 1e6) AS BIGINT) AS o FROM tot),
+bk AS (SELECT CAST(ROUND(ln(0.4) * 1e6) AS BIGINT) AS b),
+tpos AS (SELECT doc_id, unnest(range(1, len(t))) AS i, t FROM ttoks),
+tbi AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM tpos),
+bcounts AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt2 FROM tbi GROUP BY 1, 2),
+bmodel AS (
+  SELECT w1, w2, cnt2,
+         CAST(ROUND(ln(cnt2 / cnt) * 1e6) AS BIGINT) AS tm
+  FROM bcounts JOIN umodel ON w1 = term),
+atoks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+firsts AS (SELECT doc_id, t[1] AS term, CAST(len(t) AS BIGINT) AS n FROM atoks),
+apos AS (SELECT doc_id, unnest(range(1, len(t))) AS i, t FROM atoks),
+abi AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM apos),
+abtf AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS btf
+         FROM abi GROUP BY 1, 2, 3),
+tsum AS (
+  SELECT doc_id,
+         SUM(btf * COALESCE(tm, b + COALESCE(u2.lp, o))) AS s
+  FROM abtf
+  LEFT JOIN bmodel USING (w1, w2)
+  LEFT JOIN umodel u2 ON abtf.w2 = u2.term
+  CROSS JOIN oov CROSS JOIN bk
+  GROUP BY 1),
+scores AS (
+  SELECT f.doc_id, f.n AS n_tokens,
+         CAST(COALESCE(u.lp, o) + COALESCE(ts.s, 0) AS BIGINT) AS s
+  FROM firsts f
+  LEFT JOIN umodel u ON f.term = u.term
+  CROSS JOIN oov
+  LEFT JOIN tsum ts ON f.doc_id = ts.doc_id)
+"""
+
+
+@query(
+    "bigram_lm_transitions",
+    oracle=_BG_CTES
+    + """
+SELECT w1, w2, cnt2, tm AS trans_micros
+FROM bmodel ORDER BY cnt2 DESC, w1, w2 LIMIT 100
+""",
+    doc="the 100 most frequent transitions of the Stupid-Backoff "
+    f"bigram LM trained on the trusted source '{_TRUSTED}': "
+    "maximum-likelihood ln(cnt(w1 w2)/cnt(w1)) rounded once to integer "
+    "micro-nats; training is two map-side-combined count aggregations "
+    "(term / bigram keys) — document text never shuffles.",
+)
+def bigram_lm_transitions(spark, sf_dir):
+    _, (unigrams, bigrams, _) = _bigram_model(spark, sf_dir)
+    return bigrams.orderBy(F.desc("cnt2"), "w1", "w2").limit(100)
+
+
+@query(
+    "bigram_lm_doc_quality",
+    oracle=_BG_CTES
+    + """
+SELECT doc_id, n_tokens, s AS sum_logp_micros,
+       ROUND(s / (n_tokens * 1e6), 6) AS avg_logp
+FROM scores
+""",
+    doc="score every document under the trusted-source bigram LM: "
+    "position 1 takes the smoothed unigram log-prob, positions 2..n "
+    "the Stupid-Backoff rule (seen transition ratio, else 0.4 x "
+    "unigram, OOV mass for unseen words) — the held-out-model CCNet "
+    "shape, so backoff/OOV branches genuinely fire on non-trusted "
+    "docs; all integer micro-nats, exact in any sum order.",
+)
+def bigram_lm_doc_quality(spark, sf_dir):
+    docs, model = _bigram_model(spark, sf_dir)
+    return text.bigram_logprob(docs, model)
+
+
+@query(
+    "bigram_perplexity_buckets",
+    oracle=_BG_CTES
+    + """
+SELECT s.doc_id, d.lang, s.n_tokens,
+       NTILE(3) OVER (PARTITION BY d.lang
+                      ORDER BY s.s::DOUBLE / s.n_tokens DESC, s.doc_id)
+         AS bucket,
+       CASE NTILE(3) OVER (PARTITION BY d.lang
+                           ORDER BY s.s::DOUBLE / s.n_tokens DESC, s.doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier
+FROM scores s JOIN documents d USING (doc_id)
+""",
+    doc="CCNet head/middle/tail terciles under the held-out bigram LM "
+    "(the real recipe: model trained on trusted text, tiers cut per "
+    "language over the whole corpus); the ntile window sees only the "
+    "(id, lang, long, long) score relation — never the document "
+    "payload — and sorts by the IEEE quotient of two exact longs with "
+    "the doc id as total tie-break.",
+)
+def bigram_perplexity_buckets(spark, sf_dir):
+    docs, model = _bigram_model(spark, sf_dir)
+    scores = text.bigram_logprob(docs, model)
+    scored = scores.join(docs.select("doc_id", "lang"), "doc_id")
+    order_key = F.col("sum_logp_micros") / F.col("n_tokens")
+    w = Window.partitionBy("lang").orderBy(order_key.desc(), F.col("doc_id"))
+    bucket = F.ntile(3).over(w)
+    tier = (
+        F.when(bucket == 1, F.lit("head"))
+        .when(bucket == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.select(
+        "doc_id", "lang", "n_tokens", bucket.alias("bucket"), tier.alias("tier")
+    )

@@ -1289,3 +1289,88 @@ def test_ivf_topk_max_cell_size_guard(spark, emb_df):
 
     with pytest.raises(ValueError):
         similarity.ivf_topk(emb_df, q, cents_df, max_cell_size=-1)
+
+
+# ------------------------------------------- bigram Stupid-Backoff LM
+
+
+def _half_up_micros(x: float) -> int:
+    import decimal
+
+    return int(
+        decimal.Decimal(x * 1e6).quantize(0, rounding=decimal.ROUND_HALF_UP)
+    )
+
+
+def test_bigram_lm_hand_computed(spark):
+    """Every branch checked against hand arithmetic: seen transition,
+    backoff to an in-vocab unigram, backoff to OOV, OOV first token,
+    single-token doc."""
+    import math
+
+    from renkodf_spark.operators import text as text_ops
+
+    train = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c")], "doc_id long, text string"
+    )
+    uni, bi, oov = text_ops.bigram_lm_train(train)
+    # corpus: a:2 b:2 c:1 -> T=5, V=3; bigrams (a,b) (b,a) (b,c) once each
+    lp_a = _half_up_micros(math.log(3 / 8))
+    lp_c = _half_up_micros(math.log(2 / 8))
+    oov_exp = _half_up_micros(math.log(1 / 8))
+    tr = _half_up_micros(math.log(1 / 2))
+    bk = _half_up_micros(math.log(0.4))
+    assert oov == oov_exp
+    assert sorted(map(tuple, uni.collect())) == [
+        ("a", 2, lp_a),
+        ("b", 2, lp_a),
+        ("c", 1, lp_c),
+    ]
+    assert sorted(map(tuple, bi.collect())) == [
+        ("a", "b", 1, tr),
+        ("b", "a", 1, tr),
+        ("b", "c", 1, tr),
+    ]
+    score = spark.createDataFrame(
+        [(10, "a b x c"), (11, "q")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.sum_logp_micros, r.avg_logp)
+        for r in text_ops.bigram_logprob(score, (uni, bi, oov)).collect()
+    }
+    # doc 10: first=lp(a); (a,b) seen; (b,x) backoff->OOV; (x,c) backoff->lp(c)
+    s10 = lp_a + tr + (bk + oov_exp) + (bk + lp_c)
+    assert out[10][:2] == (4, s10)
+    # Spark's round(col, 6) = BigDecimal.valueOf(double).setScale(HALF_UP):
+    # replicate via the double's shortest decimal repr, not banker's round()
+    import decimal
+
+    want_avg = float(
+        decimal.Decimal(repr(s10 / 4e6)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+    assert out[10][2] == want_avg
+    # doc 11: single unseen token -> pure OOV mass, no transitions
+    assert out[11] == (1, oov_exp, round(oov_exp / 1e6, 6))
+
+
+def test_bigram_logprob_layout_independent(spark):
+    from renkodf_spark.operators import text as text_ops
+
+    rows = [(i, f"w{i % 7} w{i % 3} common w{i % 5}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    model = text_ops.bigram_lm_train(df.filter("doc_id % 2 = 0"))
+    a = text_ops.bigram_logprob(df, model).orderBy("doc_id").collect()
+    b = text_ops.bigram_logprob(df.repartition(13), model).orderBy("doc_id").collect()
+    assert [(r.doc_id, r.sum_logp_micros) for r in a] == [
+        (r.doc_id, r.sum_logp_micros) for r in b
+    ]
+
+
+def test_bigram_lm_rejects_bad_alpha(spark):
+    from renkodf_spark.operators import text as text_ops
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="alpha must be positive"):
+        text_ops.bigram_lm_train(df, alpha=0)

@@ -360,3 +360,17 @@ def test_nb_classifier_text_never_enters_an_exchange(spark, sf_dir):
     for cols in exchange_inputs(df):
         assert "text" not in set(cols), f"text enters an exchange: {cols}"
     assert "partial" in _executed(df).lower()
+
+
+def test_bigram_lm_text_never_enters_an_exchange(spark, sf_dir):
+    """The bigram LM moves only (w1, w2, count) pairs and integer
+    scores: tokenization and bigram construction are doc-local array
+    expressions, so no exchange input (shuffle OR broadcast) may carry
+    the document text, and counts partial-aggregate before their
+    exchange."""
+    from renkodf_spark.plans import exchange_inputs
+
+    df = q.queries()["bigram_lm_doc_quality"](spark, sf_dir)
+    for cols in exchange_inputs(df):
+        assert "text" not in set(cols), f"text enters an exchange: {cols}"
+    assert "partial" in _executed(df).lower()

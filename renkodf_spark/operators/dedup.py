@@ -258,6 +258,8 @@ def cluster_labels(
     id_col: str = "doc_id",
     max_rounds: int = 15,
     stats: dict | None = None,
+    stat_barrier_every: int = 6,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over candidate near-dup pairs: every doc
     gets a ``cluster_id`` = the minimum doc id reachable through the
@@ -287,10 +289,37 @@ def cluster_labels(
     labels — no join against the previous round's labels and no
     separate change-count job (the sum runs in DECIMAL(38,0) so huge id
     spaces cannot overflow it). ``stats``, if passed, receives
-    ``{"rounds": <propagation rounds executed>}`` — the count includes
-    the final round that observes zero change, which is inherent to
-    fixpoint detection by observation.
+    ``{"rounds": <propagation rounds executed>, "stat_barriers":
+    <parquet barriers taken>}`` — the round count includes the final
+    round that observes zero change, which is inherent to fixpoint
+    detection by observation.
+
+    Statistics-snowball guard (r11): ``localCheckpoint`` truncates the
+    LINEAGE but preserves the plan's *statistics* — and Catalyst's
+    size-only stats visitor MULTIPLIES children's ``sizeInBytes``
+    across joins, so each round cubes the carried statistic. The digit
+    count of that BigInteger grows ~3x per round and from round ~10 the
+    driver spends minutes in ``BigInteger.multiply`` inside stats
+    estimation (measured: 0.5 s/round through round 9, then 1.2 / 4.7 /
+    22 / 109 s — while plan strings and RDD lineage stay flat, which is
+    why it hides). Shallow LSH graphs converge before onset; long-chain
+    graphs (mutual-kNN paths) do not. Every ``stat_barrier_every``
+    rounds the labels therefore take a parquet round-trip — a fresh
+    file scan resets ``sizeInBytes`` to honest bytes — which caps the
+    statistic at ~3^barrier digits forever, costs one narrow (id,
+    label) spill per barrier, and never fires for graphs that converge
+    sooner. The barrier directory is ``checkpoint_dir``, else the
+    SparkContext checkpoint dir (the standard contract iterative Spark
+    algorithms already require on a cluster), else a local temp dir
+    (single-JVM default); a self-created temp dir is removed after the
+    final labels are re-materialized off it.
     """
+    import posixpath
+
+    if stat_barrier_every <= 0:
+        raise ValueError(
+            f"stat_barrier_every must be positive, got {stat_barrier_every}"
+        )
     ids = docs.select(F.col(id_col).alias("id"))
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -301,6 +330,9 @@ def cluster_labels(
     _sum = F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
     prev_sum = None
     rounds = 0
+    barriers = 0
+    barrier_dir = None
+    made_tmp = False
 
     for _ in range(max_rounds):
         # min over neighbors' current labels
@@ -339,6 +371,28 @@ def cluster_labels(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+        if rounds % stat_barrier_every == 0:
+            # stats-snowball barrier (see docstring): parquet round-trip
+            # the narrow (id, label) relation so the carried sizeInBytes
+            # statistic resets to honest file bytes
+            spark = labels.sparkSession
+            if barrier_dir is None:
+                barrier_dir = checkpoint_dir
+                if barrier_dir is None:
+                    ckpt = spark.sparkContext._jsc.sc().getCheckpointDir()
+                    if ckpt.isDefined():
+                        barrier_dir = ckpt.get()
+                if barrier_dir is None:
+                    import tempfile
+
+                    barrier_dir = tempfile.mkdtemp(prefix="cluster_labels_")
+                    made_tmp = True
+            path = posixpath.join(
+                str(barrier_dir), f"cluster_labels_barrier_{barriers}"
+            )
+            labels.write.mode("overwrite").parquet(path)
+            labels = spark.read.parquet(path)
+            barriers += 1
     else:
         import warnings
 
@@ -351,6 +405,13 @@ def cluster_labels(
         )
     if stats is not None:
         stats["rounds"] = rounds
+        stats["stat_barriers"] = barriers
+    if made_tmp:
+        # detach the result from the files before removing them
+        import shutil
+
+        labels = labels.localCheckpoint(eager=True)
+        shutil.rmtree(barrier_dir, ignore_errors=True)
     return labels
 
 

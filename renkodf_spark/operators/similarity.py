@@ -545,6 +545,35 @@ def quantize_embeddings(
     return df.select(F.col(id_col).alias("id"), q.alias("qvec"))
 
 
+def _cap_cells(
+    routed: DataFrame, max_cell_size: int | None
+) -> tuple[DataFrame, list[str]]:
+    """Shared hot-cell guard (VERDICT r10 item 4): split any cell
+    larger than ``max_cell_size`` into ``ceil(n / max_cell_size)``
+    sub-cells by the deterministic round-robin key ``pmod(id, n_sub)``
+    and return the (possibly sub-keyed) relation plus the pair-join
+    keys. The (cell, size) relation is bounded by the centroid count —
+    broadcast, never a shuffle of the vectors. No-op when
+    ``max_cell_size`` is None."""
+    if max_cell_size is None:
+        return routed, ["cell"]
+    if max_cell_size <= 0:
+        raise ValueError(f"max_cell_size must be positive, got {max_cell_size}")
+    sizes = routed.groupBy("cell").agg(F.count(F.lit(1)).alias("__n"))
+    routed = (
+        routed.join(F.broadcast(sizes), "cell")
+        .withColumn(
+            "__sub",
+            F.pmod(
+                F.col("id").cast("long"),
+                F.ceil(F.col("__n") / F.lit(max_cell_size)).cast("long"),
+            ),
+        )
+        .drop("__n")
+    )
+    return routed, ["cell", "__sub"]
+
+
 def semantic_dedup(
     emb: DataFrame,
     centroids: DataFrame,
@@ -596,25 +625,7 @@ def semantic_dedup(
     routed = nearest_centroid(
         emb, centroids, id_col=id_col, vec_col=vec_col, round_digits=round_digits
     ).select("id", "vec", "cell")
-    pair_keys = ["cell"]
-    if max_cell_size is not None:
-        if max_cell_size <= 0:
-            raise ValueError(f"max_cell_size must be positive, got {max_cell_size}")
-        sizes = routed.groupBy("cell").agg(F.count(F.lit(1)).alias("__n"))
-        # the (cell, size) relation is bounded by the centroid count —
-        # broadcast, never a shuffle of the vectors
-        routed = (
-            routed.join(F.broadcast(sizes), "cell")
-            .withColumn(
-                "__sub",
-                F.pmod(
-                    F.col("id").cast("long"),
-                    F.ceil(F.col("__n") / F.lit(max_cell_size)).cast("long"),
-                ),
-            )
-            .drop("__n")
-        )
-        pair_keys = ["cell", "__sub"]
+    routed, pair_keys = _cap_cells(routed, max_cell_size)
     a, b = routed.alias("a"), routed.alias("b")
     drops = (
         a.join(b, pair_keys)
@@ -627,6 +638,104 @@ def semantic_dedup(
     )
     return routed.join(drops, "id", "left_anti").select(
         F.col("id").alias(id_col), "cell"
+    )
+
+
+def knn_graph(
+    emb: DataFrame,
+    centroids: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """Approximate kNN graph over the embedding table: route every
+    vector to its nearest centroid cell (:func:`nearest_centroid`) and
+    emit, for each vector, its ``k`` most-cosine-similar CELL-MATES —
+    the neighbor graph that SemDeDup-style cluster dedup, dataset
+    cartography, and graph-based diversity sampling build first.
+    Output: ``(src, dst, cos_sim)``, ``cos_sim`` rounded to
+    ``round_digits`` (the cross-engine stability contract), ranked by
+    ``(cos_sim DESC, dst)`` so the graph is a pure function of the
+    input. Vectors alone in their cell emit no edges.
+
+    Scale shape: routing is the zero-shuffle broadcast pass of
+    :func:`nearest_centroid`; candidate generation is the cell-keyed
+    equi-join bounded by sum(cell^2) — never N^2 (the IVF contract);
+    the top-k window runs over the narrow ``(src, dst, cos)`` pair
+    relation only — the vector payload never enters the window
+    exchange. ``max_cell_size`` applies the shared hot-cell guard
+    (:func:`_cap_cells`): over-size cells split round-robin and
+    neighbors are found only within a sub-cell. Unlike the dedup
+    stages (where capping can only miss drops), a capped top-k can
+    SUBSTITUTE: every emitted edge is still a true cell-mate pair with
+    its exact cosine, but shrinking the candidate pool may promote a
+    lower-similarity neighbor into the top-k — the recall trade is
+    per-rank, and only inside cells past the cap; balanced centroids
+    are the real fix.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql import Window
+
+    routed = nearest_centroid(
+        emb, centroids, id_col=id_col, vec_col=vec_col, round_digits=round_digits
+    ).select("id", "vec", "cell")
+    routed, pair_keys = _cap_cells(routed, max_cell_size)
+    a, b = routed.alias("a"), routed.alias("b")
+    pairs = (
+        a.join(b, pair_keys)
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("src"),
+            F.col("b.id").alias("dst"),
+            (
+                F.round(cosine(F.col("a.vec"), F.col("b.vec")), round_digits)
+                + F.lit(0.0)
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.col("dst"))
+    return (
+        pairs.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def mutual_knn_edges(
+    graph: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Undirected mutual-kNN edges from a :func:`knn_graph` output:
+    keep ``(a, b)`` only when a lists b AND b lists a — the standard
+    symmetrization that prunes hub-induced false neighbors before
+    clustering (a near-dup pair is mutual; a vector merely close to a
+    hub is not). Output: ``(id_a, id_b, cos_sim)`` with
+    ``id_a < id_b`` — the candidate-pair contract
+    (``dedup.cluster_labels`` consumes it directly).
+
+    Scale shape: one self-equi-join of the narrow edge relation on the
+    reversed key pair; cosine symmetry means both directions carry the
+    same rounded ``cos_sim``, so either side's value is exact.
+    """
+    a, b = graph.alias("a"), graph.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{src_col}") == F.col(f"b.{dst_col}"))
+            & (F.col(f"a.{dst_col}") == F.col(f"b.{src_col}")),
+        )
+        .filter(F.col(f"a.{src_col}") < F.col(f"a.{dst_col}"))
+        .select(
+            F.col(f"a.{src_col}").alias("id_a"),
+            F.col(f"a.{dst_col}").alias("id_b"),
+            F.col("a.cos_sim").alias("cos_sim"),
+        )
     )
 
 

@@ -42,6 +42,8 @@ from renkodf_spark.queries import pipeline8  # noqa: F401
 # Names not listed keep their module registration order after these.
 _PRIORITY = [
     # -- new in round 11 (never had a gate row)
+    "knn_graph_edges",
+    "mutual_knn_cluster_labels",
     "bigram_lm_transitions",
     "bigram_lm_doc_quality",
     "bigram_perplexity_buckets",

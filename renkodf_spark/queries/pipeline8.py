@@ -155,3 +155,94 @@ def bigram_perplexity_buckets(spark, sf_dir):
     return scored.select(
         "doc_id", "lang", "n_tokens", bucket.alias("bucket"), tier.alias("tier")
     )
+
+
+# ------------------------------------------------------- kNN graph
+
+_KNN_K = 3
+
+# routing replay identical to pipeline2/3's IVF oracles: label-cell
+# centroids, ROUND(cos, 6)-stable argmax assignment, then per-source
+# top-k over within-cell pair cosines with (cos DESC, dst) total order.
+_KNN_CTES = (
+    _CENTROID_CTES
+    + f""",
+cents AS (SELECT cell, LIST(mval ORDER BY i) AS cv FROM m GROUP BY cell),
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assign AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY ROUND(list_dot_product(v, cv)
+                          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+                    cell) AS rk
+  FROM vecs CROSS JOIN cents),
+mem AS (
+  SELECT c.vec_id, c.cell, v.v
+  FROM (SELECT vec_id, cell FROM assign WHERE rk = 1) c JOIN vecs v USING (vec_id)),
+knnpairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         ROUND(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) + 0.0
+           AS cos_sim
+  FROM mem a JOIN mem b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+knn AS (
+  SELECT src, dst, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst) AS rk
+  FROM knnpairs)
+"""
+)
+
+
+@query(
+    "knn_graph_edges",
+    oracle=_KNN_CTES
+    + f"""
+SELECT src, dst, cos_sim FROM knn WHERE rk <= {_KNN_K}
+""",
+    doc=f"approximate kNN graph (k={_KNN_K}): each vector's top-k "
+    "most-similar IVF-cell-mates by rounded cosine — candidate "
+    "generation is the cell-bounded equi-join (sum(cell^2), never "
+    "N^2) and the top-k window sees only the narrow (src, dst, cos) "
+    "relation, never the vectors.",
+)
+def knn_graph_edges(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cents = similarity.embedding_centroids(emb, dim=_IVF_DIM)
+    return similarity.knn_graph(emb, cents, k=_KNN_K)
+
+
+@query(
+    "mutual_knn_cluster_labels",
+    oracle=_KNN_CTES.replace("WITH pos", "WITH RECURSIVE pos", 1)
+    + f""",
+mutual AS (
+  SELECT a.src AS id_a, a.dst AS id_b
+  FROM (SELECT src, dst FROM knn WHERE rk <= {_KNN_K}) a
+  JOIN (SELECT src, dst FROM knn WHERE rk <= {_KNN_K}) b
+    ON a.src = b.dst AND a.dst = b.src
+  WHERE a.src < a.dst),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM mutual
+  UNION
+  SELECT id_b AS s, id_a AS d FROM mutual),
+walk(id, node) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT w.id, e.d FROM walk w JOIN edges e ON e.s = w.node)
+SELECT id AS vec_id, MIN(node) AS cluster_id FROM walk GROUP BY id
+""",
+    doc="semantic clusters from the mutual-kNN graph: symmetrize the "
+    f"k={_KNN_K} graph (keep a-b only when both list each other — the "
+    "standard hub-pruning step), then connected components via the "
+    "shared pointer-jumping min-label propagation; every vector gets "
+    "a cluster_id (singletons label themselves). Oracle is the "
+    "recursive-CTE transitive closure.",
+)
+def mutual_knn_cluster_labels(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cents = similarity.embedding_centroids(emb, dim=_IVF_DIM)
+    graph = similarity.knn_graph(emb, cents, k=_KNN_K)
+    pairs = similarity.mutual_knn_edges(graph)
+    labels = dedup.cluster_labels(emb.select("vec_id"), pairs, id_col="vec_id")
+    return labels.select(F.col("id").alias("vec_id"), "cluster_id")

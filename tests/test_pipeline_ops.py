@@ -1374,3 +1374,128 @@ def test_bigram_lm_rejects_bad_alpha(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="alpha must be positive"):
         text_ops.bigram_lm_train(df, alpha=0)
+
+
+# ------------------------------------------- kNN graph + stat barrier
+
+
+def test_knn_graph_hand_computed(spark):
+    """k=1 graph over two hand-built cells: each vector's single
+    neighbor is its most-cosine-similar cell-mate, ties to smaller id;
+    singleton cells emit no edges."""
+    from renkodf_spark.operators import similarity
+
+    # cell 0 around +x, cell 1 around +y, one singleton near -x
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.9, 0.1], 0),
+            (3, [0.8, 0.3], 0),
+            (4, [0.0, 1.0], 1),
+            (5, [0.1, 0.9], 1),
+            (6, [-1.0, 0.0], 2),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    cents = similarity.embedding_centroids(emb, dim=2)
+    g = {
+        (r.src, r.dst)
+        for r in similarity.knn_graph(emb, cents, k=1).collect()
+    }
+    # within cell {1,2,3}: 1's best is 2 (cos .9939 > .9487 for 3);
+    # 2's best is 3 (.9734 vs .9939 for 1 -> actually 1); compute:
+    # cos(2,1)=0.9939, cos(2,3)=0.9734 -> best 1. 3: cos(3,1)=.9363? vs
+    # cos(3,2)=.9734 -> best 2. cell {4,5}: mutual. singleton 6: none.
+    assert g == {(1, 2), (2, 1), (3, 2), (4, 5), (5, 4)}
+
+
+def test_mutual_knn_edges_symmetric_only(spark):
+    from renkodf_spark.operators import similarity
+
+    graph = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 1, 0.9), (3, 1, 0.8)],
+        "src long, dst long, cos_sim double",
+    )
+    out = [tuple(r) for r in similarity.mutual_knn_edges(graph).collect()]
+    # (1,2) mutual; (3,1) one-way -> dropped
+    assert out == [(1, 2, 0.9)]
+
+
+def test_knn_graph_capped_contract(spark):
+    """Hot-cell cap on the kNN graph: every capped edge is a true
+    same-cell pair carrying its exact cosine (capping substitutes
+    within-sub-cell candidates, never invents cross-cell ones), the
+    per-source degree bound still holds, and a cap larger than every
+    cell is a no-op."""
+    from renkodf_spark.operators import similarity
+
+    rows = [
+        (i, [float((i * 7 + j) % 5) + 0.5 for j in range(4)], i % 2)
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    cents = similarity.embedding_centroids(emb, dim=4)
+    exact = {
+        (r.src, r.dst) for r in similarity.knn_graph(emb, cents, k=3).collect()
+    }
+    # all within-cell pairs with their exact rounded cosines (k huge)
+    all_pairs = {
+        (r.src, r.dst): r.cos_sim
+        for r in similarity.knn_graph(emb, cents, k=10**6).collect()
+    }
+    capped = similarity.knn_graph(emb, cents, k=3, max_cell_size=5).collect()
+    assert capped, "capped graph unexpectedly empty"
+    degrees = {}
+    for r in capped:
+        assert (r.src, r.dst) in all_pairs  # true cell-mate pair
+        assert r.cos_sim == all_pairs[(r.src, r.dst)]  # exact cosine kept
+        degrees[r.src] = degrees.get(r.src, 0) + 1
+    assert max(degrees.values()) <= 3
+    uncapped = {
+        (r.src, r.dst)
+        for r in similarity.knn_graph(
+            emb, cents, k=3, max_cell_size=1000
+        ).collect()
+    }
+    assert uncapped == exact
+
+
+def test_cluster_labels_long_chain_stat_barrier(spark):
+    """Regression for the r11 statistics-snowball diagnosis: a 300-node
+    path graph needs ~11 pointer-jumping rounds — far past the round-10
+    onset where carried join-product sizeInBytes stats made each round
+    exponentially slower (BigInteger.multiply dominating the driver).
+    The periodic parquet barrier must (a) fire, (b) keep the final
+    plan's sizeInBytes statistic at a sane magnitude, and (c) not
+    change the labels."""
+    from renkodf_spark.operators import dedup
+
+    ids = spark.range(300).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(299)], "id_a long, id_b long"
+    )
+    stats = {}
+    labels = dedup.cluster_labels(ids, pairs, max_rounds=30, stats=stats)
+    assert stats["rounds"] > 6  # deep graph: pointer jumping needs >1 barrier window
+    assert stats["stat_barriers"] >= 1
+    got = {(r.id, r.cluster_id) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(300)}
+    # the barrier caps the statistic at ~30 x 3^stat_barrier_every
+    # digits (a constant; BigInteger ops on it are microseconds);
+    # without it 11 rounds would carry ~30 x 3^11 = 5M+ digits and the
+    # driver would spend minutes inside stats estimation
+    digits = len(
+        str(labels._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    assert digits < 50_000, f"sizeInBytes statistic re-snowballed: {digits} digits"
+
+
+def test_cluster_labels_rejects_bad_barrier(spark):
+    from renkodf_spark.operators import dedup
+
+    ids = spark.range(3).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="stat_barrier_every"):
+        dedup.cluster_labels(ids, pairs, stat_barrier_every=0)

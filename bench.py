@@ -175,6 +175,14 @@ HEADLINE = [
     # stage, now an equi-join) and the composed image-curation DAG
     "multimodal_dhash_neardup_pairs",
     "multimodal_curation_end_to_end",
+    # round 11 part 2: NB quality classifier, held-out bigram LM
+    # (KenLM-style CCNet), kNN graph + mutual-kNN clustering (the
+    # cluster query also exercises the stats-barrier fix: 14
+    # propagation rounds)
+    "nb_classifier_scores",
+    "bigram_lm_doc_quality",
+    "knn_graph_edges",
+    "mutual_knn_cluster_labels",
 ]
 
 

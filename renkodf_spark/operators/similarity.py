@@ -739,6 +739,34 @@ def mutual_knn_edges(
     )
 
 
+def knn_density(
+    graph: DataFrame,
+    *,
+    src_col: str = "src",
+    sim_col: str = "cos_sim",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-vector neighborhood density from a :func:`knn_graph`
+    output: ``(src, n_neighbors, mean_cos_micros, max_cos_micros)``
+    where the cosines are scaled to exact integers (``round_digits``
+    decimal places → micro-units for the default 6) so the per-source
+    aggregates are order-independent long arithmetic and a SQL replay
+    hash-matches. High mean density = prototypical / redundant
+    neighborhoods (SemDeDup's targets); low = outliers — the
+    dataset-cartography dial for diversity-aware sampling.
+
+    Scale shape: one map-side-combinable aggregation keyed by the
+    source id over the narrow edge relation; nothing else moves.
+    """
+    scale = 10**round_digits
+    micros = F.round(F.col(sim_col) * scale).cast("long")
+    return graph.groupBy(F.col(src_col).alias("vec_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+        F.round(F.sum(micros) / F.count(F.lit(1))).cast("long").alias("mean_cos_micros"),
+        F.max(micros).alias("max_cos_micros"),
+    )
+
+
 def random_project(
     emb: DataFrame,
     *,

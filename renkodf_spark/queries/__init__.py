@@ -44,6 +44,7 @@ _PRIORITY = [
     # -- new in round 11 (never had a gate row)
     "knn_graph_edges",
     "mutual_knn_cluster_labels",
+    "knn_density_tiers",
     "bigram_lm_transitions",
     "bigram_lm_doc_quality",
     "bigram_perplexity_buckets",

@@ -246,3 +246,62 @@ def mutual_knn_cluster_labels(spark, sf_dir):
     pairs = similarity.mutual_knn_edges(graph)
     labels = dedup.cluster_labels(emb.select("vec_id"), pairs, id_col="vec_id")
     return labels.select(F.col("id").alias("vec_id"), "cluster_id")
+
+
+@query(
+    "knn_density_tiers",
+    oracle=_KNN_CTES
+    + f""",
+edges AS (SELECT src, dst, cos_sim FROM knn WHERE rk <= {_KNN_K}),
+dens AS (
+  SELECT src AS vec_id,
+         CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+         CAST(ROUND(SUM(CAST(ROUND(cos_sim * 1e6) AS BIGINT)) / COUNT(*)) AS BIGINT)
+           AS mean_cos_micros,
+         MAX(CAST(ROUND(cos_sim * 1e6) AS BIGINT)) AS max_cos_micros
+  FROM edges GROUP BY 1),
+alld AS (
+  SELECT e.vec_id,
+         COALESCE(d.n_neighbors, 0) AS n_neighbors,
+         d.mean_cos_micros, d.max_cos_micros
+  FROM embeddings e LEFT JOIN dens d USING (vec_id))
+SELECT vec_id, n_neighbors, mean_cos_micros, max_cos_micros,
+       CASE NTILE(3) OVER (ORDER BY mean_cos_micros DESC NULLS LAST, vec_id)
+            WHEN 1 THEN 'prototype' WHEN 2 THEN 'typical' ELSE 'outlier'
+       END AS tier
+FROM alld
+""",
+    doc="dataset-cartography density tiers: per-vector mean/max "
+    "neighbor cosine from the kNN graph as exact integer micro-units "
+    "(order-independent long sums), every vector ranked into "
+    "prototype/typical/outlier terciles (edge-less vectors sort last "
+    "— the extreme outliers); the diversity-aware sampling dial. The "
+    "tier window sees only the 4-column density relation.",
+)
+def knn_density_tiers(spark, sf_dir):
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    cents = similarity.embedding_centroids(emb, dim=_IVF_DIM)
+    graph = similarity.knn_graph(emb, cents, k=_KNN_K)
+    dens = similarity.knn_density(graph)
+    alld = (
+        emb.select("vec_id")
+        .join(dens, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_neighbors", F.lit(0)).cast("long").alias("n_neighbors"),
+            "mean_cos_micros",
+            "max_cos_micros",
+        )
+    )
+    w = Window.orderBy(F.desc_nulls_last("mean_cos_micros"), F.col("vec_id"))
+    bucket = F.ntile(3).over(w)
+    tier = (
+        F.when(bucket == 1, F.lit("prototype"))
+        .when(bucket == 2, F.lit("typical"))
+        .otherwise(F.lit("outlier"))
+    )
+    return alld.select(
+        "vec_id", "n_neighbors", "mean_cos_micros", "max_cos_micros", tier.alias("tier")
+    )

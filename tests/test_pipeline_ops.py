@@ -1499,3 +1499,16 @@ def test_cluster_labels_rejects_bad_barrier(spark):
     pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
     with pytest.raises(ValueError, match="stat_barrier_every"):
         dedup.cluster_labels(ids, pairs, stat_barrier_every=0)
+
+
+def test_knn_density_hand_computed(spark):
+    from renkodf_spark.operators import similarity
+
+    graph = spark.createDataFrame(
+        [(1, 2, 0.5), (1, 3, 0.25), (2, 1, 0.5)],
+        "src long, dst long, cos_sim double",
+    )
+    out = {r.vec_id: tuple(r)[1:] for r in similarity.knn_density(graph).collect()}
+    # src 1: mean of (500000, 250000) = 375000; src 2: single edge
+    assert out[1] == (2, 375000, 500000)
+    assert out[2] == (1, 500000, 500000)

@@ -851,14 +851,43 @@ def bigram_lm_train(
     bigram count of the TRAINING corpus (the trusted subset — small by
     construction in the CCNet shape), not the scored corpus.
     """
-    if alpha <= 0:
-        raise ValueError(f"alpha must be positive, got {alpha}")
+    counts, bcounts = bigram_count_tables(df, text_col=text_col)
+    return derive_bigram_model(counts, bcounts, alpha=alpha)
+
+
+def bigram_count_tables(
+    df: DataFrame, *, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """The bigram LM's sufficient statistics for ``df`` alone:
+    ``(counts, bcounts)`` = ``(term, cnt)`` unigram token counts and
+    ``(w1, w2, cnt2)`` adjacent-pair counts. Both are ADDITIVE — the
+    streaming trainer (``curation_stream.bigram_lm_writer``) sums
+    per-trigger tables into the lifetime statistics and re-derives the
+    exact batch model via :func:`derive_bigram_model`."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     counts = (
         df.select(F.explode(toks).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+    bcounts = (
+        df.select(F.explode(_doc_transitions(text_col)).alias("z"))
+        .select("z.w1", "z.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt2"))
+    )
+    return counts, bcounts
+
+
+def derive_bigram_model(
+    counts: DataFrame, bcounts: DataFrame, *, alpha: int = 1
+) -> tuple[DataFrame, DataFrame, int]:
+    """Shared smoothing/rounding derivation from the raw count tables
+    — the single definition of the model arithmetic, so batch-trained
+    (:func:`bigram_lm_train`) and stream-folded
+    (``curation_stream.read_bigram_lm``) models are bit-equal."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
     totals = counts.agg(
         F.sum("cnt").alias("__T"), F.count(F.lit(1)).alias("__V")
     )
@@ -867,12 +896,6 @@ def bigram_lm_train(
     ).cast("long")
     unigrams = counts.crossJoin(F.broadcast(totals)).select(
         "term", "cnt", lp.alias("lp_micros")
-    )
-    bcounts = (
-        df.select(F.explode(_doc_transitions(text_col)).alias("z"))
-        .select("z.w1", "z.w2")
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt2"))
     )
     bigrams = bcounts.join(
         unigrams.select(F.col("term").alias("w1"), F.col("cnt").alias("__c1")), "w1"

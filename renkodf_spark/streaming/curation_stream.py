@@ -863,3 +863,102 @@ def _derive_nb_model(spark, counts: DataFrame, drow, alpha: int):
         .collect()
     )
     return model, int(prow.p)
+
+
+def bigram_lm_writer(
+    model_path: str,
+    *,
+    text_col: str = "text",
+    n_buckets: int = 16,
+    compact_every: int | None = None,
+):
+    """Streaming trainer for the Stupid-Backoff bigram LM
+    (``operators/text.py::bigram_lm_train``): maintain the model's
+    sufficient statistics — unigram token counts and adjacent-pair
+    counts — over the stream's lifetime, the "train the KenLM on the
+    trusted feed as it arrives" shape of the CCNet recipe.  Both count
+    tables are ADDITIVE, so the folded state equals the batch
+    statistics of the concatenated stream and the derived model is
+    bit-equal to batch training (pinned by test).
+
+    State layout: the bucketed delta-generation protocol of
+    :func:`nb_model_writer` ``(n_buckets=K)``, applied from the start
+    because n-gram vocabularies are the high-cardinality case the
+    snapshot layout is wrong for — each trigger writes ONLY its own
+    counts as append-only term-hash-bucketed generations under
+    ``<path>/uni`` (bucket on ``term``) and ``<path>/bi`` (bucket on
+    ``w1``, so a context's transitions stay co-located), O(batch
+    vocabulary) per trigger regardless of lifetime vocabulary size.
+    Delta rows carry ``src_batch`` (identical rows ARE the same delta —
+    the crash-absorbing ``distinct`` in reader and compactor stays
+    exact); replays overwrite their own ``batch_id=N`` generations,
+    idempotent; ``compact_every`` bounds generations at
+    ``compact_every + 1`` via the shared compactor.
+
+    Derive the scoring model with :func:`read_bigram_lm`.
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        import posixpath
+
+        from renkodf_spark.operators.search import _term_bucket_expr
+        from renkodf_spark.operators.text import bigram_count_tables
+        from renkodf_spark.streaming.merge_stream import compact_index_generations
+
+        spark = batch.sparkSession
+        counts, bcounts = bigram_count_tables(batch, text_col=text_col)
+        (
+            counts.withColumn("src_batch", F.lit(batch_id).cast("long"))
+            .withColumn("tb", _term_bucket_expr(F.col("term"), n_buckets))
+            .write.mode("overwrite")
+            .partitionBy("tb")
+            .parquet(posixpath.join(model_path, "uni", f"batch_id={batch_id}"))
+        )
+        (
+            bcounts.withColumn("src_batch", F.lit(batch_id).cast("long"))
+            .withColumn("tb", _term_bucket_expr(F.col("w1"), n_buckets))
+            .write.mode("overwrite")
+            .partitionBy("tb")
+            .parquet(posixpath.join(model_path, "bi", f"batch_id={batch_id}"))
+        )
+        if compact_every is not None and (batch_id + 1) % compact_every == 0:
+            for sub in ("uni", "bi"):
+                compact_index_generations(
+                    spark,
+                    posixpath.join(model_path, sub),
+                    batch_id,
+                    partition_by="tb",
+                )
+
+    return write_batch
+
+
+def read_bigram_lm(spark, model_path: str, *, alpha: int = 1):
+    """Fold every :func:`bigram_lm_writer` generation into the exact
+    lifetime count tables (leading ``distinct`` absorbs a compaction
+    crash that leaves a delta visible twice) and derive the model with
+    the SAME expressions as batch training
+    (``text.derive_bigram_model``) — returns the ``(unigrams, bigrams,
+    oov_micros)`` tuple :func:`text.bigram_logprob` consumes, bit-equal
+    to ``bigram_lm_train`` over the concatenated stream."""
+    import posixpath
+
+    from renkodf_spark.operators.text import derive_bigram_model
+
+    counts = (
+        spark.read.parquet(posixpath.join(model_path, "uni"))
+        .select("term", "cnt", "src_batch")
+        .distinct()
+        .groupBy("term")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    bcounts = (
+        spark.read.parquet(posixpath.join(model_path, "bi"))
+        .select("w1", "w2", "cnt2", "src_batch")
+        .distinct()
+        .groupBy("w1", "w2")
+        .agg(F.sum("cnt2").cast("long").alias("cnt2"))
+    )
+    return derive_bigram_model(counts, bcounts, alpha=alpha)

@@ -982,3 +982,100 @@ def test_nb_model_bucketed_deltas_equal_batch_train(spark, tmp_path):
     # contract: compact_every without the bucketed layout is an error
     with pytest.raises(ValueError, match="n_buckets"):
         nb_model_writer(str(tmp_path / "x"), "is_target", compact_every=2)
+
+
+def test_bigram_lm_stream_equals_batch_train(spark, tmp_path):
+    """Streaming bigram-LM trainer: delta generations hold only their
+    batch's counts, compaction bounds generations, and the folded model
+    (tables + OOV scalar + downstream doc scores) is bit-equal to batch
+    bigram_lm_train over the concatenated stream — including after a
+    compaction crash leaves a delta visible twice."""
+    import shutil
+
+    from renkodf_spark.operators import text as text_ops
+    from renkodf_spark.streaming.curation_stream import (
+        bigram_lm_writer,
+        read_bigram_lm,
+    )
+
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [
+        [(0, "a b a c"), (1, "b c")],
+        [(2, "c a b"), (3, "d d e")],
+        [(4, "a b x"), (5, "e d")],
+    ]
+
+    def _w(name, rows):
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            os.path.join(src, name)
+        )
+
+    _w("b1.parquet", batches[0])
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    model_path = str(tmp_path / "bglm")
+    q = (
+        stream.writeStream.foreachBatch(
+            bigram_lm_writer(model_path, n_buckets=4, compact_every=2)
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _w("b2.parquet", batches[1])
+        q.processAllAvailable()
+        _w("b3.parquet", batches[2])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # delta-ness: the last bigram generation holds only batch 3's pairs
+    last_bi = os.path.join(model_path, "bi", "batch_id=2")
+    if os.path.exists(last_bi):
+        got = {
+            (r.w1, r.w2) for r in spark.read.parquet(last_bi).collect()
+        }
+        assert got == {("a", "b"), ("b", "x"), ("e", "d")}
+    # compaction bound: <= compact_every + 1 generations per table
+    for sub in ("uni", "bi"):
+        gens = [
+            d
+            for d in os.listdir(os.path.join(model_path, sub))
+            if d.startswith("batch_id=")
+        ]
+        assert len(gens) <= 3, (sub, gens)
+
+    all_docs = spark.createDataFrame(sum(batches, []), schema)
+    b_uni, b_bi, b_oov = text_ops.bigram_lm_train(all_docs)
+    s_uni, s_bi, s_oov = read_bigram_lm(spark, model_path)
+    assert s_oov == b_oov
+    assert sorted(map(tuple, s_uni.collect())) == sorted(map(tuple, b_uni.collect()))
+    assert sorted(map(tuple, s_bi.collect())) == sorted(map(tuple, b_bi.collect()))
+    score = spark.createDataFrame([(9, "a b q c d")], schema)
+    batch_scores = text_ops.bigram_logprob(score, (b_uni, b_bi, b_oov)).collect()
+    stream_scores = text_ops.bigram_logprob(score, (s_uni, s_bi, s_oov)).collect()
+    assert sorted(map(tuple, stream_scores)) == sorted(map(tuple, batch_scores))
+
+    # crash absorption: duplicate a visible uni generation under a new id
+    gens = sorted(
+        d
+        for d in os.listdir(os.path.join(model_path, "uni"))
+        if d.startswith("batch_id=")
+    )
+    shutil.copytree(
+        os.path.join(model_path, "uni", gens[0]),
+        os.path.join(model_path, "uni", "batch_id=97"),
+    )
+    s_uni2, _, s_oov2 = read_bigram_lm(spark, model_path)
+    assert s_oov2 == b_oov
+    assert sorted(map(tuple, s_uni2.collect())) == sorted(map(tuple, b_uni.collect()))
+
+    # contract: bad bucket count
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        bigram_lm_writer(model_path, n_buckets=0)

@@ -374,3 +374,24 @@ def test_bigram_lm_text_never_enters_an_exchange(spark, sf_dir):
     for cols in exchange_inputs(df):
         assert "text" not in set(cols), f"text enters an exchange: {cols}"
     assert "partial" in _executed(df).lower()
+
+
+def test_knn_graph_vectors_cross_only_the_cell_exchange(spark, sf_dir):
+    """The kNN graph's one vector-bearing shuffle is the cell-keyed
+    pair join (the IVF contract); the per-source top-k window runs
+    over the narrow (src, dst, cos) relation — the embedding payload
+    must not enter the window's exchange."""
+    from renkodf_spark.plans import exchange_inputs
+
+    df = q.queries()["knn_graph_edges"](spark, sf_dir)
+    vec_bearing = []
+    for cols in exchange_inputs(df):
+        cset = set(cols)
+        if {"vec", "embedding"} & cset:
+            vec_bearing.append(cols)
+            assert "cell" in cset, f"vector exchange not cell-keyed: {cols}"
+        if "cos_sim" in cset:  # the window's sort exchange
+            assert not ({"vec", "embedding"} & cset), (
+                f"vectors enter the top-k window exchange: {cols}"
+            )
+    assert vec_bearing, "expected the cell-keyed vector shuffle to exist"

@@ -341,6 +341,17 @@ def scale_block(spark, rep: int) -> dict:
             "event_type",
         )
     )
+    from renkodf_spark.operators import similarity
+
+    remb = (
+        load_table(spark, SF_DIR, "embeddings")
+        .crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("vec_id") * rep + F.col("rep")).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+    )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
@@ -405,6 +416,17 @@ def scale_block(spark, rep: int) -> dict:
         (
             "skew_renko_chunked",
             lambda: materialize(renko_chunked(skewed, 5.0, window="1 week")),
+        ),
+        # r11: the kNN graph's within-cell pair term is the Sigma
+        # cell^2 contract — replicating embeddings WITH their labels
+        # grows every cell rep-fold, so the pair term scales rep^2
+        # (x100 here) while routing stays broadcast. The honest
+        # stress for the new family.
+        (
+            "knn_graph",
+            lambda: materialize(
+                similarity.knn_graph(remb, similarity.embedding_centroids(remb, dim=64), k=3)
+            ),
         ),
     ]
     probes: dict[str, list] = {name: [] for name, _ in entries}

@@ -815,3 +815,86 @@ def remove_duplicated_spans(
             F.md5(F.array_join(F.col("__kept"), " ")).alias("clean_digest"),
         )
     )
+
+
+def idf_weighted_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """IDF-weighted Jaccard over DISTINCT word unigrams for given
+    candidate ``(id_a, id_b)`` pairs — the rare-term-weighted verify
+    stage: two docs sharing "the and of" are not near-dups, two docs
+    sharing a rare entity n-gram are. Weighted Jaccard with binary
+    presence x IDF weights reduces to
+
+    ``J_w = sum(idf(shared terms)) / sum(idf(union terms))``
+
+    with the sklearn-style smoothed IDF of :func:`text.tfidf_top_terms`
+    (``ln((N + 1) / (df + 1)) + 1``) rounded ONCE to integer micro-nats
+    per term, so both sums are exact longs and the only division is the
+    final rounded ratio (``try_divide`` for the degenerate
+    both-docs-empty pair, as in :func:`ngram_jaccard_pairs`).
+
+    Output: ``(id_a, id_b, shared_idf_micros, union_idf_micros,
+    wjaccard)``.
+
+    Scale shape: distinct (doc, term) pairs shuffle once to build
+    document frequencies (map-side combinable, keyed by term — the
+    corpus text never moves); per-doc IDF sums are one more keyed
+    aggregation; the pair term joins the narrow candidate list to the
+    per-doc sums twice and to the shared-term relation once — each join
+    keyed by doc id, bounded by the candidate list, never |corpus|^2.
+    """
+    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    terms = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
+    docfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    idf = docfreq.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        F.round(
+            (F.log((F.col("__n") + 1) / (F.col("__df") + 1)) + 1) * 1e6
+        )
+        .cast("long")
+        .alias("__idf"),
+    )
+    weighted = terms.join(idf, "term").select("id", "term", "__idf")
+    doc_sums = weighted.groupBy("id").agg(F.sum("__idf").alias("__sum"))
+    # shared-term IDF mass per candidate pair: route each doc's terms
+    # through the pair list (keyed by doc id), then match on the term
+    a_terms = weighted.select(
+        F.col("id").alias("id_a"), "term", F.col("__idf").alias("__w")
+    )
+    b_terms = weighted.select(F.col("id").alias("id_b"), "term")
+    shared = (
+        pairs.join(a_terms, "id_a")
+        .join(b_terms, ["id_b", "term"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("__w").alias("__shared"))
+    )
+    out = (
+        pairs.join(doc_sums.withColumnRenamed("id", "id_a"), "id_a")
+        .withColumnRenamed("__sum", "__sa")
+        .join(doc_sums.withColumnRenamed("id", "id_b"), "id_b")
+        .withColumnRenamed("__sum", "__sb")
+        .join(shared, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("__shared", F.lit(0)).cast("long").alias("shared_idf_micros"),
+            (F.col("__sa") + F.col("__sb") - F.coalesce("__shared", F.lit(0)))
+            .cast("long")
+            .alias("union_idf_micros"),
+            F.round(
+                F.try_divide(
+                    F.coalesce("__shared", F.lit(0)),
+                    F.col("__sa") + F.col("__sb") - F.coalesce("__shared", F.lit(0)),
+                ),
+                round_digits,
+            ).alias("wjaccard"),
+        )
+    )
+    return out

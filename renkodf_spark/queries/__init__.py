@@ -45,6 +45,7 @@ _PRIORITY = [
     "knn_graph_edges",
     "mutual_knn_cluster_labels",
     "knn_density_tiers",
+    "dedup_idf_weighted_jaccard",
     "bigram_lm_transitions",
     "bigram_lm_doc_quality",
     "bigram_perplexity_buckets",

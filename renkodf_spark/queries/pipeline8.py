@@ -305,3 +305,54 @@ def knn_density_tiers(spark, sf_dir):
     return alld.select(
         "vec_id", "n_neighbors", "mean_cos_micros", "max_cos_micros", tier.alias("tier")
     )
+
+
+# ------------------------------------------ IDF-weighted Jaccard verify
+
+from renkodf_spark.queries.pipeline import _PAIRS_CTES, _shared_pairs  # noqa: E402
+
+_WJACC_ORACLE = (
+    _PAIRS_CTES
+    + r""",
+dterms AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS term
+  FROM documents),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfq FROM dterms GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+idf AS (
+  SELECT term, CAST(ROUND((ln((n + 1) / (dfq + 1)) + 1) * 1e6) AS BIGINT) AS w
+  FROM dfreq CROSS JOIN nd),
+wt AS (SELECT doc_id, dterms.term, w FROM dterms JOIN idf USING (term)),
+dsum AS (SELECT doc_id, SUM(w) AS s FROM wt GROUP BY 1),
+shr AS (
+  SELECT p.id_a, p.id_b, SUM(wa.w) AS shared
+  FROM pairs p JOIN wt wa ON wa.doc_id = p.id_a
+               JOIN wt wb ON wb.doc_id = p.id_b AND wb.term = wa.term
+  GROUP BY 1, 2)
+SELECT p.id_a, p.id_b,
+       CAST(COALESCE(shared, 0) AS BIGINT) AS shared_idf_micros,
+       CAST(sa.s + sb.s - COALESCE(shared, 0) AS BIGINT) AS union_idf_micros,
+       ROUND(COALESCE(shared, 0) / (sa.s + sb.s - COALESCE(shared, 0)), 4)
+         AS wjaccard
+FROM pairs p
+JOIN dsum sa ON sa.doc_id = p.id_a
+JOIN dsum sb ON sb.doc_id = p.id_b
+LEFT JOIN shr ON shr.id_a = p.id_a AND shr.id_b = p.id_b
+"""
+)
+
+
+@query(
+    "dedup_idf_weighted_jaccard",
+    oracle=_WJACC_ORACLE,
+    doc="rare-term-weighted verify for the shared LSH candidate pairs: "
+    "weighted Jaccard with binary-presence x smoothed-IDF weights "
+    "(= sum idf(shared) / sum idf(union)) — stopword overlap scores "
+    "near zero, shared rare entities dominate; per-term IDF rounded "
+    "once to integer micro-nats so both sums are exact longs, only "
+    "the final ratio divides.",
+)
+def dedup_idf_weighted_jaccard(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return dedup.idf_weighted_jaccard_pairs(docs, _shared_pairs(spark, sf_dir))

@@ -1512,3 +1512,47 @@ def test_knn_density_hand_computed(spark):
     # src 1: mean of (500000, 250000) = 375000; src 2: single edge
     assert out[1] == (2, 375000, 500000)
     assert out[2] == (1, 500000, 500000)
+
+
+def test_idf_weighted_jaccard_hand_computed(spark):
+    """Weighted Jaccard with hand-checkable IDF mass: stopword-only
+    overlap scores near zero while a shared rare term dominates."""
+    import math
+
+    from renkodf_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick zebra"),
+            (2, "the quick otter"),
+            (3, "the lazy zebra"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    out = {
+        (r.id_a, r.id_b): r
+        for r in dedup.idf_weighted_jaccard_pairs(docs, pairs).collect()
+    }
+    # N=3; df: the=3, quick=2, zebra=2, otter=1, lazy=1
+    w = lambda dfq: _half_up_micros(math.log(4 / (dfq + 1)) + 1)
+    shared_12 = w(3) + w(2)            # the, quick
+    union_12 = shared_12 + w(2) + w(1)  # + zebra, otter
+    r12 = out[(1, 2)]
+    assert (r12.shared_idf_micros, r12.union_idf_micros) == (shared_12, union_12)
+    shared_13 = w(3) + w(2)            # the, zebra
+    union_13 = shared_13 + w(2) + w(1)  # + quick, lazy
+    r13 = out[(1, 3)]
+    assert (r13.shared_idf_micros, r13.union_idf_micros) == (shared_13, union_13)
+    assert r12.wjaccard == pytest.approx(shared_12 / union_12, abs=5e-5)
+    assert r13.wjaccard == pytest.approx(shared_13 / union_13, abs=5e-5)
+    # layout independence of the exact long sums
+    out2 = {
+        (r.id_a, r.id_b): (r.shared_idf_micros, r.union_idf_micros)
+        for r in dedup.idf_weighted_jaccard_pairs(
+            docs.repartition(7), pairs
+        ).collect()
+    }
+    assert out2 == {
+        k: (v.shared_idf_micros, v.union_idf_micros) for k, v in out.items()
+    }

@@ -95,3 +95,73 @@ def test_random_batch_splits_equal_batch(moves, n_splits, rnd):
     assert batch_state == split_state
     for col in ("event_time", *WIDE_VALUE_COLUMNS):
         assert list(batch_out[col]) == list(split_out[col]), col
+
+
+# ---------------------------------------- bigram Stupid-Backoff LM
+
+
+def _py_bigram_reference(train_texts, score_rows, alpha=1):
+    """Pure-Python replay of bigram_lm_train + bigram_logprob: the
+    independent arithmetic the distributed implementation must match
+    bit-for-bit (integer micro-nats; HALF_UP via decimal)."""
+    import decimal
+    import math
+    from collections import Counter
+
+    def half_up(x):
+        return int(
+            decimal.Decimal(x * 1e6).quantize(0, rounding=decimal.ROUND_HALF_UP)
+        )
+
+    def toks(t):
+        import re
+
+        return re.split(r"\s+", t.strip())
+
+    uni = Counter()
+    bi = Counter()
+    for t in train_texts:
+        ws = toks(t)
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    T, V = sum(uni.values()), len(uni)
+    lp = {w: half_up(math.log((c + alpha) / (T + alpha * V))) for w, c in uni.items()}
+    oov = half_up(math.log(alpha / (T + alpha * V)))
+    tr = {p: half_up(math.log(c / uni[p[0]])) for p, c in bi.items()}
+    bk = half_up(math.log(0.4))
+    out = {}
+    for doc_id, t in score_rows:
+        ws = toks(t)
+        s = lp.get(ws[0], oov)
+        for a, b in zip(ws, ws[1:]):
+            s += tr.get((a, b), bk + lp.get(b, oov))
+        out[doc_id] = (len(ws), s)
+    return out
+
+
+words = st.sampled_from(["a", "b", "c", "dd", "eee", "zz"])
+texts = st.lists(words, min_size=1, max_size=8).map(" ".join)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(texts, min_size=1, max_size=6),
+    st.lists(texts, min_size=1, max_size=6),
+)
+def test_bigram_lm_matches_python_reference(spark, train_texts, score_texts):
+    """Distributed bigram LM == pure-Python reference, bit-for-bit, on
+    arbitrary tiny corpora: seen-transition, backoff, and OOV branches
+    all land on the same integer micro-nats."""
+    from renkodf_spark.operators import text as text_ops
+
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)], "doc_id long, text string"
+    )
+    score_rows = [(100 + i, t) for i, t in enumerate(score_texts)]
+    score = spark.createDataFrame(score_rows, "doc_id long, text string")
+    model = text_ops.bigram_lm_train(train)
+    got = {
+        r.doc_id: (r.n_tokens, r.sum_logp_micros)
+        for r in text_ops.bigram_logprob(score, model).collect()
+    }
+    assert got == _py_bigram_reference(train_texts, score_rows)

@@ -417,15 +417,24 @@ def scale_block(spark, rep: int) -> dict:
             "skew_renko_chunked",
             lambda: materialize(renko_chunked(skewed, 5.0, window="1 week")),
         ),
-        # r11: the kNN graph's within-cell pair term is the Sigma
-        # cell^2 contract — replicating embeddings WITH their labels
-        # grows every cell rep-fold, so the pair term scales rep^2
-        # (x100 here) while routing stays broadcast. The honest
-        # stress for the new family.
+        # r11: replicating embeddings WITH their labels grows every
+        # cell rep-fold — by construction the pathological hot-cell
+        # regime where the within-cell pair term (Sigma cell^2)
+        # explodes (measured 321 s/sample uncapped at x10: 20k
+        # vectors in 8 cells = 50 M pairs). The scale entry therefore
+        # runs the DOCUMENTED mitigation, max_cell_size: sub-cells
+        # bound the pair term at cap x n, the per-rank recall trade
+        # is substitution within a sub-cell (knn_graph docstring,
+        # pinned in tests), and balanced centroids are the real fix.
         (
-            "knn_graph",
+            "knn_graph_capped",
             lambda: materialize(
-                similarity.knn_graph(remb, similarity.embedding_centroids(remb, dim=64), k=3)
+                similarity.knn_graph(
+                    remb,
+                    similarity.embedding_centroids(remb, dim=64),
+                    k=3,
+                    max_cell_size=500,
+                )
             ),
         ),
     ]

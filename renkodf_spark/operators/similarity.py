@@ -685,18 +685,40 @@ def knn_graph(
     ).select("id", "vec", "cell")
     routed, pair_keys = _cap_cells(routed, max_cell_size)
     a, b = routed.alias("a"), routed.alias("b")
-    pairs = (
+    # cosine is symmetric: evaluate it once per UNORDERED pair
+    # (id < id — half the join output and half the arithmetic), then
+    # emit both orientations for the per-source rank
+    half = (
         a.join(b, pair_keys)
-        .filter(F.col("a.id") != F.col("b.id"))
+        .filter(F.col("a.id") < F.col("b.id"))
         .select(
-            F.col("a.id").alias("src"),
-            F.col("b.id").alias("dst"),
+            F.col("a.id").alias("lo"),
+            F.col("b.id").alias("hi"),
             (
                 F.round(cosine(F.col("a.vec"), F.col("b.vec")), round_digits)
                 + F.lit(0.0)
             ).alias("cos_sim"),
         )
     )
+    # both orientations via explode of ONE row (a unionByName of two
+    # selects would stamp the join subtree twice in the physical plan
+    # and evaluate every cosine twice anyway)
+    pairs = half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("lo").alias("src"),
+                    F.col("hi").alias("dst"),
+                    F.col("cos_sim"),
+                ),
+                F.struct(
+                    F.col("hi").alias("src"),
+                    F.col("lo").alias("dst"),
+                    F.col("cos_sim"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.cos_sim")
     w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.col("dst"))
     return (
         pairs.withColumn("__rk", F.row_number().over(w))

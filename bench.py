@@ -30,7 +30,10 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # each section's gate outcome lands in the methodology block. The
 # first gate runs before our own Spark session spins up 32 threads;
 # mid-run gates also absorb the decay of our own previous section.
-QUIET_LOAD = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "4"))
+# r12 (VERDICT r11 "What's wrong" #1): threshold tightened 4 -> 2 —
+# the r11 artifact was committed from a run gated only down to 3.82
+# and carried two phantom per-query regressions on unchanged code.
+QUIET_LOAD = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "2"))
 QUIET_TIMEOUT = float(os.environ.get("SPARK_GRAFT_QUIET_TIMEOUT", "300"))
 
 QUIET_GATES: dict[str, dict] = {}
@@ -183,6 +186,9 @@ HEADLINE = [
     "bigram_lm_doc_quality",
     "knn_graph_edges",
     "mutual_knn_cluster_labels",
+    # round 12: the composed video-curation DAG (rep-frame banded
+    # candidates + frame-set verify)
+    "multimodal_video_curation_end_to_end",
 ]
 
 
@@ -266,6 +272,58 @@ def merge_kernel_runs(tput: dict, full_path: str) -> dict:
         pass
     for lbl in ("sparse", "dense"):
         merged[f"{lbl}_mticks"] = max(merged["samples"].get(lbl, [0.0]))
+    return merged
+
+
+def _bench_fingerprint() -> str:
+    """sha256 over every renkodf_spark source file plus the headline
+    list, SF dir, and core count — the guard that lets per-query
+    samples min-aggregate across a round's bench runs (VERDICT r11
+    "What's wrong" #1: the committed artifact carried two phantom
+    3-4x regressions on UNCHANGED code because one co-tenant run's
+    numbers stood alone; the kernel block got cross-run min-merging in
+    r11, the per-query table now gets the same). Any source edit, SF
+    change, or core-count change restarts the sample pool — stale
+    numbers can never outlive the code/configuration they measured."""
+    import hashlib
+
+    h = hashlib.sha256()
+    pkg = os.path.join(os.path.dirname(os.path.abspath(__file__)), "renkodf_spark")
+    for root, dirs, files in os.walk(pkg):
+        dirs[:] = sorted(d for d in dirs if d != "__pycache__")
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                p = os.path.join(root, fn)
+                h.update(os.path.relpath(p, pkg).encode())
+                with open(p, "rb") as f:
+                    h.update(f.read())
+    h.update(json.dumps([HEADLINE, SF_DIR, CPUS]).encode())
+    return h.hexdigest()[:16]
+
+
+def merge_query_runs(samples: dict[str, list], full_path: str) -> dict:
+    """Fold this run's per-query wall-time samples together with every
+    prior bench run of the SAME package source (and SF/core config)
+    recorded in bench_full.json, exactly like merge_kernel_runs. The
+    committed number per query is the min over the merged pool, so one
+    co-tenant burst during the final run can no longer print a phantom
+    regression for a query whose code did not change."""
+    fp = _bench_fingerprint()
+    merged = {
+        "fingerprint": fp,
+        "samples": {k: [round(v, 3) for v in vs] for k, vs in samples.items()},
+        "runs_merged": 1,
+    }
+    try:
+        with open(full_path) as f:
+            prior = json.load(f).get("query_runs", {})
+        if prior.get("fingerprint") == fp:
+            for name, vals in prior.get("samples", {}).items():
+                if name in merged["samples"]:
+                    merged["samples"][name].extend(vals)
+            merged["runs_merged"] = prior.get("runs_merged", 1) + 1
+    except (OSError, ValueError):
+        pass
     return merged
 
 
@@ -733,6 +791,7 @@ def main():
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     visits: dict[str, int] = {}
+    qsamples: dict[str, list] = {name: [] for name in HEADLINE}
 
     def visit(name: str) -> None:
         spark.catalog.clearCache()
@@ -742,6 +801,7 @@ def main():
         el = time.perf_counter() - t0
         timings[name] = min(timings.get(name, el), el)
         visits[name] = visits.get(name, 0) + 1
+        qsamples[name].append(el)
 
     for _pass in range(2):
         for name in HEADLINE:
@@ -749,10 +809,19 @@ def main():
     for name in HEADLINE:  # sub-second queries: one more decorrelated sample
         if timings[name] < 1.0:
             visit(name)
+
+    # cross-run min-merge (VERDICT r11 "What's wrong" #1): fold this
+    # run's samples with prior same-source runs from bench_full.json;
+    # the committed per-query number is the min over the merged pool
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+    )
+    query_runs = merge_query_runs(qsamples, full_path)
     for name in HEADLINE:
-        timings[name] = round(timings[name], 3)
+        timings[name] = round(min(query_runs["samples"][name]), 3)
         print(
-            f"# {name}: {timings[name]}s ({rows[name]} rows, {visits[name]} visits)",
+            f"# {name}: {timings[name]}s ({rows[name]} rows, {visits[name]} visits, "
+            f"{len(query_runs['samples'][name])} merged samples)",
             file=sys.stderr,
         )
 
@@ -800,8 +869,11 @@ def main():
         # best-of-2, headline-only gate. r01/r02: single rep, count()
         # materialization — not comparable.
         "methodology": {
-            "version": 5,
-            "reps": "2 interleaved passes (3rd visit if best < 1s); scale entries 2 interleaved samples",
+            "version": 6,
+            # v6 (r12): per-query samples cross-run min-merged under a
+            # package-source fingerprint (query_runs block), quiet-gate
+            # threshold 4 -> 2
+            "reps": "2 interleaved passes (3rd visit if best < 1s) x cross-run merge; scale entries 2 interleaved samples",
             "agg": "min",
             "materialize": "full_width_row_hash",
             # the gates only control WHEN each section starts (bounded
@@ -829,7 +901,6 @@ def main():
     # stdout ends with a compact always-fits summary line carrying the
     # driver contract (metric/value/unit/queries/sf) plus the headline
     # numbers a round-over-round comparison needs.
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
     # kernel numbers min-aggregate (throughput: max) across the round's
     # runs of the same kernel source — samples[] + best committed, like
     # every scale entry (VERDICT r10 item 2)
@@ -837,6 +908,7 @@ def main():
     for lbl in ("sparse", "dense"):
         timings[f"kernel_mticks_per_sec_{lbl}"] = kernel_block[f"{lbl}_mticks"]
     payload["kernel"] = kernel_block
+    payload["query_runs"] = query_runs
     with open(full_path, "w") as f:
         json.dump(payload, f)
     print(json.dumps(payload), file=sys.stderr)
@@ -847,7 +919,7 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": payload["sf"],
-        "methodology_version": 5,
+        "methodology_version": 6,
         "probes": {
             **{
                 sect: {"spin": g["spin_miters"], "bw": g["bw_gbps"]}

@@ -41,6 +41,13 @@ from renkodf_spark.queries import pipeline8  # noqa: F401
 # mechanical so the artifact no longer depends on habit).
 # Names not listed keep their module registration order after these.
 _PRIORITY = [
+    # -- new in round 12 (never had a gate row), plus the queries whose
+    #    shared cluster_labels stage switched to large-star/small-star
+    #    contraction this round and need re-proving
+    "multimodal_video_curation_end_to_end",
+    "dedup_cluster_labels",
+    "corpus_dedup_filter",
+    "dedup_keep_best",
     # -- new in round 11 (never had a gate row)
     "knn_graph_edges",
     "mutual_knn_cluster_labels",

@@ -264,13 +264,15 @@ SELECT id, MIN(node) AS cluster_id FROM walk GROUP BY id
 @query(
     "dedup_cluster_labels",
     oracle=_CLUSTER_ORACLE,
-    doc="connected components over LSH candidate pairs (pointer-jumping "
-    "min-label propagation) — the apply stage of dedup-at-scale; oracle "
+    doc="connected components over LSH candidate pairs (alternating "
+    "large-star/small-star contraction, Kiveris et al. 2014) — the apply stage of dedup-at-scale; oracle "
     "is a DuckDB recursive-CTE transitive closure (VERDICT r2 item 7).",
 )
 def dedup_cluster_labels(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    return dedup.cluster_labels(docs, _shared_pairs(spark, sf_dir))
+    return dedup.cluster_labels(
+        docs, _shared_pairs(spark, sf_dir), on_nonconverge="raise"
+    )
 
 
 _BITSUM = ",\n         ".join(
@@ -1115,3 +1117,118 @@ def multimodal_video_neardup_pairs(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_close_frames"))
     )
+
+
+# Video curation DAG (r12, VERDICT r11 item 3 — the video twin of
+# multimodal_curation_end_to_end). Near-dup candidate generation is
+# REPRESENTATIVE-FRAME banding: only frame 0's hash enters the banded
+# pair stage, so candidates are bounded by video count, not frame
+# count; the verify stage then counts close frame pairs across the two
+# candidates' FULL frame sets (bounded: n_frames_a x n_frames_b per
+# candidate pair) and a pair is a near-dup only if >= 2 frame pairs
+# are within Hamming distance 2 — the rep-frame match alone is not
+# enough, which makes the verify stage load-bearing.
+_VIDEO_E2E_MIN_CLOSE = 2
+
+_MM_VIDEO_E2E_ORACLE = f"""
+WITH {_video_dhash_ctes()},
+sigs AS (
+  SELECT media_id,
+         SUM((frame_index + 1) * dhash_hi)::BIGINT AS vsig_hi,
+         SUM((frame_index + 1) * dhash_lo)::BIGINT AS vsig_lo,
+         COUNT(*)::BIGINT AS n_frames
+  FROM fhall GROUP BY media_id),
+keep AS (
+  SELECT vsig_hi, vsig_lo, n_frames, MIN(media_id) AS media_id,
+         COUNT(*)::BIGINT AS n_exact_dupes
+  FROM sigs GROUP BY vsig_hi, vsig_lo, n_frames),
+reps AS (
+  SELECT f.media_id, f.dhash_hi, f.dhash_lo
+  FROM fhall f JOIN keep k USING (media_id) WHERE f.frame_index = 0),
+cand AS (
+  SELECT a.media_id AS vid_a, b.media_id AS vid_b
+  FROM reps a JOIN reps b ON a.media_id < b.media_id
+  WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+        + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 2),
+verified AS (
+  SELECT c.vid_a, c.vid_b, COUNT(*) AS n_close
+  FROM cand c
+  JOIN fhall fa ON fa.media_id = c.vid_a
+  JOIN fhall fb ON fb.media_id = c.vid_b
+  WHERE bit_count(xor(fa.dhash_hi, fb.dhash_hi))
+        + bit_count(xor(fa.dhash_lo, fb.dhash_lo)) <= 2
+  GROUP BY c.vid_a, c.vid_b),
+drops AS (
+  SELECT DISTINCT vid_b AS media_id FROM verified
+  WHERE n_close >= {_VIDEO_E2E_MIN_CLOSE})
+SELECT k.media_id AS doc_id, d.lang, d.n_chars, k.n_frames,
+       k.n_exact_dupes
+FROM keep k JOIN documents d ON d.doc_id = k.media_id
+WHERE k.media_id NOT IN (SELECT media_id FROM drops)
+"""
+
+
+@query(
+    "multimodal_video_curation_end_to_end",
+    oracle=_MM_VIDEO_E2E_ORACLE,
+    doc="the video curation DAG composed end to end (r12, VERDICT r11 "
+    "item 3 — the video twin of multimodal_curation_end_to_end): AVI "
+    "decode -> per-frame dHash -> exact dedup on the order-weighted "
+    "frame-hash signature -> representative-frame BANDED Hamming "
+    "candidates among keepers (bounded by video count, never frame "
+    "cartesian) -> full frame-set verify (near-dup iff >= 2 close "
+    "frame pairs) -> greedy drop of each pair's larger id -> survivors "
+    "joined back to document metadata. One declarative plan from raw "
+    "container bytes to the curated corpus; the oracle replays every "
+    "stage including the signature election and the two-level "
+    "candidate/verify geometry.",
+)
+def multimodal_video_curation_end_to_end(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    media = multimodal.synth_video_media(docs)
+    fh = multimodal.frame_dhash(media, every_n=1)
+    sigs = fh.groupBy("media_id").agg(
+        F.sum((F.col("frame_index") + 1) * F.col("dhash_hi")).alias("vsig_hi"),
+        F.sum((F.col("frame_index") + 1) * F.col("dhash_lo")).alias("vsig_lo"),
+        F.count(F.lit(1)).alias("n_frames"),
+    )
+    keep = sigs.groupBy("vsig_hi", "vsig_lo", "n_frames").agg(
+        F.min("media_id").alias("media_id"),
+        F.count(F.lit(1)).alias("n_exact_dupes"),
+    )
+    kframes = fh.join(keep.select("media_id"), "media_id")
+    reps = kframes.filter(F.col("frame_index") == 0)
+    cand = multimodal.dhash_hamming_pairs(reps, max_distance=2).select(
+        F.col("id_a").alias("vid_a"), F.col("id_b").alias("vid_b")
+    )
+    fa = kframes.select(
+        F.col("media_id").alias("vid_a"),
+        F.col("dhash_hi").alias("hi_a"),
+        F.col("dhash_lo").alias("lo_a"),
+    )
+    fb = kframes.select(
+        F.col("media_id").alias("vid_b"),
+        F.col("dhash_hi").alias("hi_b"),
+        F.col("dhash_lo").alias("lo_b"),
+    )
+    verified = (
+        cand.join(fa, "vid_a")
+        .join(fb, "vid_b")
+        .filter(
+            F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+            + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+            <= 2
+        )
+        .groupBy("vid_a", "vid_b")
+        .agg(F.count(F.lit(1)).alias("n_close"))
+    )
+    drops = (
+        verified.filter(F.col("n_close") >= _VIDEO_E2E_MIN_CLOSE)
+        .select(F.col("vid_b").alias("media_id"))
+        .distinct()
+    )
+    survivors = keep.join(drops, "media_id", "left_anti")
+    return survivors.join(
+        docs.select("doc_id", "lang", "n_chars"),
+        survivors["media_id"] == F.col("doc_id"),
+    ).select("doc_id", "lang", "n_chars", "n_frames", "n_exact_dupes")

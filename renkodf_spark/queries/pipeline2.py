@@ -55,7 +55,9 @@ WHERE l.id = l.cluster_id
 )
 def corpus_dedup_filter(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    labels = dedup.cluster_labels(docs, _shared_pairs(spark, sf_dir))
+    labels = dedup.cluster_labels(
+        docs, _shared_pairs(spark, sf_dir), on_nonconverge="raise"
+    )
     return corpus.dedup_filter(docs, labels).select("doc_id", "cluster_size")
 
 

@@ -67,7 +67,9 @@ FROM scored s JOIN reps r USING (cluster_id)
 )
 def dedup_keep_best(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    labels = dedup.cluster_labels(docs, _shared_pairs(spark, sf_dir))
+    labels = dedup.cluster_labels(
+        docs, _shared_pairs(spark, sf_dir), on_nonconverge="raise"
+    )
     return dedup.cluster_representatives(docs, labels)
 
 

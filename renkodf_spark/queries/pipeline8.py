@@ -235,7 +235,7 @@ SELECT id AS vec_id, MIN(node) AS cluster_id FROM walk GROUP BY id
     doc="semantic clusters from the mutual-kNN graph: symmetrize the "
     f"k={_KNN_K} graph (keep a-b only when both list each other — the "
     "standard hub-pruning step), then connected components via the "
-    "shared pointer-jumping min-label propagation; every vector gets "
+    "shared alternating large-star/small-star contraction; every vector gets "
     "a cluster_id (singletons label themselves). Oracle is the "
     "recursive-CTE transitive closure.",
 )
@@ -244,7 +244,10 @@ def mutual_knn_cluster_labels(spark, sf_dir):
     cents = similarity.embedding_centroids(emb, dim=_IVF_DIM)
     graph = similarity.knn_graph(emb, cents, k=_KNN_K)
     pairs = similarity.mutual_knn_edges(graph)
-    labels = dedup.cluster_labels(emb.select("vec_id"), pairs, id_col="vec_id")
+    labels = dedup.cluster_labels(
+        emb.select("vec_id"), pairs, id_col="vec_id", max_rounds=30,
+        on_nonconverge="raise",
+    )
     return labels.select(F.col("id").alias("vec_id"), "cluster_id")
 
 

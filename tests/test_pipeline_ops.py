@@ -1297,8 +1297,11 @@ def test_ivf_topk_max_cell_size_guard(spark, emb_df):
 def _half_up_micros(x: float) -> int:
     import decimal
 
+    # Decimal(repr(.)) mirrors Spark round()'s BigDecimal.valueOf (the
+    # double's shortest repr), not the exact binary expansion — the two
+    # disagree on repr-boundary values (ADVICE r11)
     return int(
-        decimal.Decimal(x * 1e6).quantize(0, rounding=decimal.ROUND_HALF_UP)
+        decimal.Decimal(repr(x * 1e6)).quantize(0, rounding=decimal.ROUND_HALF_UP)
     )
 
 
@@ -1463,12 +1466,15 @@ def test_knn_graph_capped_contract(spark):
 
 
 def test_cluster_labels_long_chain_stat_barrier(spark):
-    """Regression for the r11 statistics-snowball diagnosis: a 300-node
-    path graph needs ~11 pointer-jumping rounds — far past the round-10
-    onset where carried join-product sizeInBytes stats made each round
-    exponentially slower (BigInteger.multiply dominating the driver).
-    The periodic parquet barrier must (a) fire, (b) keep the final
-    plan's sizeInBytes statistic at a sane magnitude, and (c) not
+    """Regression for the r11 statistics-snowball diagnosis plus the
+    r12 round-count pin: a 300-node path graph is the worst shape for
+    label propagation (r11's pointer jumping took 11 rounds on it);
+    alternating large-star/small-star must converge in O(log n) rounds
+    (<= 10 incl. the fixpoint-observation round). The periodic parquet
+    barrier must (a) fire when forced onto a short cadence, (b) keep
+    the final plan's sizeInBytes statistic at a sane magnitude — the
+    carried join-product stats otherwise make each round exponentially
+    slower (BigInteger.multiply dominating the driver) — and (c) not
     change the labels."""
     from renkodf_spark.operators import dedup
 
@@ -1477,19 +1483,44 @@ def test_cluster_labels_long_chain_stat_barrier(spark):
         [(i, i + 1) for i in range(299)], "id_a long, id_b long"
     )
     stats = {}
-    labels = dedup.cluster_labels(ids, pairs, max_rounds=30, stats=stats)
-    assert stats["rounds"] > 6  # deep graph: pointer jumping needs >1 barrier window
+    labels = dedup.cluster_labels(
+        ids, pairs, max_rounds=30, stats=stats, stat_barrier_every=4
+    )
+    # O(log n): star contraction halves path diameter per round
+    assert 2 < stats["rounds"] <= 10, stats
     assert stats["stat_barriers"] >= 1
     got = {(r.id, r.cluster_id) for r in labels.collect()}
     assert got == {(i, 0) for i in range(300)}
-    # the barrier caps the statistic at ~30 x 3^stat_barrier_every
-    # digits (a constant; BigInteger ops on it are microseconds);
-    # without it 11 rounds would carry ~30 x 3^11 = 5M+ digits and the
-    # driver would spend minutes inside stats estimation
+    # the barrier caps the statistic at a constant digit count
+    # (BigInteger ops on it are microseconds); without it each round
+    # compounds the carried sizeInBytes and the driver would spend
+    # minutes inside stats estimation on deep graphs
     digits = len(
         str(labels._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     )
     assert digits < 50_000, f"sizeInBytes statistic re-snowballed: {digits} digits"
+
+
+def test_cluster_labels_nonconverge_raises(spark):
+    """on_nonconverge='raise' (ADVICE r11): gated queries must fail
+    loudly instead of silently returning under-merged labels; 'warn'
+    keeps the legacy RuntimeWarning and still returns well-formed
+    (one-row-per-id) labels."""
+    from renkodf_spark.operators import dedup
+
+    ids = spark.range(64).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.cluster_labels(ids, pairs, max_rounds=1, on_nonconverge="raise")
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        labels = dedup.cluster_labels(ids, pairs, max_rounds=1)
+    rows = labels.collect()
+    assert len(rows) == 64  # one row per id even when under-merged
+    assert len({r.id for r in rows}) == 64
+    with pytest.raises(ValueError, match="on_nonconverge"):
+        dedup.cluster_labels(ids, pairs, on_nonconverge="explode")
 
 
 def test_cluster_labels_rejects_bad_barrier(spark):

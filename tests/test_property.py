@@ -109,8 +109,14 @@ def _py_bigram_reference(train_texts, score_rows, alpha=1):
     from collections import Counter
 
     def half_up(x):
+        # Decimal(repr(.)) mirrors Spark's round(): BigDecimal.valueOf
+        # goes through the double's SHORTEST decimal repr, while
+        # Decimal(float) takes the exact binary expansion — on
+        # repr-boundary values the two can round differently (ADVICE r11)
         return int(
-            decimal.Decimal(x * 1e6).quantize(0, rounding=decimal.ROUND_HALF_UP)
+            decimal.Decimal(repr(x * 1e6)).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
         )
 
     def toks(t):

@@ -678,11 +678,32 @@ def knn_graph(
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    from pyspark.sql import Window
-
     routed = nearest_centroid(
         emb, centroids, id_col=id_col, vec_col=vec_col, round_digits=round_digits
     ).select("id", "vec", "cell")
+    return knn_edges_from_routed(
+        routed, k=k, round_digits=round_digits, max_cell_size=max_cell_size
+    )
+
+
+def knn_edges_from_routed(
+    routed: DataFrame,
+    *,
+    k: int,
+    round_digits: int = 6,
+    max_cell_size: int | None = None,
+    keep_cell: bool = False,
+) -> DataFrame:
+    """The pair/rank stage of :func:`knn_graph` over an ALREADY-ROUTED
+    ``(id, vec, cell)`` relation — shared with the streaming graph
+    maintainer (``ann_stream.knn_graph_writer``), whose per-trigger
+    recompute reads stored cells and must NOT re-route (routing is
+    frozen at index-write time so batch and stream agree bit-for-bit).
+    ``keep_cell=True`` carries the source's cell onto each edge (src
+    and dst always share it — edges never cross cells), which the
+    streaming writer uses as the partition-overwrite key."""
+    from pyspark.sql import Window
+
     routed, pair_keys = _cap_cells(routed, max_cell_size)
     a, b = routed.alias("a"), routed.alias("b")
     # cosine is symmetric: evaluate it once per UNORDERED pair
@@ -698,6 +719,7 @@ def knn_graph(
                 F.round(cosine(F.col("a.vec"), F.col("b.vec")), round_digits)
                 + F.lit(0.0)
             ).alias("cos_sim"),
+            F.col("a.cell").alias("cell"),
         )
     )
     # both orientations via explode of ONE row (a unionByName of two
@@ -717,14 +739,16 @@ def knn_graph(
                     F.col("cos_sim"),
                 ),
             )
-        ).alias("e")
-    ).select("e.src", "e.dst", "e.cos_sim")
+        ).alias("e"),
+        "cell",
+    ).select("e.src", "e.dst", "e.cos_sim", "cell")
     w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.col("dst"))
-    return (
+    out = (
         pairs.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+    return out if keep_cell else out.drop("cell")
 
 
 def mutual_knn_edges(
@@ -779,6 +803,16 @@ def knn_density(
 
     Scale shape: one map-side-combinable aggregation keyed by the
     source id over the narrow edge relation; nothing else moves.
+
+    Capped inputs (r12, VERDICT r11 item 6): when the graph comes from
+    ``knn_graph(..., max_cell_size=...)``, the density aggregates
+    inherit the cap's SUBSTITUTION semantics — every aggregated edge
+    is still a true cell-mate pair with its exact cosine, and
+    ``n_neighbors``/``max_cos_micros`` stay bounded the same way, but
+    inside an over-cap cell ``mean_cos_micros`` averages over a
+    sub-cell's top-k instead of the whole cell's, so tier boundaries
+    can shift for those sources only (parity-pinned: identical to the
+    exact tiers whenever no cell exceeds the cap).
     """
     scale = 10**round_digits
     micros = F.round(F.col(sim_col) * scale).cast("long")

@@ -163,3 +163,127 @@ def read_ivf_index_stream(spark, state_path: str) -> DataFrame:
     ``(id, vec, cell, ...carry)`` DataFrame — the batch-index shape, so
     any reader of ``write_ivf_index`` output accepts it."""
     return spark.read.parquet(posixpath.join(state_path, "data")).drop("batch_id")
+
+
+def knn_graph_writer(
+    centroids: DataFrame,
+    state_path: str,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    max_cell_size: int | None = None,
+    enforce_append_only: bool = True,
+    compact_every: int | None = None,
+    compact_target_files: int = 4,
+):
+    """``foreachBatch`` writer maintaining an approximate kNN graph
+    from an embedding stream — the incremental counterpart of
+    ``similarity.knn_graph`` (VERDICT r11 item 4: the one ANN/dedup
+    family without a streaming twin).
+
+    kNN is not additive — a new vector can displace an existing
+    vector's current neighbors — but :func:`~renkodf_spark.operators.
+    similarity.knn_graph` links CELL-MATES only, so a trigger can
+    change the graph only inside the cells it routes new vectors into.
+    The writer therefore runs AFFECTED-CELLS RECOMPUTE on top of the
+    :func:`ivf_index_writer` vector store:
+
+    1. the batch's vectors are deduped / append-only-filtered / routed
+       / written as generation ``data/batch_id=N/cell=...`` by the
+       composed :func:`ivf_index_writer` (same layout, so
+       ``ivf_topk_indexed`` and the ANN miners work on this state path
+       unchanged, and ``compact_every`` folds generations the same
+       way);
+    2. the AFFECTED cell set is read back from the just-written
+       generation's ``cell=`` partition directories (replay-safe: a
+       re-delivered batch overwrites the same generation and re-derives
+       the same set);
+    3. the full vector store is read PRUNED to the affected cells
+       (partition filter across all generations) and the shared
+       :func:`~renkodf_spark.operators.similarity.knn_edges_from_routed`
+       pair/rank stage recomputes exactly those cells' edges — stored
+       cells, no re-routing, so stream and batch agree bit-for-bit;
+    4. the recomputed edges land under ``edges/cell=...`` via DYNAMIC
+       partition overwrite: untouched cells' edge files are never
+       rewritten (or read).
+
+    Per-trigger cost: O(batch x centroids) routing plus
+    O(sum over affected cells of |cell|^2) pair work — a function of
+    the batch's cell footprint, never of total graph/corpus size. The
+    one index-sized term stays the OPT-IN append-only id scan
+    documented on :func:`ivf_index_writer`. A cell that keeps
+    receiving vectors is recomputed each trigger at its full size — the
+    same hot-cell exposure as the batch operator; ``max_cell_size``
+    applies the shared ``_cap_cells`` guard with the same documented
+    substitution trade.
+
+    Parity contract (pinned in tests): after any trigger sequence,
+    ``read_knn_graph_stream(spark, state_path)`` equals
+    ``similarity.knn_graph(union of all triggers' vectors, centroids)``
+    row-for-row. Mutual-kNN edges, density tiers, and cluster labels
+    compose on the reader unchanged."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from renkodf_spark.operators.similarity import knn_edges_from_routed
+
+    base_writer = ivf_index_writer(
+        centroids,
+        state_path,
+        id_col=id_col,
+        vec_col=vec_col,
+        enforce_append_only=enforce_append_only,
+        compact_every=compact_every,
+        compact_target_files=compact_target_files,
+    )
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        base_writer(batch, batch_id)
+        data_dir = posixpath.join(state_path, "data")
+        gen_dir = posixpath.join(data_dir, f"batch_id={batch_id}")
+        # affected cells from the generation just written: its cell=
+        # partition values (replay re-derives the identical set). An
+        # empty/all-duplicate batch writes no cell dirs -> no-op.
+        try:
+            affected = [
+                r["cell"]
+                for r in spark.read.parquet(gen_dir).select("cell").distinct().collect()
+            ]
+        except Exception as exc:
+            if _is_missing_path(exc) or "UNABLE_TO_INFER_SCHEMA" in str(exc):
+                return
+            raise
+        if not affected:
+            return
+        store = (
+            spark.read.parquet(data_dir)
+            .filter(F.col("cell").isin(affected))
+            .select("id", "vec", "cell")
+        )
+        edges = knn_edges_from_routed(
+            store,
+            k=k,
+            round_digits=round_digits,
+            max_cell_size=max_cell_size,
+            keep_cell=True,
+        )
+        (
+            edges.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell")
+            .parquet(posixpath.join(state_path, "edges"))
+        )
+
+    return write_batch
+
+
+def read_knn_graph_stream(spark, state_path: str) -> DataFrame:
+    """The current kNN graph maintained by :func:`knn_graph_writer` as
+    a ``(src, dst, cos_sim)`` DataFrame — the ``similarity.knn_graph``
+    output shape, so ``mutual_knn_edges`` / ``knn_density`` /
+    ``cluster_labels`` compose unchanged."""
+    return spark.read.parquet(posixpath.join(state_path, "edges")).select(
+        "src", "dst", "cos_sim"
+    )

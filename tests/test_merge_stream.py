@@ -585,3 +585,92 @@ def test_ivf_centroid_write_repairs_partial(spark, tmp_path):
     mtime = os.path.getmtime(os.path.join(cent_dir, "_SUCCESS"))
     writer(all_df.limit(0), 1)
     assert os.path.getmtime(os.path.join(cent_dir, "_SUCCESS")) == mtime
+
+
+# ------------------------------------------------ streaming kNN graph
+
+
+def test_knn_graph_stream_matches_batch(spark, tmp_path):
+    """Streaming kNN-graph maintenance (r12, VERDICT r11 item 4):
+    after N triggers the cell-partitioned edge store equals the batch
+    similarity.knn_graph over the union of all triggers' vectors,
+    bit-for-bit; a trigger recomputes ONLY the cells it routed vectors
+    into (untouched cells' edge files are not rewritten); replaying a
+    trigger is idempotent; the derived mutual-kNN / density / cluster
+    readers compose on the stream reader unchanged."""
+    from renkodf_spark.operators import dedup, similarity
+    from renkodf_spark.streaming.ann_stream import (
+        knn_graph_writer,
+        read_knn_graph_stream,
+    )
+
+    vecs = [
+        (i, [float((i * 7 + j * 3) % 11) for j in range(4)], "abc"[i % 3])
+        for i in range(24)
+    ]
+    labeled = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label string"
+    )
+    all_df = labeled.drop("label")
+    cents = similarity.embedding_centroids(labeled, dim=4)
+
+    state = str(tmp_path / "knn_stream")
+    writer = knn_graph_writer(cents, state, k=3)
+
+    def rows(df):
+        return {tuple(r) for r in df.collect()}
+
+    b1 = spark.createDataFrame(vecs[:10], "vec_id long, embedding array<double>, label string").drop("label")
+    b2 = spark.createDataFrame(vecs[10:], "vec_id long, embedding array<double>, label string").drop("label")
+    writer(b1, 0)
+    mid = rows(read_knn_graph_stream(spark, state))
+    want_mid = rows(similarity.knn_graph(b1, cents, k=3))
+    assert mid == want_mid
+
+    # which cells does trigger 2 touch? untouched cells' edge
+    # partitions must keep their exact files (mtimes unchanged)
+    edges_dir = os.path.join(state, "edges")
+    before = {
+        d: sorted(os.listdir(os.path.join(edges_dir, d)))
+        for d in os.listdir(edges_dir)
+        if d.startswith("cell=")
+    }
+    from renkodf_spark.operators.similarity import nearest_centroid
+
+    touched = {
+        f"cell={r['cell']}"
+        for r in nearest_centroid(b2, cents).select("cell").distinct().collect()
+    }
+
+    writer(b2, 1)
+    after_full = rows(read_knn_graph_stream(spark, state))
+    want_full = rows(similarity.knn_graph(all_df, cents, k=3))
+    assert after_full == want_full
+
+    for d, files in before.items():
+        if d not in touched:
+            assert (
+                sorted(os.listdir(os.path.join(edges_dir, d))) == files
+            ), f"untouched cell partition {d} was rewritten"
+
+    # replay of trigger 1 (at-least-once delivery): same state after
+    writer(b2, 1)
+    assert rows(read_knn_graph_stream(spark, state)) == want_full
+
+    # derived graph views compose on the stream reader unchanged
+    graph = read_knn_graph_stream(spark, state)
+    got_mutual = rows(similarity.mutual_knn_edges(graph))
+    want_mutual = rows(similarity.mutual_knn_edges(similarity.knn_graph(all_df, cents, k=3)))
+    assert got_mutual == want_mutual
+    labels = dedup.cluster_labels(
+        all_df.select("vec_id"),
+        similarity.mutual_knn_edges(graph),
+        id_col="vec_id",
+        on_nonconverge="raise",
+    )
+    assert labels.count() == 24
+
+    # an empty trigger is a no-op (no edge rewrite, no error)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    writer(empty, 2)
+    assert rows(read_knn_graph_stream(spark, state)) == want_full

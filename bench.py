@@ -179,16 +179,18 @@ HEADLINE = [
     "multimodal_dhash_neardup_pairs",
     "multimodal_curation_end_to_end",
     # round 11 part 2: NB quality classifier, held-out bigram LM
-    # (KenLM-style CCNet), kNN graph + mutual-kNN clustering (the
-    # cluster query also exercises the stats-barrier fix: 14
-    # propagation rounds)
+    # (KenLM-style CCNet), kNN graph + mutual-kNN clustering (r12: the
+    # cluster stage is large-star/small-star contraction — 6 rounds on
+    # this graph, no stat barriers needed)
     "nb_classifier_scores",
     "bigram_lm_doc_quality",
     "knn_graph_edges",
     "mutual_knn_cluster_labels",
     # round 12: the composed video-curation DAG (rep-frame banded
-    # candidates + frame-set verify)
+    # candidates + frame-set verify), winnowing fingerprint match
     "multimodal_video_curation_end_to_end",
+    "winnow_candidate_pairs",
+    "multimodal_resize_thumbs",
 ]
 
 

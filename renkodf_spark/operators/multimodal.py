@@ -749,6 +749,106 @@ def image_dhash(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, DHASH_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("out_y", T.LongType()),
+        T.StructField("out_x", T.LongType()),
+        T.StructField("c", T.LongType()),
+        T.StructField("v", T.LongType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+
+def _box_resize(px, out_w: int, out_h: int):
+    """Integer area (box-filter) resample to ``out_h x out_w``: target
+    cell (iy, ix) covers source span ``[floor(i*n/out), ceil((i+1)*n/
+    out) - 1]`` per axis — a partition of the source when
+    downsampling, single-pixel replication when upsampling (every span
+    is non-empty, so the map is total in both regimes) — and its value
+    is the exact FLOOR-mean of the span, per channel. Rectangle sums
+    come from one 2-D prefix sum, so cost is O(pixels + out cells)
+    regardless of span sizes. Returns (out_h, out_w, ch) int64."""
+    import numpy as np
+
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    pref = np.zeros((h + 1, w + 1, ch), dtype=np.int64)
+    pref[1:, 1:, :] = px.astype(np.int64).cumsum(0).cumsum(1)
+    xlo = (np.arange(out_w) * w) // out_w
+    xhi = ((np.arange(out_w) + 1) * w + out_w - 1) // out_w - 1
+    ylo = (np.arange(out_h) * h) // out_h
+    yhi = ((np.arange(out_h) + 1) * h + out_h - 1) // out_h - 1
+    out = np.empty((out_h, out_w, ch), dtype=np.int64)
+    for iy in range(out_h):
+        for ix in range(out_w):
+            s = (
+                pref[yhi[iy] + 1, xhi[ix] + 1]
+                - pref[ylo[iy], xhi[ix] + 1]
+                - pref[yhi[iy] + 1, xlo[ix]]
+                + pref[ylo[iy], xlo[ix]]
+            )
+            out[iy, ix] = s // (
+                (yhi[iy] - ylo[iy] + 1) * (xhi[ix] - xlo[ix] + 1)
+            )
+    return out
+
+
+def resize_image(media: DataFrame, *, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """The RESIZE stage of the multimodal pipeline (r12 — the one
+    stage of decode / feature-extract / resize / frame-sample without
+    a first-class operator): decode each payload with the stdlib
+    codecs and box-filter it to a fixed ``out_h x out_w`` thumbnail —
+    the fixed-size model-input shape a vision training pipeline feeds
+    its preprocessor.
+
+    Deliberately INTEGER-exact (``_box_resize``: per-cell floor-mean
+    over the standard area-partition spans, prefix-sum rectangle
+    arithmetic) so a SQL oracle integrates the synthetic pixel law
+    per target cell and hash-matches every value — no float bilinear
+    kernel an engine could round differently. Output: one row per
+    target pixel per channel ``(media_id, format, out_y, out_x, c,
+    v, status)``; undecodable payloads report one status row (the
+    per-row contract of every decode stage — one bad payload cannot
+    fail a 100 TB resize).
+
+    Scale shape: mapInPandas over the payload partition — zero
+    shuffle; only the ``out_h*out_w*ch`` integer rows leave the
+    decode stage, never the source pixels."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(f"out dims must be positive, got {out_w}x{out_h}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p, mt in zip(pdf["media_id"], pdf["payload"], pdf["media_type"]):
+                parsed = parse_image_header(p) if _should_sniff(mt) else None
+                fmt = parsed[0] if parsed else "unknown"
+                px, status = _decode_pixels(p, fmt)
+                if px is None:
+                    rows.append((mid, fmt, None, None, None, None, status))
+                    continue
+                thumb = _box_resize(px, out_w, out_h)
+                ch = thumb.shape[2]
+                for iy in range(out_h):
+                    for ix in range(out_w):
+                        for c in range(ch):
+                            rows.append(
+                                (mid, fmt, iy, ix, c, int(thumb[iy, ix, c]), "ok")
+                            )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "format", "out_y", "out_x", "c", "v", "status",
+                ],
+            )
+
+    return media.mapInPandas(run, RESIZE_SCHEMA)
+
+
 def _dhash_from_pixels(px) -> "tuple[int, int]":
     """The dHash kernel shared by :func:`image_dhash` (whole images)
     and :func:`frame_dhash` (decoded video frames): per-pixel gray =

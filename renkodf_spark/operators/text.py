@@ -89,6 +89,72 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
 
+def winnow_fingerprints(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — the MOSS algorithm): hash every word ``k``-gram, slide a
+    ``window``-wide window over the hash sequence, and select each
+    window's minimum hash (RIGHTMOST position on ties — the robust
+    variant, which keeps consecutive windows sharing their minimum from
+    double-selecting). The selection guarantee: any two documents
+    sharing a contiguous run of at least ``window + k - 1`` tokens
+    share at least one selected fingerprint — the detection threshold
+    is a tunable guarantee, unlike plain every-i-th sampling.
+
+    Output: ``(id_col, pos, fp)`` distinct — ``pos`` the selected
+    k-gram's token offset, ``fp`` its 48-bit hash (first 12 md5 hex
+    chars as BIGINT, the engine-portable convention of ``hash_split``,
+    so a SQL oracle reproduces every selection exactly). Docs with
+    fewer than ``window + k - 1`` tokens yield no fingerprints (no
+    full window exists — mirrored by the oracle's window predicate).
+
+    Scale shape: k-gram construction is doc-local (slice/concat on the
+    token array — the text column is pruned before any exchange); the
+    only shuffle is the ``(id, i, h)`` long-triple relation keyed by
+    doc id for the per-doc ordered window; selection is one window
+    min over a struct — rightmost tie-break encoded as
+    ``min(struct(h, -i))``, no second pass, no UDF.
+    """
+    if k <= 0 or window <= 0:
+        raise ValueError(f"k and window must be positive, got k={k} window={window}")
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    idx = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(0), F.size(toks) - F.lit(k))
+    ).otherwise(F.array().cast("array<int>"))
+    gram_at = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))  # noqa: E731
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(F.transform(idx, gram_at)).alias("i", "gram"),
+    ).select(
+        id_col,
+        "i",
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    wnd = Window.partitionBy(id_col).orderBy("i").rowsBetween(-(window - 1), 0)
+    sel = F.min(F.struct(F.col("h").alias("h"), (-F.col("i")).alias("ni"))).over(wnd)
+    return (
+        grams.withColumn("__sel", sel)
+        .filter(F.col("i") >= window - 1)  # full windows only
+        .select(
+            id_col,
+            (-F.col("__sel.ni")).alias("pos"),
+            F.col("__sel.h").alias("fp"),
+        )
+        .distinct()
+    )
+
+
 # the eight Gopher rule stopwords (Rae et al. 2021, Table A1) — presence
 # of at least `min_stop_hits` distinct ones is the "natural language"
 # smell test

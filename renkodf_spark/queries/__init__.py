@@ -45,6 +45,10 @@ _PRIORITY = [
     #    shared cluster_labels stage switched to large-star/small-star
     #    contraction this round and need re-proving
     "multimodal_video_curation_end_to_end",
+    "leakage_safe_splits",
+    "winnow_fingerprints",
+    "winnow_candidate_pairs",
+    "multimodal_resize_thumbs",
     "dedup_cluster_labels",
     "corpus_dedup_filter",
     "dedup_keep_best",

@@ -794,8 +794,12 @@ WHERE k.media_id NOT IN (SELECT media_id FROM drops)
 def multimodal_curation_end_to_end(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     media = multimodal.synth_decodable_media(docs)
+    # materialize the narrow hash relation once — keepers feeds the
+    # band table, both pair-verify sides, and the survivors join;
+    # otherwise each branch re-runs the image decode over the whole
+    # corpus (r12 plan audit, same fix as the video DAG)
     keepers = (
-        multimodal.image_dhash(media)
+        multimodal.image_dhash(media).localCheckpoint()
         .groupBy("dhash_hi", "dhash_lo")
         .agg(
             F.min("media_id").alias("media_id"),
@@ -809,6 +813,62 @@ def multimodal_curation_end_to_end(spark, sf_dir):
         docs.select("doc_id", "lang", "n_chars"),
         survivors["media_id"] == F.col("doc_id"),
     ).select("doc_id", "lang", "n_chars", "n_exact_dupes", "dhash_hi", "dhash_lo")
+
+
+_MM_RESIZE_W = 8
+_MM_RESIZE_H = 8
+
+# Integer box-filter thumbnails (r12, the resize stage): target cell
+# (iy, ix) covers the standard area-partition span per axis; v = exact
+# floor-mean of the synthetic pixel law over the span, per channel —
+# the oracle integrates the law cell by cell.
+_MM_RESIZE_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id AS media_id, doc_id % 24 + 1 AS w,
+         (doc_id * 7) % 24 + 1 AS h, doc_id % 3 AS kind
+  FROM documents WHERE doc_id % 7 = 0),
+tx AS (SELECT media_id, w, h, kind, unnest(range({_MM_RESIZE_W})) AS ix FROM m),
+txy AS (SELECT media_id, w, h, kind, ix, unnest(range({_MM_RESIZE_H})) AS iy FROM tx),
+cells AS (
+  SELECT media_id, w, h, kind, ix, iy,
+         (ix * w) // {_MM_RESIZE_W} AS xlo,
+         ((ix + 1) * w + {_MM_RESIZE_W - 1}) // {_MM_RESIZE_W} - 1 AS xhi,
+         (iy * h) // {_MM_RESIZE_H} AS ylo,
+         ((iy + 1) * h + {_MM_RESIZE_H - 1}) // {_MM_RESIZE_H} - 1 AS yhi
+  FROM txy),
+cc AS (SELECT cells.*, unnest(range(3)) AS c FROM cells),
+sx AS (SELECT cc.*, unnest(range(xlo, xhi + 1)) AS x FROM cc),
+sxy AS (SELECT sx.*, unnest(range(ylo, yhi + 1)) AS y FROM sx)
+SELECT media_id,
+       CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'gif' END AS format,
+       iy AS out_y, ix AS out_x, c,
+       SUM(CASE WHEN kind IN (0, 1)
+                THEN (media_id + 3*x + 7*y + 11*c) % 256
+                ELSE (media_id + 3*x + 7*y) % 256 END)
+         // COUNT(*) AS v,
+       'ok' AS status
+FROM sxy GROUP BY media_id, kind, iy, ix, c
+"""
+
+
+@query(
+    "multimodal_resize_thumbs",
+    oracle=_MM_RESIZE_ORACLE,
+    doc="REAL integer box-filter resize over decoded pixels (r12 — the "
+    f"resize stage): every image to a fixed {_MM_RESIZE_W}x"
+    f"{_MM_RESIZE_H} thumbnail via exact per-cell floor-means "
+    "(prefix-sum rectangle arithmetic, area-partition downsample / "
+    "replication upsample — both regimes exercised since source dims "
+    "run 1..24); the oracle integrates the pixel law per target cell, "
+    "so every thumbnail value hash-matches.",
+)
+def multimodal_resize_thumbs(spark, sf_dir):
+    media = multimodal.synth_decodable_media(
+        _docs(spark, sf_dir).filter(F.col("doc_id") % 7 == 0)
+    )
+    return multimodal.resize_image(
+        media, out_w=_MM_RESIZE_W, out_h=_MM_RESIZE_H
+    )
 
 
 # Baseline JPEG decode (r10): the Huffman+DCT path, oracle-gated via
@@ -1186,7 +1246,14 @@ WHERE k.media_id NOT IN (SELECT media_id FROM drops)
 def multimodal_video_curation_end_to_end(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     media = multimodal.synth_video_media(docs)
-    fh = multimodal.frame_dhash(media, every_n=1)
+    # materialize the narrow per-frame hash relation once: it feeds
+    # FIVE branches (signatures, keeper frames, reps, both verify
+    # sides) and otherwise every branch re-runs the mapInPandas
+    # container decode over the whole corpus (plan-audited: 7+
+    # MapInPandas stamps). localCheckpoint beats cache here (no
+    # InMemoryRelation re-scan overhead) and the builder creates a
+    # fresh one per invocation, so bench visits still pay decode once
+    fh = multimodal.frame_dhash(media, every_n=1).localCheckpoint()
     sigs = fh.groupBy("media_id").agg(
         F.sum((F.col("frame_index") + 1) * F.col("dhash_hi")).alias("vsig_hi"),
         F.sum((F.col("frame_index") + 1) * F.col("dhash_lo")).alias("vsig_lo"),

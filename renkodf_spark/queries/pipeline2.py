@@ -182,6 +182,159 @@ def train_test_split(spark, sf_dir):
     return corpus.hash_split(_docs(spark, sf_dir)).select("doc_id", "bucket", "split")
 
 
+# ------------------------------------------------- winnowing (MOSS)
+
+_WINNOW_K = 3
+_WINNOW_W = 4
+# hot-fingerprint cap (the LSH MAX_BUCKET convention): a boilerplate
+# phrase shared by millions of docs would otherwise make its
+# fingerprint bucket quadratic; the cap keeps the first N docs per fp
+# (deterministic by id), trading recall only inside over-cap buckets
+_WINNOW_MAX_FP = 1000
+
+# grams: 0-based k-gram offsets + the 48-bit md5-prefix hash (the
+# hash_split BIGINT convention); windows: every full w-window as a
+# (window-end, member) range join; selection: min hash per window,
+# RIGHTMOST position on ties (MAX(i) over the min-hash members)
+_WINNOW_CTES = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+gh AS (
+  SELECT doc_id, unnest(range(1, len(t) - {_WINNOW_K - 2})) - 1 AS i,
+         t
+  FROM toks WHERE len(t) >= {_WINNOW_K}),
+gh2 AS (
+  SELECT doc_id, i,
+         ('0x' || substr(md5(concat_ws(' ', t[i + 1], t[i + 2], t[i + 3])), 1, 12))::BIGINT AS h
+  FROM gh),
+wnd AS (
+  SELECT a.doc_id, a.i AS jend, g.i, g.h
+  FROM gh2 a JOIN gh2 g
+    ON g.doc_id = a.doc_id AND g.i BETWEEN a.i - {_WINNOW_W - 1} AND a.i
+  WHERE a.i >= {_WINNOW_W - 1}),
+mins AS (SELECT doc_id, jend, MIN(h) AS mh FROM wnd GROUP BY 1, 2),
+sel AS (
+  SELECT w.doc_id, w.jend, m.mh AS fp, MAX(w.i) AS pos
+  FROM wnd w JOIN mins m
+    ON m.doc_id = w.doc_id AND m.jend = w.jend AND w.h = m.mh
+  GROUP BY 1, 2, 3),
+fps AS (SELECT DISTINCT doc_id, pos, fp FROM sel),
+fdocs AS (
+  SELECT DISTINCT doc_id, fp FROM fps
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) <= {_WINNOW_MAX_FP})
+"""
+
+
+@query(
+    "winnow_fingerprints",
+    oracle=_WINNOW_CTES + "SELECT doc_id, pos, fp FROM fps",
+    doc="winnowing document fingerprints (Schleimer/Wilkerson/Aiken "
+    f"MOSS, SIGMOD 2003): word {_WINNOW_K}-gram hashes, window "
+    f"{_WINNOW_W}, each window's min hash selected with rightmost "
+    "tie-break — guarantees any shared run of >= "
+    f"{_WINNOW_W + _WINNOW_K - 1} tokens shares a fingerprint; "
+    "selection is one window-min over a (hash, -pos) struct, text "
+    "never enters an exchange.",
+)
+def winnow_fingerprints(spark, sf_dir):
+    return text.winnow_fingerprints(
+        _docs(spark, sf_dir), k=_WINNOW_K, window=_WINNOW_W
+    )
+
+
+@query(
+    "winnow_candidate_pairs",
+    oracle=_WINNOW_CTES
+    + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(DISTINCT a.fp) AS BIGINT) AS n_shared
+FROM fdocs a JOIN fdocs b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(DISTINCT a.fp) >= 2
+""",
+    doc="the MOSS match stage: candidate near-dup pairs sharing >= 2 "
+    "winnowing fingerprints — a fp-keyed equi-join of the narrow "
+    "distinct (id, fp) relation with the LSH-style deterministic "
+    f"hot-bucket cap (first {_WINNOW_MAX_FP} docs per fp; a "
+    "boilerplate phrase cannot go quadratic — the recall trade lives "
+    "only inside over-cap buckets, the _band_keys contract), then a "
+    "distinct count per pair; the >= 2 floor drops single-phrase "
+    "coincidences.",
+)
+def winnow_candidate_pairs(spark, sf_dir):
+    from pyspark.sql import Window
+
+    fps = text.winnow_fingerprints(
+        _docs(spark, sf_dir), k=_WINNOW_K, window=_WINNOW_W
+    )
+    fdocs = (
+        fps.select("doc_id", "fp")
+        .distinct()
+        .withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")),
+        )
+        .filter(F.col("__rn") <= _WINNOW_MAX_FP)
+        .drop("__rn")
+    )
+    a = fdocs.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fdocs.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("fp").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
+_LEAKAGE_SPLIT_ORACLE = (
+    _PAIRS_CTES.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """,
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+walk(id, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.node),
+lab AS (SELECT id AS doc_id, MIN(node) AS cluster_id FROM walk GROUP BY id),
+b AS (
+  SELECT doc_id, cluster_id,
+         ('0x' || substr(md5('split:' || cluster_id::VARCHAR), 1, 12))::BIGINT % 100
+           AS bucket
+  FROM lab)
+SELECT doc_id, cluster_id, bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'valid'
+            ELSE 'test' END AS split
+FROM b
+"""
+)
+
+
+@query(
+    "leakage_safe_splits",
+    oracle=_LEAKAGE_SPLIT_ORACLE,
+    doc="LEAKAGE-SAFE holdout split (r12): the deterministic 90/5/5 "
+    "hash split keyed by the near-dup CLUSTER id instead of the doc "
+    "id, so a near-duplicate pair can never straddle train and "
+    "validation — the standard contamination guard a plain per-doc "
+    "split silently violates (near-dups of training docs leak into "
+    "eval). Composes cluster_labels -> hash_split; by construction "
+    "every member of a cluster shares its split assignment.",
+)
+def leakage_safe_splits(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    labels = dedup.cluster_labels(
+        docs, _shared_pairs(spark, sf_dir), on_nonconverge="raise"
+    )
+    return corpus.hash_split(labels, id_col="cluster_id").select(
+        F.col("id").alias("doc_id"), "cluster_id", "bucket", "split"
+    )
+
+
 # ---------------------------------------------------------- quota sampling
 
 _QUOTA = 25

@@ -242,6 +242,13 @@ SELECT id AS vec_id, MIN(node) AS cluster_id FROM walk GROUP BY id
 def mutual_knn_cluster_labels(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     cents = similarity.embedding_centroids(emb, dim=_IVF_DIM)
+    # NOT localCheckpoint'd (r12, measured): mutual_knn_edges stamps
+    # the graph pipeline twice (reversed join keys block exchange
+    # reuse), but cluster_labels lazily checkpoints the PAIRS plan
+    # once anyway, and the double-stamped pipeline runs inside one
+    # fully parallel job — an eager graph barrier serializes the two
+    # stages and measured consistently SLOWER (7.9-8.9 s vs 6.9-8.3 s
+    # at sf0.1)
     graph = similarity.knn_graph(emb, cents, k=_KNN_K)
     pairs = similarity.mutual_knn_edges(graph)
     labels = dedup.cluster_labels(

@@ -208,3 +208,168 @@ def start_neardup_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+# ------------------------------------------ streaming cluster labels
+
+
+def cluster_labels_writer(
+    state_path: str,
+    *,
+    n_buckets: int = 64,
+    max_rounds: int = 15,
+    on_nonconverge: str = "raise",
+):
+    """``foreachBatch`` writer maintaining connected-component labels
+    over a candidate-PAIR stream — incremental union-find at scale,
+    the streaming twin of ``dedup.cluster_labels`` (r12; composes
+    directly with :func:`neardup_batch_writer`'s per-trigger pairs
+    output, closing the streaming dedup story end to end: bands ->
+    pairs -> LABELS).
+
+    State: one bucketed label snapshot ``labels/bucket=H`` with
+    ``bucket = pmod(xxhash64(id), n_buckets)`` — keyed by the NODE id,
+    which never changes, so a node's row never migrates buckets even
+    when its cluster id does. Only nodes that appear in some pair are
+    stored; readers treat absent ids as self-labeled singletons
+    (exactly ``cluster_labels``'s semantics for unpaired docs).
+
+    Per trigger (affected-components recompute — the knn_graph_writer
+    pattern applied to graph state):
+
+    1. canonicalize the batch's pairs (greatest/least, drop loops);
+    2. AFFECTED clusters = prior labels of the delta's endpoints (one
+       equi-join of the delta's node list against the snapshot);
+    3. contract ONLY the affected clusters' STAR EDGES (their label
+       rows — labels ARE the converged star edges, so prior
+       connectivity re-enters as one edge per member, never the
+       original pair history) unioned with the delta, via the shared
+       large-star/small-star ``cluster_labels`` — O(log) rounds on the
+       delta's component sizes;
+    4. rewrite only the buckets holding recomputed nodes: kept rows of
+       those buckets (left-anti on the recomputed node set) union the
+       recomputed rows, dynamic partition overwrite.
+
+    Per-trigger cost: O(delta + members of touched clusters +
+    rewritten-bucket rows) — never O(all labels); untouched buckets'
+    files are not read or rewritten. A duplicate MEGA-cluster that
+    keeps growing is recomputed at its full size each time it is
+    touched — that is the data's shape, not the algorithm's (same
+    honesty note as the batch operator's hot components).
+
+    Contract: the pair stream must be MONOTONE — pairs accumulate and
+    are never retracted, which is exactly what LSH/banded near-dup
+    candidate streams produce (connectivity only grows; labels only
+    merge). Do NOT feed it mutual-kNN edge DELTAS: a new vector can
+    displace a neighbor and retract a mutual edge, and merge-only
+    state cannot un-merge — rebuild those clusters from the maintained
+    kNN graph (knn_graph_writer) instead.
+
+    Replay idempotency: a replayed trigger finds its merges already
+    applied, re-derives the same affected set from the merged labels,
+    contracts to the identical fixpoint, and overwrites the same
+    buckets with identical content. ``on_nonconverge='raise'`` (the
+    default here, unlike batch) fails the trigger rather than persist
+    under-merged state — Structured Streaming's retry is the recovery
+    path.
+    """
+    from renkodf_spark.operators.dedup import cluster_labels
+    from renkodf_spark.streaming.curation_stream import _is_missing_path
+
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        labels_dir = posixpath.join(state_path, "labels")
+        delta = (
+            batch.select(
+                F.greatest("id_a", "id_b").alias("src"),
+                F.least("id_a", "id_b").alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        if delta.isEmpty():
+            return
+        dpairs = delta.select(
+            F.col("src").alias("id_a"), F.col("dst").alias("id_b")
+        )
+        dnodes = (
+            delta.select(F.col("src").alias("id"))
+            .unionByName(delta.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        try:
+            prior = spark.read.parquet(labels_dir).select("id", "cluster_id", "bucket")
+        except Exception as exc:
+            if not (
+                _is_missing_path(exc) or "UNABLE_TO_INFER_SCHEMA" in str(exc)
+            ):
+                raise
+            prior = None
+
+        bucket_of = F.pmod(F.xxhash64("id"), F.lit(n_buckets))
+        if prior is None:
+            labels = cluster_labels(
+                dnodes.withColumnRenamed("id", "doc_id"),
+                dpairs,
+                max_rounds=max_rounds,
+                on_nonconverge=on_nonconverge,
+            )
+            (
+                labels.withColumn("bucket", bucket_of)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(labels_dir)
+            )
+            return
+
+        affected = (
+            dnodes.join(prior.select("id", "cluster_id"), "id")
+            .select("cluster_id")
+            .distinct()
+        )
+        members = prior.join(affected, "cluster_id")
+        # labels ARE star edges: one (member, cluster_id) edge per
+        # member re-enters the contraction carrying prior connectivity
+        star = members.where(F.col("id") != F.col("cluster_id")).select(
+            F.col("id").alias("id_a"), F.col("cluster_id").alias("id_b")
+        )
+        nodes = members.select("id").unionByName(dnodes).distinct()
+        new_labels = cluster_labels(
+            nodes.withColumnRenamed("id", "doc_id"),
+            star.unionByName(dpairs),
+            max_rounds=max_rounds,
+            on_nonconverge=on_nonconverge,
+        ).withColumn("bucket", bucket_of)
+        new_labels = new_labels.localCheckpoint()
+        # bounded driver scalar: the touched bucket ids (<= n_buckets)
+        bset = [r["bucket"] for r in new_labels.select("bucket").distinct().collect()]
+        kept = (
+            prior.filter(F.col("bucket").isin(bset))
+            .join(new_labels.select("id"), "id", "left_anti")
+            .select("id", "cluster_id", "bucket")
+        )
+        (
+            kept.unionByName(new_labels.select("id", "cluster_id", "bucket"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(labels_dir)
+        )
+
+    return write_batch
+
+
+def read_cluster_labels(spark, state_path: str) -> DataFrame:
+    """The current label snapshot maintained by
+    :func:`cluster_labels_writer` as ``(id, cluster_id)`` — nodes seen
+    in at least one pair; compose with the doc table via a left join +
+    coalesce(cluster_id, id) for the full ``cluster_labels`` output
+    shape (absent ids are self-labeled singletons)."""
+    return spark.read.parquet(posixpath.join(state_path, "labels")).select(
+        "id", "cluster_id"
+    )

@@ -1079,3 +1079,145 @@ def test_bigram_lm_stream_equals_batch_train(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="n_buckets"):
         bigram_lm_writer(model_path, n_buckets=0)
+
+
+def test_cluster_labels_stream_matches_batch(spark, tmp_path):
+    """Streaming cluster-label maintenance (r12): after N pair
+    triggers the bucketed label snapshot (plus singleton fill) equals
+    batch cluster_labels over the union of all triggers' pairs —
+    including CROSS-TRIGGER merges of previously separate clusters;
+    buckets untouched by a trigger keep their exact files; replays are
+    idempotent; an empty trigger is a no-op."""
+    import os
+
+    from renkodf_spark.operators import dedup
+    from renkodf_spark.streaming.neardup_stream import (
+        cluster_labels_writer,
+        read_cluster_labels,
+    )
+
+    state = str(tmp_path / "cc_stream")
+    writer = cluster_labels_writer(state, n_buckets=8)
+
+    def pairs_df(pairs):
+        return (
+            spark.createDataFrame(pairs, "id_a long, id_b long")
+            if pairs
+            else spark.createDataFrame([], "id_a long, id_b long")
+        )
+
+    n = 40
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+
+    def batch_labels(all_pairs):
+        got = dedup.cluster_labels(docs, pairs_df(all_pairs), on_nonconverge="raise")
+        return {(r.id, r.cluster_id) for r in got.collect()}
+
+    def stream_labels():
+        lab = read_cluster_labels(spark, state)
+        full = docs.join(
+            lab.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+        ).select(
+            F.col("doc_id").alias("id"),
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+        return {(r.id, r.cluster_id) for r in full.collect()}
+
+    # trigger 0: two separate clusters + a chain
+    t0 = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)]
+    writer(pairs_df(t0), 0)
+    assert stream_labels() == batch_labels(t0)
+
+    labels_dir = os.path.join(state, "labels")
+    before = {
+        d: sorted(os.listdir(os.path.join(labels_dir, d)))
+        for d in os.listdir(labels_dir)
+        if d.startswith("bucket=")
+    }
+
+    # trigger 1: MERGE clusters {1,2,3} and {10,11} via (3,10); start
+    # a fresh cluster (30,31); extend the 20-chain
+    t1 = [(3, 10), (30, 31), (22, 23)]
+    writer(pairs_df(t1), 1)
+    assert stream_labels() == batch_labels(t0 + t1)
+
+    # untouched buckets keep their exact files
+    import pyspark.sql.functions as SF
+
+    touched_nodes = {1, 2, 3, 10, 11, 30, 31, 20, 21, 22, 23}
+    touched_buckets = {
+        f"bucket={r['b']}"
+        for r in spark.createDataFrame(
+            [(i,) for i in touched_nodes], "id long"
+        )
+        .select(SF.pmod(SF.xxhash64("id"), SF.lit(8)).alias("b"))
+        .distinct()
+        .collect()
+    }
+    for d, files in before.items():
+        if d not in touched_buckets:
+            assert (
+                sorted(os.listdir(os.path.join(labels_dir, d))) == files
+            ), f"untouched bucket {d} was rewritten"
+
+    # replay of trigger 1: identical state
+    writer(pairs_df(t1), 1)
+    assert stream_labels() == batch_labels(t0 + t1)
+
+    # empty trigger: no-op
+    writer(pairs_df([]), 2)
+    assert stream_labels() == batch_labels(t0 + t1)
+
+    # trigger 3: merge the merged mega-cluster with the 20-chain
+    t3 = [(11, 23)]
+    writer(pairs_df(t3), 3)
+    assert stream_labels() == batch_labels(t0 + t1 + t3)
+
+
+def test_streaming_dedup_end_to_end_bands_pairs_labels(spark, tmp_path):
+    """The full streaming dedup story composed (r12): documents stream
+    through the band-index/pairs writer, each trigger's pairs feed the
+    label writer — after all triggers the labels equal batch
+    minhash_lsh_pairs -> cluster_labels over the whole corpus."""
+    from renkodf_spark.operators import dedup
+    from renkodf_spark.streaming.neardup_stream import (
+        cluster_labels_writer,
+        neardup_batch_writer,
+        read_cluster_labels,
+    )
+
+    rows = [
+        (i, f"alpha beta gamma delta epsilon zeta token{i % 4} end") for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    index_path = str(tmp_path / "bands")
+    pairs_path = str(tmp_path / "pairs")
+    state = str(tmp_path / "cc")
+    pair_writer = neardup_batch_writer(index_path, pairs_path)
+    label_writer = cluster_labels_writer(state, n_buckets=4)
+
+    for bid, lo in enumerate([0, 4, 8]):
+        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 4))
+        pair_writer(batch, bid)
+        trig_pairs = spark.read.parquet(
+            os.path.join(pairs_path, f"batch_id={bid}")
+        ).select("id_a", "id_b")
+        label_writer(trig_pairs, bid)
+
+    batch_pairs = dedup.minhash_lsh_pairs(docs)
+    want = {
+        (r.id, r.cluster_id)
+        for r in dedup.cluster_labels(docs, batch_pairs, on_nonconverge="raise").collect()
+    }
+    lab = read_cluster_labels(spark, state)
+    got = {
+        (r.id, r.cluster_id)
+        for r in docs.join(lab.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("id"),
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+        .collect()
+    }
+    assert got == want

@@ -675,3 +675,34 @@ def test_dhash_band_table_composes_with_incremental_lsh(spark):
     finally:
         hb.unpersist()
         hn.unpersist()
+
+
+def test_box_resize_regimes():
+    """_box_resize (r12): exact floor-mean partition when
+    downsampling, single-pixel replication when upsampling, mixed
+    regimes per axis, and channel independence."""
+    import numpy as np
+
+    from renkodf_spark.operators.multimodal import _box_resize
+
+    # downsample 4x4 -> 2x2: each cell = floor-mean of a 2x2 block
+    px = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    out = _box_resize(px, 2, 2)
+    assert out[:, :, 0].tolist() == [[(0 + 1 + 4 + 5) // 4, (2 + 3 + 6 + 7) // 4],
+                                     [(8 + 9 + 12 + 13) // 4, (10 + 11 + 14 + 15) // 4]]
+
+    # upsample 1x1 -> 3x3: pure replication
+    one = np.full((1, 1, 2), 7, dtype=np.uint8)
+    up = _box_resize(one, 3, 3)
+    assert (up == 7).all() and up.shape == (3, 3, 2)
+
+    # mixed: 1 wide x 4 tall -> 2x2 (replicate x, partition y)
+    col = np.array([[10], [20], [30], [40]], dtype=np.uint8)[:, :, None]
+    mix = _box_resize(col, 2, 2)
+    assert mix[:, :, 0].tolist() == [[15, 15], [35, 35]]
+
+    # channels independent
+    rgb = np.zeros((2, 2, 3), dtype=np.uint8)
+    rgb[:, :, 1] = 100
+    r = _box_resize(rgb, 1, 1)
+    assert r[0, 0].tolist() == [0, 100, 0]

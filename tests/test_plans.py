@@ -395,3 +395,52 @@ def test_knn_graph_vectors_cross_only_the_cell_exchange(spark, sf_dir):
                 f"vectors enter the top-k window exchange: {cols}"
             )
     assert vec_bearing, "expected the cell-keyed vector shuffle to exist"
+
+
+def test_video_curation_decode_paid_once(spark, sf_dir):
+    """r12 plan audit: the video-curation DAG materializes the
+    per-frame hash relation ONCE (localCheckpoint) — the returned
+    plan's five consumer branches must contain ZERO Python stages (the
+    mapInPandas decode ran at build time, exactly once); before the
+    fix the executed plan stamped the container decode 7+ times."""
+    df = q.queries()["multimodal_video_curation_end_to_end"](spark, sf_dir)
+    plan = _executed(df)
+    assert "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_image_curation_decode_paid_once(spark, sf_dir):
+    df = q.queries()["multimodal_curation_end_to_end"](spark, sf_dir)
+    plan = _executed(df)
+    assert "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_leakage_safe_splits_cluster_coherent(spark, sf_dir):
+    """Every member of a near-dup cluster shares its split — the
+    property that makes the split leakage-safe (plus: the split
+    expression stays a pure column function, no Python UDF)."""
+    from pyspark.sql import functions as F
+
+    df = q.queries()["leakage_safe_splits"](spark, sf_dir)
+    assert "BatchEvalPython" not in _executed(df)
+    bad = (
+        df.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert bad == 0
+
+
+def test_winnow_text_never_enters_an_exchange(spark, sf_dir):
+    """Winnowing moves only (id, i, h) long triples: k-gram hashing is
+    doc-local, so no exchange input may carry the document text."""
+    from renkodf_spark.plans import exchange_inputs
+
+    for name in ("winnow_fingerprints", "winnow_candidate_pairs"):
+        df = q.queries()[name](spark, sf_dir)
+        for cols in exchange_inputs(df):
+            assert "text" not in set(cols), f"{name}: text enters an exchange: {cols}"

@@ -156,3 +156,48 @@ def test_bpe_batched_validates_args(spark):
 
     with pytest.raises(ValueError, match="batch_m"):
         bpe_merges(spark.range(1).selectExpr("'x' as text"), k=4, batch_m=0)
+
+
+def test_winnow_guarantee_and_tiebreak(spark):
+    """Winnowing contract (Schleimer et al. 2003): (a) two docs sharing
+    a contiguous run of >= window+k-1 tokens share at least one
+    fingerprint hash; (b) on within-window hash ties the RIGHTMOST
+    position is selected (robust winnowing); (c) short docs (< w+k-1
+    tokens) yield no fingerprints."""
+    from renkodf_spark.operators import text as text_ops
+
+    k, w = 3, 4
+    shared = "quick brown foxes jump over lazy dogs"  # 7 tokens >= w+k-1=6
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " gamma"),
+            (2, shared + " delta epsilon zeta"),
+            (3, "one two three four five"),  # 5 tokens < 6: no fingerprints
+            (4, "a b a b a b a b"),  # heavy ties: selections must be unique
+        ],
+        "doc_id long, text string",
+    )
+    fps = text_ops.winnow_fingerprints(docs, k=k, window=w).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    assert 3 not in by_doc
+    f1 = {fp for _, fp in by_doc[1]}
+    f2 = {fp for _, fp in by_doc[2]}
+    assert f1 & f2, "shared >= w+k-1 run must share a fingerprint"
+
+    # doc 4: grams alternate between TWO hash values ('a b a' / 'b a b');
+    # rightmost tie-break must pick, per window, the LAST occurrence of
+    # the smaller hash — verify against a pure-Python replay
+    import hashlib
+
+    toks = "a b a b a b a b".split()
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:12], 16) for g in grams]
+    want = set()
+    for j in range(w - 1, len(hs)):
+        lo = j - w + 1
+        mh = min(hs[lo : j + 1])
+        pos = max(i for i in range(lo, j + 1) if hs[i] == mh)
+        want.add((pos, mh))
+    assert by_doc[4] == want

@@ -674,3 +674,38 @@ def test_knn_graph_stream_matches_batch(spark, tmp_path):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     writer(empty, 2)
     assert rows(read_knn_graph_stream(spark, state)) == want_full
+
+
+def test_knn_graph_stream_compaction_parity(spark, tmp_path):
+    """knn_graph_writer passes compact_every through to the composed
+    IVF store: generations fold while the edge store stays bit-equal
+    to batch (the edge recompute reads the whole data dir, so the
+    generation layout is invisible to it)."""
+    from renkodf_spark.operators import similarity
+    from renkodf_spark.streaming.ann_stream import (
+        knn_graph_writer,
+        read_knn_graph_stream,
+    )
+
+    vecs = [
+        (i, [float((i * 5 + j * 11) % 13) for j in range(4)], "ab"[i % 2])
+        for i in range(20)
+    ]
+    labeled = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label string"
+    )
+    all_df = labeled.drop("label")
+    cents = similarity.embedding_centroids(labeled, dim=4)
+    state = str(tmp_path / "knn_compact")
+    writer = knn_graph_writer(cents, state, k=3, compact_every=2)
+    for bid, (lo, hi) in enumerate([(0, 7), (7, 14), (14, 20)]):
+        writer(all_df.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)), bid)
+    gens = {
+        int(p.split("=", 1)[1])
+        for p in os.listdir(os.path.join(state, "data"))
+        if p.startswith("batch_id=")
+    }
+    assert any(g < 0 for g in gens), gens  # compaction folded generations
+    got = {tuple(r) for r in read_knn_graph_stream(spark, state).collect()}
+    want = {tuple(r) for r in similarity.knn_graph(all_df, cents, k=3).collect()}
+    assert got == want

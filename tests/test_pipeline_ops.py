@@ -1626,3 +1626,64 @@ def test_idf_weighted_jaccard_hand_computed(spark):
     assert out2 == {
         k: (v.shared_idf_micros, v.union_idf_micros) for k, v in out.items()
     }
+
+
+def test_cluster_labels_shared_checkpoint_dir_no_collision(spark, tmp_path):
+    """ADVICE r11: two cluster_labels runs sharing a checkpoint_dir
+    must not overwrite each other's barrier files — barriers go in a
+    uuid-unique per-invocation subdirectory, the returned labels are
+    detached from the files, and the subdirectory is removed after."""
+    import os
+
+    from renkodf_spark.operators import dedup
+
+    ckpt = str(tmp_path / "shared_ckpt")
+    os.makedirs(ckpt)
+    ids = spark.range(120).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(119)], "id_a long, id_b long"
+    )
+    stats1, stats2 = {}, {}
+    l1 = dedup.cluster_labels(
+        ids, pairs, stat_barrier_every=2, checkpoint_dir=ckpt, stats=stats1
+    )
+    l2 = dedup.cluster_labels(
+        ids, pairs, stat_barrier_every=2, checkpoint_dir=ckpt, stats=stats2
+    )
+    assert stats1["stat_barriers"] >= 1 and stats2["stat_barriers"] >= 1
+    want = {(i, 0) for i in range(120)}
+    # both results readable and exact AFTER both runs finished — a
+    # shared-path overwrite would corrupt the first run's lazy reads
+    assert {(r.id, r.cluster_id) for r in l1.collect()} == want
+    assert {(r.id, r.cluster_id) for r in l2.collect()} == want
+    # per-invocation subdirs were cleaned up (local fs)
+    left = [d for d in os.listdir(ckpt) if d.startswith("cluster_labels_")]
+    assert left == [], left
+
+
+def test_cluster_labels_shuffled_id_path_logarithmic(spark):
+    """The O(log n) round pin on the ADVERSARIAL id layout: a 256-node
+    path whose ids are a deterministic permutation (monotone paths are
+    star contraction's easy case — halving is geometric there; a
+    shuffled layout exercises the general Kiveris bound). Rounds must
+    stay logarithmic, labels exact."""
+    import random
+
+    from renkodf_spark.operators import dedup
+
+    rng = random.Random(1234)
+    ids = list(range(256))
+    rng.shuffle(ids)
+    pairs = [(ids[i], ids[i + 1]) for i in range(255)]
+    docs = spark.range(256).select(F.col("id").alias("doc_id"))
+    stats = {}
+    labels = dedup.cluster_labels(
+        docs,
+        spark.createDataFrame(pairs, "id_a long, id_b long"),
+        max_rounds=20,
+        stats=stats,
+        on_nonconverge="raise",
+    )
+    assert stats["rounds"] <= 12, stats  # ~log2(256)=8 + slack + obs round
+    got = {(r.id, r.cluster_id) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(256)}

@@ -211,3 +211,44 @@ def test_cluster_labels_matches_union_find(spark, n, raw_pairs):
     )
     labels = dedup.cluster_labels(ids, pdf, max_rounds=20, on_nonconverge="raise")
     assert {(r.id, r.cluster_id) for r in labels.collect()} == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.sampled_from("ab cd ef gh ij kl".split()), min_size=0, max_size=40),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=5),
+)
+def test_winnow_matches_python_reference(spark, words, k, w):
+    """Winnowing property pin (r12): on arbitrary token sequences and
+    (k, window) settings the Spark selection equals a direct
+    pure-Python implementation of robust winnowing — same md5-prefix
+    hashes, same window minima, same rightmost tie-break, same
+    short-doc emptiness."""
+    import hashlib
+
+    from renkodf_spark.operators import text as text_ops
+
+    text = " ".join(words)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        (r.pos, r.fp)
+        for r in text_ops.winnow_fingerprints(docs, k=k, window=w).collect()
+    }
+
+    # the repo-wide tokenization convention is REGEXP split: on empty
+    # text re.split/Spark split/DuckDB string_split_regex all yield
+    # [''] (one empty token), unlike str.split() which yields []
+    import re as _re
+
+    toks = _re.split(r"\s+", text.strip())
+    want = set()
+    if len(toks) >= k:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:12], 16) for g in grams]
+        for j in range(w - 1, len(hs)):
+            lo = j - w + 1
+            mh = min(hs[lo : j + 1])
+            pos = max(i for i in range(lo, j + 1) if hs[i] == mh)
+            want.add((pos, mh))
+    assert got == want

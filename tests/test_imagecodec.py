@@ -706,3 +706,44 @@ def test_box_resize_regimes():
     rgb[:, :, 1] = 100
     r = _box_resize(rgb, 1, 1)
     assert r[0, 0].tolist() == [0, 100, 0]
+
+
+def test_resize_real_system_images(spark):
+    """resize_image over real externally-encoded files (same corpus as
+    the decode validation): every decodable image yields exactly
+    out_h*out_w*ch rows of in-range values, and a constant-color image
+    resizes to that constant in both regimes."""
+    import glob
+
+    import numpy as np
+
+    from renkodf_spark.operators import imagecodec as ic
+    from renkodf_spark.operators.multimodal import resize_image
+
+    paths = (
+        glob.glob("/usr/share/gitweb/static/*.png")
+        + glob.glob("/usr/share/doc/python3/_static/*.png")
+    )[:4]
+    rows = []
+    for i, p in enumerate(paths):
+        with open(p, "rb") as f:
+            rows.append((i, "image/png", bytearray(f.read())))
+    # plus synthetic constants exercising both regimes vs the 6x5 target
+    rows.append((100, "image/png", bytearray(ic.encode_png(np.full((2, 3, 3), 77, np.uint8)))))
+    rows.append((101, "image/png", bytearray(ic.encode_png(np.full((20, 17, 3), 130, np.uint8)))))
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary"
+    )
+    out = resize_image(media, out_w=6, out_h=5).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r)
+    for mid, rs in by_id.items():
+        ok = [r for r in rs if r.status == "ok"]
+        if not ok:
+            continue  # out-of-scope depth etc: per-row status contract
+        ch = len({r.c for r in ok})
+        assert len(ok) == 5 * 6 * ch, (mid, len(ok), ch)
+        assert all(0 <= r.v <= 255 for r in ok)
+    assert all(r.v == 77 for r in by_id[100]) and len(by_id[100]) == 90
+    assert all(r.v == 130 for r in by_id[101]) and len(by_id[101]) == 90

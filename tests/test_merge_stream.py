@@ -709,3 +709,52 @@ def test_knn_graph_stream_compaction_parity(spark, tmp_path):
     got = {tuple(r) for r in read_knn_graph_stream(spark, state).collect()}
     want = {tuple(r) for r in similarity.knn_graph(all_df, cents, k=3).collect()}
     assert got == want
+
+
+def test_knn_graph_stream_cap_passthrough(spark, tmp_path):
+    """max_cell_size passes through the stream writer to the shared
+    pair/rank stage: at a loose cap the streamed graph still equals the
+    exact batch graph (cap is a no-op), and at a tight cap every edge
+    is a true cell-mate pair with per-source degree <= k — the batch
+    operator's documented substitution semantics, unchanged by the
+    affected-cells recompute."""
+    from renkodf_spark.operators import similarity
+    from renkodf_spark.streaming.ann_stream import (
+        knn_graph_writer,
+        read_knn_graph_stream,
+    )
+
+    vecs = [
+        (i, [float((i * 3 + j * 7) % 11) for j in range(4)], "ab"[i % 2])
+        for i in range(18)
+    ]
+    labeled = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label string"
+    )
+    all_df = labeled.drop("label")
+    cents = similarity.embedding_centroids(labeled, dim=4)
+
+    loose = str(tmp_path / "loose")
+    writer = knn_graph_writer(cents, loose, k=3, max_cell_size=1000)
+    writer(all_df.filter(F.col("vec_id") < 9), 0)
+    writer(all_df.filter(F.col("vec_id") >= 9), 1)
+    got = {tuple(r) for r in read_knn_graph_stream(spark, loose).collect()}
+    want = {tuple(r) for r in similarity.knn_graph(all_df, cents, k=3).collect()}
+    assert got == want
+
+    tight = str(tmp_path / "tight")
+    writer_t = knn_graph_writer(cents, tight, k=3, max_cell_size=4)
+    writer_t(all_df.filter(F.col("vec_id") < 9), 0)
+    writer_t(all_df.filter(F.col("vec_id") >= 9), 1)
+    capped = read_knn_graph_stream(spark, tight).collect()
+    assert capped
+    all_pairs = {
+        (r.src, r.dst): r.cos_sim
+        for r in similarity.knn_graph(all_df, cents, k=10**6).collect()
+    }
+    deg = {}
+    for r in capped:
+        assert (r.src, r.dst) in all_pairs  # true cell-mate, exact cosine
+        assert r.cos_sim == all_pairs[(r.src, r.dst)]
+        deg[r.src] = deg.get(r.src, 0) + 1
+    assert max(deg.values()) <= 3

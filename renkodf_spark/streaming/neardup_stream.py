@@ -373,3 +373,111 @@ def read_cluster_labels(spark, state_path: str) -> DataFrame:
     return spark.read.parquet(posixpath.join(state_path, "labels")).select(
         "id", "cluster_id"
     )
+
+
+# --------------------------------------------- streaming winnowing
+
+
+def winnow_index_writer(
+    index_path: str,
+    pairs_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+    enforce_append_only: bool = True,
+):
+    """``foreachBatch`` writer maintaining a winnowing fingerprint
+    index and its per-trigger match deltas — the streaming twin of the
+    MOSS match stage (r12), same protocol as :func:`neardup_batch_writer`
+    for LSH bands: each trigger fingerprints ONLY its own documents
+    (``text.winnow_fingerprints`` — doc-local, text never shuffles),
+    persists the distinct narrow ``(id, fp)`` relation under
+    ``index_path/batch_id=N``, and emits the trigger's candidate-pair
+    DELTA under ``pairs_path/batch_id=N``.
+
+    Delta completeness without cross-trigger accumulation: a document's
+    fingerprints are all indexed in its ONE admitting trigger
+    (append-only enforced like the ANN writer — a re-sent id is
+    dropped), so every shared fingerprint of a pair (a, b) is counted
+    exactly once, in the trigger where the LATER doc arrives (its new
+    rows join the earlier doc's stored rows, or its batch-mates').
+    ``read_winnow_pairs`` therefore just sums the per-generation
+    ``n_shared`` — each pair lives in exactly one generation — and
+    applies the >= ``min_shared`` floor at read time (a floor applied
+    per trigger would wrongly drop pairs whose evidence is split...
+    it cannot be split, but the read-time floor also keeps the floor
+    a query-time knob rather than baked state).
+
+    Per-trigger cost: O(batch fingerprints + matched buckets) — the
+    corpus's text is never re-read; the one index-sized term is the
+    opt-out append-only id scan (the ann_stream contract). Writes are
+    per-batch partition overwrites, so at-least-once replays are
+    idempotent at the directory level."""
+    from renkodf_spark.operators.text import winnow_fingerprints
+    from renkodf_spark.streaming.curation_stream import _is_missing_path
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if enforce_append_only:
+            try:
+                seen = (
+                    spark.read.parquet(index_path)
+                    .filter(F.col("batch_id") < batch_id)
+                    .select(F.col("id").alias(id_col))
+                    .distinct()
+                )
+                batch = batch.join(seen, id_col, "left_anti")
+            except Exception as exc:
+                if not (
+                    _is_missing_path(exc) or "UNABLE_TO_INFER_SCHEMA" in str(exc)
+                ):
+                    raise
+        fps = (
+            winnow_fingerprints(batch, text_col=text_col, id_col=id_col, k=k, window=window)
+            .select(F.col(id_col).alias("id"), "fp")
+            .distinct()
+        )
+        fps.write.mode("overwrite").parquet(
+            posixpath.join(index_path, f"batch_id={batch_id}")
+        )
+        indexed = spark.read.parquet(index_path)
+        new = indexed.filter(F.col("batch_id") == batch_id).select("id", "fp")
+        old = indexed.filter(F.col("batch_id") != batch_id).select("id", "fp")
+        cross = new.alias("n").join(old.alias("o"), "fp").select(
+            F.least(F.col("n.id"), F.col("o.id")).alias("id_a"),
+            F.greatest(F.col("n.id"), F.col("o.id")).alias("id_b"),
+            "fp",
+        )
+        within = (
+            new.alias("x")
+            .join(new.alias("y"), "fp")
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(
+                F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"), "fp"
+            )
+        )
+        delta = (
+            cross.unionByName(within)
+            .groupBy("id_a", "id_b")
+            .agg(F.countDistinct("fp").alias("n_shared"))
+        )
+        delta.write.mode("overwrite").parquet(
+            posixpath.join(pairs_path, f"batch_id={batch_id}")
+        )
+
+    return write_batch
+
+
+def read_winnow_pairs(spark, pairs_path: str, *, min_shared: int = 2) -> DataFrame:
+    """Current winnowing candidate pairs from a
+    :func:`winnow_index_writer` state: fold the per-generation deltas
+    (each pair lives in exactly one generation, so the sum IS the
+    distinct shared-fingerprint count) and apply the evidence floor."""
+    return (
+        spark.read.parquet(pairs_path)
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("n_shared").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

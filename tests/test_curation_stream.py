@@ -1221,3 +1221,63 @@ def test_streaming_dedup_end_to_end_bands_pairs_labels(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_winnow_stream_matches_batch(spark, tmp_path):
+    """Streaming winnowing (r12): after N triggers the folded pair
+    deltas equal the batch fp-join + >=2 floor over the whole corpus;
+    a pair whose two docs arrive in different triggers is counted once
+    with its full shared count; a re-sent doc id is dropped
+    (append-only); replays are idempotent."""
+    from renkodf_spark.operators import text as text_ops
+    from renkodf_spark.streaming.neardup_stream import (
+        read_winnow_pairs,
+        winnow_index_writer,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base + " one two three"),
+        (2, base + " four five six"),          # shares the long base run with 1
+        (3, "unrelated words entirely here now always"),
+        (4, base + " seven eight nine"),       # arrives in trigger 2
+        (5, "alpha beta gamma nope"),          # too short a shared run
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "widx")
+    prs = str(tmp_path / "wprs")
+    writer = winnow_index_writer(idx, prs)
+
+    writer(docs.filter(F.col("doc_id") <= 3), 0)
+    mutated = spark.createDataFrame(
+        [(1, "totally different resent payload text")], "doc_id long, text string"
+    )
+    writer(docs.filter(F.col("doc_id") > 3).unionByName(mutated), 1)
+    writer(docs.filter(F.col("doc_id") > 3).unionByName(mutated), 1)  # replay
+
+    got = {
+        (r.id_a, r.id_b, r.n_shared)
+        for r in read_winnow_pairs(spark, prs, min_shared=2).collect()
+    }
+
+    # batch twin: fp-join + floor over the ORIGINAL corpus (the resent
+    # mutated doc 1 must have been dropped by append-only enforcement)
+    fps = (
+        text_ops.winnow_fingerprints(docs, k=3, window=4)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    want = {
+        (r.id_a, r.id_b, r.n_shared)
+        for r in a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("fp").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+        .collect()
+    }
+    assert got == want
+    # the cross-trigger pair (1, 4) must be present with its full count
+    assert any(p[:2] == (1, 4) for p in got)

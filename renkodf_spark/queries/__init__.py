@@ -28,6 +28,7 @@ from renkodf_spark.queries import relational3  # noqa: F401
 from renkodf_spark.queries import pipeline6  # noqa: F401
 from renkodf_spark.queries import pipeline7  # noqa: F401
 from renkodf_spark.queries import pipeline8  # noqa: F401
+from renkodf_spark.queries import pipeline9  # noqa: F401
 
 # Gate-window priority (see module docstring). Rotation policy (ADVICE
 # r2, applied every round): queries that never had a gate row, plus
@@ -44,6 +45,10 @@ _PRIORITY = [
     # -- new in round 12 (never had a gate row), plus the queries whose
     #    shared cluster_labels stage switched to large-star/small-star
     #    contraction this round and need re-proving
+    "setsim_prefix_index",
+    "setsim_exact_join",
+    "quantile_sketch_buckets",
+    "quantile_sketch_estimates",
     "multimodal_video_curation_end_to_end",
     "leakage_safe_splits",
     "winnow_fingerprints",

@@ -1,0 +1,223 @@
+"""Round-12 pipeline queries, part 2: the exact set-similarity join
+(``operators/setsim.py`` — prefix-filtered Jaccard threshold join,
+SSJoin/PPJoin/Vernica et al.), the exact-recall complement to the
+probabilistic MinHash-LSH dedup path.
+
+Oracle strategy: ``setsim_join`` guarantees EXACT recall — the prefix/
+length/positional filters are sound pruning, so the oracle is the
+naive brute-force Jaccard threshold join (shared-element groupBy),
+which is precisely the guarantee being verified: if a filter were
+unsound the oracle would catch the missing pair. The prefix index
+itself is pinned by ``setsim_prefix_index``, whose oracle replays the
+frequency-ascending ordering and the integer prefix-length bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from renkodf_spark.functions import quantiles as qsk
+from renkodf_spark.operators import setsim
+from renkodf_spark.queries.pipeline import _docs
+from renkodf_spark.queries.registry import query
+from renkodf_spark.sources.tables import load_table
+
+_SS_N = 3  # word shingle width
+_SS_TNUM, _SS_TDEN = 1, 2  # Jaccard threshold 1/2, exact rational
+
+# distinct 48-bit shingle-hash elements per doc — the hash_split /
+# winnowing BIGINT convention, identical on both engines
+_SETSIM_CTES = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+gr AS (
+  SELECT doc_id,
+         unnest([('0x' || substr(md5(concat_ws(' ', t[i + 1], t[i + 2], t[i + 3])), 1, 12))::BIGINT
+                 for i in range(0, greatest(len(t) - {_SS_N - 1}, 0))]) AS h
+  FROM toks),
+e AS (SELECT DISTINCT doc_id, h FROM gr),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM e GROUP BY 1)
+"""
+
+
+@query(
+    "setsim_prefix_index",
+    oracle=_SETSIM_CTES
+    + rf""",
+f AS (SELECT h, COUNT(*) AS c FROM e GROUP BY 1),
+ord AS (
+  SELECT e.doc_id, sz.sz, e.h,
+         CAST(ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY f.c, e.h) AS BIGINT) AS pos
+  FROM e JOIN f USING (h) JOIN sz USING (doc_id))
+SELECT doc_id AS id, sz, pos, h FROM ord
+WHERE pos <= sz - (({_SS_TNUM} * sz + {_SS_TDEN - 1}) // {_SS_TDEN}) + 1
+""",
+    doc="the persistable prefix index of the exact set-similarity join "
+    "(SSJoin ICDE 2006 / PPJoin WWW 2008): per doc, the distinct "
+    f"{_SS_N}-gram shingle hashes ranked by ascending global document "
+    "frequency (ties by hash), kept up to the prefix bound "
+    "sz - ceil(t*sz) + 1 — any pair with Jaccard >= t must share a "
+    "prefix element, so equi-joining this index generates every "
+    "qualifying candidate. Integer-exact prefix arithmetic; text never "
+    "enters an exchange.",
+)
+def setsim_prefix_index(spark, sf_dir):
+    e = setsim.element_table(_docs(spark, sf_dir), shingle_n=_SS_N)
+    return setsim.prefix_index(e, t_num=_SS_TNUM, t_den=_SS_TDEN)
+
+
+@query(
+    "setsim_exact_join",
+    oracle=_SETSIM_CTES
+    + rf""",
+ov AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+       ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+FROM ov
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE inter * {_SS_TDEN} >= {_SS_TNUM} * (sa.sz + sb.sz - inter)
+""",
+    doc="exact set-similarity join: ALL pairs with shingle-set Jaccard "
+    f">= {_SS_TNUM}/{_SS_TDEN} (prefix + length + positional filters, "
+    "100% recall — the oracle is the brute-force threshold join, so an "
+    "unsound filter would surface as a missing pair). The engine's "
+    "candidate join fans out only on prefix elements (the corpus-"
+    "rarest by construction); the oracle's all-overlap join is the "
+    "quadratic shape the filters exist to avoid.",
+)
+def setsim_exact_join(spark, sf_dir):
+    return setsim.setsim_join(
+        _docs(spark, sf_dir), shingle_n=_SS_N, t_num=_SS_TNUM, t_den=_SS_TDEN
+    )
+
+
+# ------------------------------------------- quantile sketch (DDSketch)
+
+_QK = 64  # 2^6 sub-buckets per octave: relative error <= 1/64
+_QB = 6
+_QS = [(1, 2), (19, 20), (99, 100)]
+
+# integer-cents values + the integer-exact log-linear bucket (e, m) —
+# the shift/bin primitives evaluate identically in both engines
+_QSK_CTES = rf"""
+WITH v AS (
+  SELECT l_returnflag AS g, l_linestatus AS s,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem),
+bk AS (
+  SELECT g, s,
+         CASE WHEN v <= 0 THEN -1 ELSE length(bin(v)) - 1 END AS e,
+         CASE WHEN v <= 0 THEN CAST(0 AS BIGINT)
+              WHEN length(bin(v)) - 1 >= {_QB}
+                THEN (v - (CAST(1 AS BIGINT) << (length(bin(v)) - 1))) >> (length(bin(v)) - 1 - {_QB})
+              ELSE ((v - (CAST(1 AS BIGINT) << (length(bin(v)) - 1))) << {_QB})
+                   // (CAST(1 AS BIGINT) << (length(bin(v)) - 1)) END AS m
+  FROM v),
+fine AS (SELECT g, s, e, m, CAST(COUNT(*) AS BIGINT) AS cnt FROM bk GROUP BY 1, 2, 3, 4),
+sk AS (SELECT g, e, m, CAST(SUM(cnt) AS BIGINT) AS cnt FROM fine GROUP BY 1, 2, 3)
+"""
+
+
+@query(
+    "quantile_sketch_buckets",
+    oracle=_QSK_CTES + "SELECT g AS l_returnflag, e, m, cnt FROM sk",
+    doc="the mergeable relative-error quantile sketch (integer-exact "
+    "DDSketch variant, Masson et al. VLDB 2019): log-linear buckets "
+    f"e = floor(log2 v), m = k={_QK} linear sub-buckets per octave, "
+    "all bucket math in exact shifts (cross-engine bit-equal). Built "
+    "HERE by merging finer per-(flag, linestatus) sketches with one "
+    "SUM — the mergeability that lets 100 TB pipelines sketch per "
+    "partition once and answer any coarser rollup without rescan.",
+)
+def quantile_sketch_buckets(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    fine = qsk.quantile_sketch(li, ["l_returnflag", "l_linestatus"], "cents", k=_QK)
+    return qsk.merge_sketches(fine, "l_returnflag")
+
+
+@query(
+    "quantile_sketch_estimates",
+    oracle=_QSK_CTES
+    + rf""",
+cum AS (
+  SELECT g, e, m, cnt,
+         SUM(cnt) OVER (PARTITION BY g ORDER BY e, m) AS cum,
+         SUM(cnt) OVER (PARTITION BY g) AS n
+  FROM sk),
+qs AS (SELECT * FROM (VALUES (1, 2, 500), (19, 20, 950), (99, 100, 990)) t(qn, qd, qp)),
+sel AS (
+  SELECT g, qp, n, (qn * n + qd - 1) // qd AS r, e, m,
+         ROW_NUMBER() OVER (PARTITION BY g, qp ORDER BY e, m) AS rk
+  FROM cum CROSS JOIN qs
+  WHERE cum >= (qn * n + qd - 1) // qd),
+est AS (
+  SELECT g, qp, n, r, e, m,
+         CASE WHEN e < 0 THEN CAST(0 AS BIGINT)
+              WHEN e >= {_QB}
+                THEN (CAST(1 AS BIGINT) << e) + m * (CAST(1 AS BIGINT) << (e - {_QB}))
+              ELSE (CAST(1 AS BIGINT) << e)
+                   + ((m * (CAST(1 AS BIGINT) << e) + {_QK - 1}) >> {_QB}) END AS est
+  FROM sel WHERE rk = 1),
+ranked AS (
+  SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rk FROM v),
+exact AS (SELECT e2.g, e2.qp, r2.v AS v_star FROM est e2 JOIN ranked r2
+          ON r2.g = e2.g AND r2.rk = e2.r),
+xb AS (
+  SELECT g, qp,
+         CASE WHEN v_star <= 0 THEN -1 ELSE length(bin(v_star)) - 1 END AS xe,
+         CASE WHEN v_star <= 0 THEN CAST(0 AS BIGINT)
+              WHEN length(bin(v_star)) - 1 >= {_QB}
+                THEN (v_star - (CAST(1 AS BIGINT) << (length(bin(v_star)) - 1))) >> (length(bin(v_star)) - 1 - {_QB})
+              ELSE ((v_star - (CAST(1 AS BIGINT) << (length(bin(v_star)) - 1))) << {_QB})
+                   // (CAST(1 AS BIGINT) << (length(bin(v_star)) - 1)) END AS xm
+  FROM exact)
+SELECT est.g AS l_returnflag, est.qp AS q_permille, est.n, est.r, est.est,
+       (est.e = xb.xe AND est.m = xb.xm) AS bucket_contains_exact
+FROM est JOIN xb ON xb.g = est.g AND xb.qp = est.qp
+""",
+    doc="quantile extraction from the sketch: for q in {50%, 95%, 99%} "
+    "per returnflag, rank r = ceil(q*n) and estimate = lower bound of "
+    "the first bucket whose cumulative count reaches r — by "
+    "construction the bucket CONTAINING the exact order statistic, so "
+    f"est is within relative error 1/{_QK} of it. The "
+    "bucket_contains_exact flag recomputes the exact rank-r value's "
+    "bucket independently on both engines (the approx_distinct_users "
+    "band-flag policy) — the full sort behind it is the oracle device, "
+    "not the production path (the sketch answers without raw data).",
+)
+def quantile_sketch_estimates(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    sk = qsk.quantile_sketch(li, "l_returnflag", "cents", k=_QK)
+    est = qsk.sketch_quantiles(sk, "l_returnflag", _QS, k=_QK)
+    ranked = li.withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("l_returnflag").orderBy("cents")),
+    )
+    xe, xm = qsk.bucket_exprs("cents", _QK)
+    xb = (
+        est.select("l_returnflag", "q_permille", "r")
+        .join(ranked, ["l_returnflag"])
+        .filter(F.col("rk") == F.col("r"))
+        .select("l_returnflag", "q_permille", xe.alias("xe"), xm.alias("xm"))
+    )
+    return est.join(xb, ["l_returnflag", "q_permille"]).select(
+        "l_returnflag",
+        "q_permille",
+        "n",
+        "r",
+        "est",
+        ((F.col("e") == F.col("xe")) & (F.col("m") == F.col("xm"))).alias(
+            "bucket_contains_exact"
+        ),
+    )

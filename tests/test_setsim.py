@@ -1,0 +1,129 @@
+"""Exact set-similarity join (operators/setsim.py): exact-recall
+guarantee vs brute force, filter pruning effectiveness, plan shape.
+
+Reference discipline modeled on test/test_ws.py:45-48 (strict
+equality against an independent replay)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from renkodf_spark.operators import setsim
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _brute_force(spark, e, t_num, t_den):
+    """The naive threshold join over the same distinct (id, h)
+    element relation — the ground truth the filters must not lose."""
+    a = e.select(F.col("id").alias("id_a"), "h")
+    b = e.select(F.col("id").alias("id_b"), "h")
+    sz = e.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    ov = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        ov.join(sz.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sz.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .filter(
+            F.col("inter") * F.lit(t_den)
+            >= F.lit(t_num) * (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
+        .select("id_a", "id_b", "inter", "sz_a", "sz_b")
+    )
+
+
+@pytest.mark.parametrize("t_num,t_den", [(1, 2), (2, 3), (9, 10)])
+def test_exact_recall_vs_brute_force(spark, sf_dir, t_num, t_den):
+    docs = _docs(spark, sf_dir)
+    got = {
+        (r.id_a, r.id_b, r.inter, r.sz_a, r.sz_b)
+        for r in setsim.setsim_join(docs, t_num=t_num, t_den=t_den).collect()
+    }
+    e = setsim.element_table(docs)
+    want = {
+        (r.id_a, r.id_b, r.inter, r.sz_a, r.sz_b)
+        for r in _brute_force(spark, e, t_num, t_den).collect()
+    }
+    assert got == want
+    assert want, "gate data should contain planted near-dups"
+
+
+def test_filters_actually_prune(spark, sf_dir):
+    """The candidate set (prefix join + length + positional filters)
+    must be strictly smaller than the all-overlapping-pairs set —
+    otherwise the prefix machinery is dead weight."""
+    docs = _docs(spark, sf_dir)
+    e = setsim.element_table(docs).cache()
+    pref = setsim.prefix_index(e, t_num=1, t_den=2)
+    a = pref.select("h", F.col("id").alias("id_a"))
+    b = pref.select("h", F.col("id").alias("id_b"))
+    n_prefix_pairs = (
+        a.join(b, "h").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct().count()
+    )
+    ea = e.select(F.col("id").alias("id_a"), "h")
+    eb = e.select(F.col("id").alias("id_b"), "h")
+    n_all_pairs = (
+        ea.join(eb, "h").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct().count()
+    )
+    assert n_prefix_pairs < n_all_pairs
+    # and the result is far smaller than the candidates — verification matters
+    n_result = setsim.setsim_join(docs, t_num=1, t_den=2).count()
+    assert n_result <= n_prefix_pairs
+
+
+def test_prefix_index_bound(spark, sf_dir):
+    """Every doc keeps at least one prefix element and never more than
+    sz - ceil(t*sz) + 1; positions are dense from 1."""
+    e = setsim.element_table(_docs(spark, sf_dir))
+    pref = setsim.prefix_index(e, t_num=1, t_den=2)
+    bad = pref.filter(
+        (F.col("pos") < 1)
+        | (F.col("pos") > F.col("sz") - F.ceil(F.col("sz") / 2) + 1)
+    ).count()
+    assert bad == 0
+    n_docs_with_elements = e.select("id").distinct().count()
+    assert pref.select("id").distinct().count() == n_docs_with_elements
+
+
+def test_identical_docs_found_at_any_threshold(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (3, "totally different words here entirely now"),
+        (4, "al be"),  # fewer than shingle_n tokens: no elements
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = setsim.setsim_join(df, t_num=99, t_den=100).collect()
+    assert [(r.id_a, r.id_b, float(r.jaccard)) for r in out] == [(1, 2, 1.0)]
+
+
+def test_short_docs_yield_no_elements(spark):
+    df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    assert setsim.element_table(df, shingle_n=3).count() == 0
+
+
+def test_threshold_validation(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        setsim.setsim_join(df, t_num=0, t_den=2)
+    with pytest.raises(ValueError):
+        setsim.setsim_join(df, t_num=3, t_den=2)
+    with pytest.raises(ValueError):
+        setsim.prefix_index(setsim.element_table(df), t_num=1, t_den=0)
+    with pytest.raises(ValueError):
+        setsim.element_table(df, shingle_n=0)
+
+
+def test_setsim_text_never_enters_an_exchange(spark, sf_dir):
+    """The join moves only (id, h, sz, pos) longs: shingle hashing is
+    doc-local, so no exchange input may carry the document text."""
+    from renkodf_spark.plans import exchange_inputs
+
+    df = setsim.setsim_join(_docs(spark, sf_dir))
+    for cols in exchange_inputs(df):
+        assert "text" not in set(cols), f"text enters an exchange: {cols}"

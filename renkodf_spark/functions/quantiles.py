@@ -1,0 +1,189 @@
+"""Mergeable relative-error quantile sketch — an integer-exact
+DDSketch variant (Masson/Rim/Lee, "DDSketch: a fast and fully-mergeable
+quantile sketch with relative-error guarantees", VLDB 2019).
+
+DDSketch buckets values geometrically (bucket = ceil(log_gamma x)),
+which makes bucket assignment float-sensitive at boundaries — a
+cross-engine hash-match hazard. This variant keeps the geometric idea
+but makes every step integer-exact: for a positive integer value v,
+
+    e = floor(log2 v)            (= length(bin(v)) - 1, exact)
+    p = 2^e
+    m = floor((v - p) * k / p)   (k a power of two; sub-bucket in [0, k))
+
+i.e. k linearly-spaced sub-buckets per octave — the classical
+"log-linear" histogram. Bucket (e, m) spans [p + ceil(m*p/k),
+p + ceil((m+1)*p/k)), so its width is at most p/k + 1 and any value it
+contains is within relative error 1/k of the bucket's lower bound
+(plus at most 1 from integer ceil). Zero gets a dedicated exact bucket
+(e = -1, m = 0). Domain: non-negative integers (the house integer-cents
+/ token-count conventions); negative values are a caller error.
+
+Overflow discipline: (v - p) * k can exceed BIGINT for v near 2^62, so
+m is computed with shifts — k = 2^b, and
+
+    e >= b:  m = (v - p) >> (e - b)          (exact, no widening)
+    e <  b:  m = ((v - p) << b) div p        ((v-p) < p < k: tiny)
+
+Both branches and the bin()/shift primitives evaluate identically in
+Spark SQL and DuckDB, so the oracle hash-matches every bucket.
+
+Why this shape at 100 TB: the sketch is a tiny additive relation —
+counts per (group, e, m), at most ~64 octaves x k rows per group
+regardless of data size. groupBy builds it with map-side partial
+aggregation (one narrow shuffle); merging finer sketches to coarser
+groupings is a SUM (see :func:`merge_sketches`); the streaming twin
+appends per-trigger partial counts (curation_stream.quantile_sketch_
+writer). Quantile extraction never touches raw data: one window
+cumulative sum over the few-thousand-row sketch.
+
+The reference engine (srlcarlg/renkodf) has no sketch surface; this
+joins HLL/Bloom/count-min in the training-data-pipeline extension
+mandate (SURVEY.md north-star extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_K = 64  # 2^6 sub-buckets per octave: relative error <= 1/64 ~ 1.6%
+
+
+def _validate_k(k: int) -> int:
+    """k must be a power of two (the shift-based m needs it); returns b = log2 k."""
+    if not (isinstance(k, int) and k >= 2 and (k & (k - 1)) == 0):
+        raise ValueError(f"k must be a power of two >= 2, got {k}")
+    return k.bit_length() - 1
+
+
+def bucket_exprs(value_col: str, k: int = DEFAULT_K):
+    """The (e, m) bucket columns for a non-negative BIGINT column —
+    shared by the batch builder, the streaming writer, and the
+    guarantee check (bucket-of-exact == selected bucket)."""
+    b = _validate_k(k)
+    v = value_col
+    e = F.when(F.col(v) <= 0, F.lit(-1)).otherwise(
+        F.expr(f"CAST(length(bin({v})) - 1 AS INT)")
+    )
+    m = F.when(F.col(v) <= 0, F.lit(0).cast("long")).otherwise(
+        F.expr(
+            f"""CASE WHEN length(bin({v})) - 1 >= {b}
+            THEN shiftright({v} - shiftleft(CAST(1 AS BIGINT), CAST(length(bin({v})) - 1 AS INT)),
+                            CAST(length(bin({v})) - 1 - {b} AS INT))
+            ELSE shiftleft({v} - shiftleft(CAST(1 AS BIGINT), CAST(length(bin({v})) - 1 AS INT)),
+                           {b})
+                 div shiftleft(CAST(1 AS BIGINT), CAST(length(bin({v})) - 1 AS INT))
+            END"""
+        )
+    )
+    return e.alias("e"), m.alias("m")
+
+
+def bucket_floor_expr(k: int = DEFAULT_K):
+    """Lower bound of bucket (e, m): the smallest integer the bucket
+    contains — p + ceil(m * p / k), computed with shifts (e >= b) or
+    in tiny integers (e < b). e = -1 is the exact zero bucket."""
+    b = _validate_k(k)
+    return F.when(F.col("e") < 0, F.lit(0).cast("long")).otherwise(
+        F.expr(
+            f"""CASE WHEN e >= {b}
+            THEN shiftleft(CAST(1 AS BIGINT), CAST(e AS INT))
+                 + m * shiftleft(CAST(1 AS BIGINT), CAST(e - {b} AS INT))
+            ELSE shiftleft(CAST(1 AS BIGINT), CAST(e AS INT))
+                 + shiftright(m * shiftleft(CAST(1 AS BIGINT), CAST(e AS INT)) + {k - 1}, {b})
+            END"""
+        )
+    )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    value_col: str,
+    *,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Build the sketch: (group_cols..., e, m, cnt). One narrow shuffle
+    with map-side partial aggregation; output size is bounded by
+    groups x octaves x k, independent of row count."""
+    _validate_k(k)
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    e, m = bucket_exprs(value_col, k)
+    return (
+        df.select(*group_cols, e, m)
+        .groupBy(*group_cols, "e", "m")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_sketches(sketches: DataFrame, group_cols: list[str] | str) -> DataFrame:
+    """Merge finer sketches to a coarser grouping — counts are additive,
+    so this is one SUM over the tiny sketch relation (the
+    rollup_sketches shape: no raw-data rescan)."""
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    return sketches.groupBy(*group_cols, "e", "m").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def sketch_quantiles(
+    sketch: DataFrame,
+    group_cols: list[str] | str,
+    quantiles: list[tuple[int, int]],
+    *,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Extract quantile estimates from a sketch. ``quantiles`` are
+    integer rationals (q_num, q_den); for each, the target rank is
+    r = ceil(q * n) (1-indexed) and the estimate is the LOWER BOUND of
+    the first bucket (ascending (e, m)) whose cumulative count reaches
+    r — the bucket that contains the exact order statistic, hence
+    within relative error 1/k of it (see module docstring).
+
+    Output: (group_cols..., q_pct, n, r, est) with q_pct = the exact
+    integer permille (q_num * 1000 / q_den must divide evenly —
+    keeps the label integer-exact)."""
+    _validate_k(k)
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    for q_num, q_den in quantiles:
+        if not (0 < q_num <= q_den) or (q_num * 1000) % q_den:
+            raise ValueError(f"quantile {q_num}/{q_den} must be in (0,1] with an exact permille")
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("e", "m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sketch.withColumn("__cum", F.sum("cnt").over(w)).withColumn(
+        "__n", F.sum("cnt").over(Window.partitionBy(*group_cols))
+    )
+    outs = []
+    for q_num, q_den in quantiles:
+        r = F.floor((F.lit(q_num) * F.col("__n") + F.lit(q_den - 1)) / F.lit(q_den)).cast(
+            "long"
+        )
+        eligible = cum.filter(F.col("__cum") >= r).withColumn("__r", r)
+        first = (
+            eligible.withColumn(
+                "__rk",
+                F.row_number().over(Window.partitionBy(*group_cols).orderBy("e", "m")),
+            )
+            .filter(F.col("__rk") == 1)
+            .select(
+                *group_cols,
+                F.lit(q_num * 1000 // q_den).alias("q_permille"),
+                F.col("__n").alias("n"),
+                F.col("__r").alias("r"),
+                bucket_floor_expr(k).alias("est"),
+                F.col("e"),
+                F.col("m"),
+            )
+        )
+        outs.append(first)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

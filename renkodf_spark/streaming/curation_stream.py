@@ -962,3 +962,76 @@ def read_bigram_lm(spark, model_path: str, *, alpha: int = 1):
         .agg(F.sum("cnt2").cast("long").alias("cnt2"))
     )
     return derive_bigram_model(counts, bcounts, alpha=alpha)
+
+
+def quantile_sketch_writer(
+    sketch_path: str,
+    group_cols: list[str] | str,
+    value_col: str,
+    *,
+    k: int = 64,
+    n_buckets: int = 16,
+    compact_every: int | None = None,
+):
+    """Streaming maintainer for the log-linear quantile sketch
+    (``functions/quantiles.py``): per-trigger partial bucket counts are
+    ADDITIVE sufficient statistics, so the folded state equals the
+    batch sketch of the concatenated stream bit-for-bit (pinned by
+    test) — the same contract as :func:`nb_model_writer` /
+    :func:`bigram_lm_writer`.
+
+    State layout: the bucketed delta-generation protocol — each trigger
+    appends ONLY its own (group, e, m, cnt) partials, hash-bucketed on
+    the group key so one group's buckets stay co-located, O(batch
+    distinct buckets) per trigger regardless of stream lifetime. Delta
+    rows carry ``src_batch`` (the crash-absorbing ``distinct`` in the
+    reader stays exact); replays overwrite their own ``batch_id=N``
+    generation, idempotent; ``compact_every`` bounds generations via
+    the shared compactor.
+    """
+    from renkodf_spark.functions.quantiles import _validate_k, quantile_sketch
+
+    _validate_k(k)
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        import posixpath
+
+        from renkodf_spark.operators.search import _term_bucket_expr
+        from renkodf_spark.streaming.merge_stream import compact_index_generations
+
+        partial = quantile_sketch(batch, gcols, value_col, k=k)
+        (
+            partial.withColumn("src_batch", F.lit(batch_id).cast("long"))
+            .withColumn(
+                "tb",
+                _term_bucket_expr(F.concat_ws("\x1f", *gcols), n_buckets),
+            )
+            .write.mode("overwrite")
+            .partitionBy("tb")
+            .parquet(posixpath.join(sketch_path, f"batch_id={batch_id}"))
+        )
+        if compact_every is not None and (batch_id + 1) % compact_every == 0:
+            compact_index_generations(
+                batch.sparkSession, sketch_path, batch_id, partition_by="tb"
+            )
+
+    return write_batch
+
+
+def read_quantile_sketch(spark, sketch_path: str, group_cols: list[str] | str) -> DataFrame:
+    """Fold every :func:`quantile_sketch_writer` generation into the
+    exact lifetime sketch (leading ``distinct`` absorbs a compaction
+    crash that leaves a delta visible twice) — bit-equal to
+    ``quantile_sketch`` over the concatenated stream; feed it to
+    ``sketch_quantiles`` / ``merge_sketches`` unchanged."""
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    return (
+        spark.read.parquet(sketch_path)
+        .select(*gcols, "e", "m", "cnt", "src_batch")
+        .distinct()
+        .groupBy(*gcols, "e", "m")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )

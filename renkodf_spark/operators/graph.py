@@ -1,0 +1,139 @@
+"""Graph centrality over narrow edge relations: integer-exact
+fixed-point PageRank.
+
+Why it's in a training-data pipeline: graph-based curation ranks
+documents by centrality in a similarity graph — prototype selection
+("keep the most central exemplar per region", the SemDeDup keep
+election generalized), influence-weighted sampling, and spam demotion
+(low-PageRank nodes in a near-dup graph are isolated one-offs; high
+ones are templates). The natural input here is the kNN graph
+(``similarity.knn_graph``) or a candidate-pair graph from the dedup
+family.
+
+Exactness discipline: classical PageRank iterates in floating point,
+which neither replays cross-engine nor across partitionings. This
+implementation is FIXED-POINT INTEGER throughout:
+
+    pr_0(v)      = scale div N
+    contrib_t(u) = pr_t(u) div outdeg(u)
+    pr_{t+1}(v)  = ((d_den - d_num) * (scale div N)) div d_den
+                   + (d_num * sum_{u->v} contrib_t(u)) div d_den
+
+with d = d_num/d_den the damping factor and every division an integer
+floor — deterministic, order-independent (sums of longs), and
+bit-replayable by a SQL oracle. Floors leak a little probability mass
+per step (standard for fixed-point PR; bounded by (outdeg-sparsity +
+1)/scale per node per iteration), which is the price of exact
+reproducibility — rankings at scale=1e12 are indistinguishable from
+float PR. Dangling nodes (no out-edges) follow the "their mass goes to
+the teleport term only" convention: simplest, exact, and shared by the
+oracle.
+
+100 TB shape: state is the narrow (id, pr) long pair; one iteration =
+one equi-join onto edges plus one groupBy(dst) — both shuffles carry
+only long triples, never payloads. Out-degrees are computed once.
+``checkpoint_every`` truncates lineage on long runs (the
+cluster_labels sizeInBytes lesson — dedup.py:254); the default covers
+the few-iteration curation regime.
+
+The reference engine (srlcarlg/renkodf) has no graph surface; this is
+part of the training-data-pipeline extension mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    *,
+    iterations: int = 3,
+    d_num: int = 85,
+    d_den: int = 100,
+    scale: int = DEFAULT_SCALE,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "id",
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Fixed-point PageRank over a directed edge list.
+
+    ``nodes`` (one ``id_col`` column) fixes the vertex set — isolated
+    vertices keep the teleport-only rank; if omitted, vertices are the
+    union of edge endpoints. Returns ``(id_col, pr)`` with ``pr`` in
+    fixed-point units of 1/scale (BIGINT, hash-exact).
+    """
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    if not (0 < d_num < d_den):
+        raise ValueError(f"damping must satisfy 0 < d_num < d_den, got {d_num}/{d_den}")
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if nodes is None:
+        nodes = (
+            e.select(F.col("src").alias(id_col))
+            .unionByName(e.select(F.col("dst").alias(id_col)))
+            .distinct()
+        )
+    nodes = nodes.select(id_col).cache()
+    n = nodes.count()  # one bounded scalar (the model-totals convention)
+    if n == 0:
+        return nodes.withColumn("pr", F.lit(0).cast("long"))
+    pr0 = scale // n
+    base = ((d_den - d_num) * pr0) // d_den
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    ew = e.join(outd, "src")  # (src, dst, od)
+    pr = nodes.select(id_col, F.lit(pr0).cast("long").alias("pr"))
+    for t in range(iterations):
+        sums = (
+            ew.join(pr.withColumnRenamed(id_col, "src"), "src")
+            .select("dst", F.expr("pr div od").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = nodes.join(
+            sums.withColumnRenamed("dst", id_col), id_col, "left"
+        ).select(
+            id_col,
+            (
+                F.lit(base)
+                + F.expr(f"CAST({d_num} AS BIGINT) * coalesce(s, CAST(0 AS BIGINT)) div {d_den}")
+            )
+            .cast("long")
+            .alias("pr"),
+        )
+        if checkpoint_every and (t + 1) % checkpoint_every == 0 and t + 1 < iterations:
+            pr = pr.localCheckpoint()
+    return pr
+
+
+def degree_centrality(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """In/out degree per vertex over a directed edge list: one groupBy
+    per direction, full-outer-joined — ``(id, out_deg, in_deg)``."""
+    out_d = (
+        edges.groupBy(F.col(src_col).alias("id"))
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+    )
+    in_d = (
+        edges.groupBy(F.col(dst_col).alias("id"))
+        .agg(F.count(F.lit(1)).alias("in_deg"))
+    )
+    return (
+        out_d.join(in_d, "id", "full_outer")
+        .select(
+            "id",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+        )
+    )

@@ -49,6 +49,7 @@ _PRIORITY = [
     "setsim_exact_join",
     "quantile_sketch_buckets",
     "quantile_sketch_estimates",
+    "knn_pagerank",
     "multimodal_video_curation_end_to_end",
     "leakage_safe_splits",
     "winnow_fingerprints",

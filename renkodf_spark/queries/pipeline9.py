@@ -221,3 +221,68 @@ def quantile_sketch_estimates(spark, sf_dir):
             "bucket_contains_exact"
         ),
     )
+
+
+# ------------------------------------------- graph centrality (PageRank)
+
+from renkodf_spark.operators import graph, similarity  # noqa: E402
+from renkodf_spark.queries.pipeline import _emb  # noqa: E402
+from renkodf_spark.queries.pipeline2 import _IVF_DIM  # noqa: E402
+from renkodf_spark.queries.pipeline8 import _KNN_CTES, _KNN_K  # noqa: E402
+
+_PR_ITERS = 3
+_PR_SCALE = 10**12
+_PR_DNUM, _PR_DDEN = 85, 100
+
+
+def _pr_oracle() -> str:
+    head = (
+        _KNN_CTES
+        + f""",
+pedges AS (SELECT src, dst FROM knn WHERE rk <= {_KNN_K}),
+pnodes AS (SELECT vec_id AS id FROM embeddings),
+pb AS (SELECT {_PR_SCALE} // COUNT(*) AS pr0 FROM pnodes),
+outd AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS od FROM pedges GROUP BY 1),
+pr0 AS (SELECT id, (SELECT pr0 FROM pb) AS pr FROM pnodes)"""
+    )
+    base = f"(({_PR_DDEN - _PR_DNUM} * (SELECT pr0 FROM pb)) // {_PR_DDEN})"
+    iters = "".join(
+        f""",
+pr{t} AS (
+  SELECT n.id,
+         CAST({base} + ({_PR_DNUM} * COALESCE(s.c, 0)) // {_PR_DDEN} AS BIGINT) AS pr
+  FROM pnodes n LEFT JOIN (
+    SELECT e.dst, SUM(p.pr // o.od) AS c
+    FROM pedges e JOIN pr{t - 1} p ON p.id = e.src JOIN outd o ON o.src = e.src
+    GROUP BY 1) s ON s.dst = n.id)"""
+        for t in range(1, _PR_ITERS + 1)
+    )
+    return head + iters + f"\nSELECT id AS vec_id, pr FROM pr{_PR_ITERS}"
+
+
+@query(
+    "knn_pagerank",
+    oracle=_pr_oracle(),
+    doc=f"fixed-point integer PageRank ({_PR_ITERS} iterations, "
+    f"d={_PR_DNUM}/{_PR_DDEN}, scale 1e12) over the kNN similarity "
+    "graph — graph-based curation's centrality signal (template/"
+    "prototype detection in near-dup neighborhoods). Every division "
+    "is an integer floor, so ranks are BIGINTs both engines replay "
+    "bit-for-bit; one iteration = one edge equi-join + one groupBy "
+    "over (id, pr) long pairs — vectors and text never enter the "
+    "fixpoint.",
+)
+def knn_pagerank(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cents = similarity.embedding_centroids(emb, dim=_IVF_DIM)
+    edges = similarity.knn_graph(emb, cents, k=_KNN_K)
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    pr = graph.pagerank(
+        edges.select("src", "dst"),
+        nodes,
+        iterations=_PR_ITERS,
+        d_num=_PR_DNUM,
+        d_den=_PR_DDEN,
+        scale=_PR_SCALE,
+    )
+    return pr.select(F.col("id").alias("vec_id"), "pr")

@@ -1,0 +1,113 @@
+"""Fixed-point PageRank (operators/graph.py): bit-exact replay vs a
+pure-Python reference, conventions (dangling, isolated), shapes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from renkodf_spark.operators import graph
+
+
+def _py_pagerank(edges, nodes, *, iterations=3, d_num=85, d_den=100, scale=10**12):
+    """Pure-Python integer replay of the documented recurrence."""
+    n = len(nodes)
+    pr0 = scale // n
+    base = ((d_den - d_num) * pr0) // d_den
+    outd = {}
+    for s, _ in edges:
+        outd[s] = outd.get(s, 0) + 1
+    pr = {v: pr0 for v in nodes}
+    for _ in range(iterations):
+        sums = {}
+        for s, d in edges:
+            sums[d] = sums.get(d, 0) + pr[s] // outd[s]
+        pr = {v: base + (d_num * sums.get(v, 0)) // d_den for v in nodes}
+    return pr
+
+
+EDGES = [
+    (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 3), (6, 1),
+    (7, 7),  # self-loop
+    # 8 is dangling (out-edges none, in-edges none -> isolated)
+]
+NODES = [1, 2, 3, 4, 5, 6, 7, 8]
+
+
+@pytest.mark.parametrize("iterations", [0, 1, 3, 7])
+def test_pagerank_matches_python_reference(spark, iterations):
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    n = spark.createDataFrame([(v,) for v in NODES], "id long")
+    got = {
+        r.id: r.pr
+        for r in graph.pagerank(e, n, iterations=iterations).collect()
+    }
+    want = _py_pagerank(EDGES, NODES, iterations=iterations)
+    assert got == want
+
+
+def test_pagerank_checkpoint_parity(spark):
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    n = spark.createDataFrame([(v,) for v in NODES], "id long")
+    base = {r.id: r.pr for r in graph.pagerank(e, n, iterations=5).collect()}
+    ck = {
+        r.id: r.pr
+        for r in graph.pagerank(e, n, iterations=5, checkpoint_every=2).collect()
+    }
+    assert ck == base
+
+
+def test_pagerank_star_hub_ranks_highest(spark):
+    spokes = [(i, 0) for i in range(1, 20)]
+    e = spark.createDataFrame(spokes, "src long, dst long")
+    pr = {r.id: r.pr for r in graph.pagerank(e, iterations=2).collect()}
+    assert pr[0] == max(pr.values())
+    assert all(pr[i] == pr[1] for i in range(2, 20))
+
+
+def test_pagerank_nodes_default_is_edge_endpoints(spark):
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {r.id for r in graph.pagerank(e, iterations=1).collect()}
+    assert got == {1, 2}
+
+
+def test_pagerank_isolated_nodes_keep_teleport_rank(spark):
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    n = spark.createDataFrame([(1,), (2,), (9,)], "id long")
+    pr = {r.id: r.pr for r in graph.pagerank(e, n, iterations=3).collect()}
+    ref = _py_pagerank([(1, 2)], [1, 2, 9])
+    assert pr == ref
+    assert pr[9] == ref[9] and pr[9] < pr[2]
+
+
+def test_pagerank_validation(spark):
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="iterations"):
+        graph.pagerank(e, iterations=-1)
+    with pytest.raises(ValueError, match="damping"):
+        graph.pagerank(e, d_num=100, d_den=100)
+    with pytest.raises(ValueError, match="scale"):
+        graph.pagerank(e, scale=0)
+
+
+def test_degree_centrality(spark):
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {(r.id): (r.out_deg, r.in_deg) for r in graph.degree_centrality(e).collect()}
+    assert got == {
+        1: (2, 2), 2: (1, 1), 3: (1, 4), 4: (1, 0), 5: (1, 0), 6: (1, 0), 7: (1, 1),
+    }
+
+
+def test_pagerank_fixpoint_shuffles_only_long_pairs(spark, sf_dir):
+    """No exchange in the PageRank fixpoint may carry embedding vectors
+    or text — the iteration state is (id, pr) longs."""
+    from renkodf_spark.plans import exchange_inputs
+    import renkodf_spark.queries as q
+
+    df = q.queries()["knn_pagerank"](spark, sf_dir)
+    seen_embedding_exchanges = 0
+    for cols in exchange_inputs(df):
+        assert "text" not in set(cols)
+        if "embedding" in set(cols) or "v" in set(cols):
+            seen_embedding_exchanges += 1
+    # vectors may cross only the kNN cell-routing exchange(s), never the
+    # per-iteration joins (3 iterations x 2 shuffles would show up here)
+    assert seen_embedding_exchanges <= 2, seen_embedding_exchanges

@@ -59,6 +59,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     id_col: str = "id",
+    seeds: DataFrame | None = None,
     checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list.
@@ -67,6 +68,20 @@ def pagerank(
     vertices keep the teleport-only rank; if omitted, vertices are the
     union of edge endpoints. Returns ``(id_col, pr)`` with ``pr`` in
     fixed-point units of 1/scale (BIGINT, hash-exact).
+
+    ``seeds`` (one ``id_col`` column, a subset of the vertex set)
+    switches to PERSONALIZED PageRank — teleport mass goes uniformly
+    to the seed set instead of all vertices:
+
+        pr_0(v)   = scale div |S|   if v in S else 0
+        base(v)   = ((d_den - d_num) * (scale div |S|)) div d_den
+                    if v in S else 0
+
+    with the propagation term unchanged. Seeded on a trusted subset
+    this is TrustRank (Gyongyi/Garcia-Molina/Pedersen, "Combating web
+    spam with TrustRank", VLDB 2004): rank flows outward from trusted
+    documents through similarity edges, and low-rank nodes are the
+    quality-suspect periphery — the curation signal.
     """
     if iterations < 0:
         raise ValueError(f"iterations must be >= 0, got {iterations}")
@@ -81,15 +96,29 @@ def pagerank(
             .unionByName(e.select(F.col("dst").alias(id_col)))
             .distinct()
         )
-    nodes = nodes.select(id_col).cache()
-    n = nodes.count()  # one bounded scalar (the model-totals convention)
+    nodes = nodes.select(id_col)
+    if seeds is not None:
+        # flag seed membership once; |S| is the bounded scalar
+        nodes = nodes.join(
+            seeds.select(F.col(id_col)).distinct().withColumn("__seed", F.lit(True)),
+            id_col,
+            "left",
+        ).select(id_col, F.coalesce("__seed", F.lit(False)).alias("__seed"))
+    else:
+        nodes = nodes.withColumn("__seed", F.lit(True))
+    nodes = nodes.cache()
+    n = nodes.filter("__seed").count()  # one bounded scalar (the model-totals convention)
     if n == 0:
-        return nodes.withColumn("pr", F.lit(0).cast("long"))
+        return nodes.select(id_col).withColumn("pr", F.lit(0).cast("long"))
     pr0 = scale // n
     base = ((d_den - d_num) * pr0) // d_den
+    base_col = F.when(F.col("__seed"), F.lit(base)).otherwise(F.lit(0)).cast("long")
     outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     ew = e.join(outd, "src")  # (src, dst, od)
-    pr = nodes.select(id_col, F.lit(pr0).cast("long").alias("pr"))
+    pr = nodes.select(
+        id_col,
+        F.when(F.col("__seed"), F.lit(pr0)).otherwise(F.lit(0)).cast("long").alias("pr"),
+    )
     for t in range(iterations):
         sums = (
             ew.join(pr.withColumnRenamed(id_col, "src"), "src")
@@ -102,7 +131,7 @@ def pagerank(
         ).select(
             id_col,
             (
-                F.lit(base)
+                base_col
                 + F.expr(f"CAST({d_num} AS BIGINT) * coalesce(s, CAST(0 AS BIGINT)) div {d_den}")
             )
             .cast("long")

@@ -50,6 +50,7 @@ _PRIORITY = [
     "quantile_sketch_buckets",
     "quantile_sketch_estimates",
     "knn_pagerank",
+    "knn_trustrank",
     "multimodal_video_curation_end_to_end",
     "leakage_safe_splits",
     "winnow_fingerprints",

@@ -286,3 +286,64 @@ def knn_pagerank(spark, sf_dir):
         scale=_PR_SCALE,
     )
     return pr.select(F.col("id").alias("vec_id"), "pr")
+
+
+_TR_SEED_LABEL = 0  # the trusted subset: label-0 vectors
+
+
+def _trustrank_oracle() -> str:
+    head = (
+        _KNN_CTES
+        + f""",
+pedges AS (SELECT src, dst FROM knn WHERE rk <= {_KNN_K}),
+pnodes AS (SELECT vec_id AS id, (label = {_TR_SEED_LABEL}) AS sd FROM embeddings),
+pb AS (SELECT {_PR_SCALE} // COUNT(*) AS pr0 FROM pnodes WHERE sd),
+outd AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS od FROM pedges GROUP BY 1),
+pr0 AS (SELECT id, sd, CASE WHEN sd THEN (SELECT pr0 FROM pb) ELSE 0 END AS pr FROM pnodes)"""
+    )
+    base = (
+        f"CASE WHEN n.sd THEN (({_PR_DDEN - _PR_DNUM} * (SELECT pr0 FROM pb)) // {_PR_DDEN}) ELSE 0 END"
+    )
+    iters = "".join(
+        f""",
+pr{t} AS (
+  SELECT n.id, n.sd,
+         CAST({base} + ({_PR_DNUM} * COALESCE(s.c, 0)) // {_PR_DDEN} AS BIGINT) AS pr
+  FROM pnodes n LEFT JOIN (
+    SELECT e.dst, SUM(p.pr // o.od) AS c
+    FROM pedges e JOIN pr{t - 1} p ON p.id = e.src JOIN outd o ON o.src = e.src
+    GROUP BY 1) s ON s.dst = n.id)"""
+        for t in range(1, _PR_ITERS + 1)
+    )
+    return head + iters + f"\nSELECT id AS vec_id, pr FROM pr{_PR_ITERS}"
+
+
+@query(
+    "knn_trustrank",
+    oracle=_trustrank_oracle(),
+    doc="TrustRank (Gyongyi et al. VLDB 2004): personalized PageRank "
+    f"whose teleport mass goes only to the trusted seed set (label="
+    f"{_TR_SEED_LABEL} vectors) — rank flows outward from trusted "
+    "documents through kNN similarity edges and the low-rank "
+    "periphery is the quality-suspect set. Same integer fixed-point "
+    "recurrence as knn_pagerank (bit-replayable), seed-conditional "
+    "base term.",
+)
+def knn_trustrank(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cents = similarity.embedding_centroids(emb, dim=_IVF_DIM)
+    edges = similarity.knn_graph(emb, cents, k=_KNN_K)
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    seeds = emb.filter(F.col("label") == _TR_SEED_LABEL).select(
+        F.col("vec_id").alias("id")
+    )
+    pr = graph.pagerank(
+        edges.select("src", "dst"),
+        nodes,
+        iterations=_PR_ITERS,
+        d_num=_PR_DNUM,
+        d_den=_PR_DDEN,
+        scale=_PR_SCALE,
+        seeds=seeds,
+    )
+    return pr.select(F.col("id").alias("vec_id"), "pr")

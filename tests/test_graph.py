@@ -111,3 +111,47 @@ def test_pagerank_fixpoint_shuffles_only_long_pairs(spark, sf_dir):
     # vectors may cross only the kNN cell-routing exchange(s), never the
     # per-iteration joins (3 iterations x 2 shuffles would show up here)
     assert seen_embedding_exchanges <= 2, seen_embedding_exchanges
+
+
+def _py_trustrank(edges, nodes, seeds, *, iterations=3, d_num=85, d_den=100, scale=10**12):
+    s = set(seeds)
+    pr0 = scale // len(s)
+    base = ((d_den - d_num) * pr0) // d_den
+    outd = {}
+    for a, _ in edges:
+        outd[a] = outd.get(a, 0) + 1
+    pr = {v: (pr0 if v in s else 0) for v in nodes}
+    for _ in range(iterations):
+        sums = {}
+        for a, b in edges:
+            sums[b] = sums.get(b, 0) + pr[a] // outd[a]
+        pr = {
+            v: (base if v in s else 0) + (d_num * sums.get(v, 0)) // d_den
+            for v in nodes
+        }
+    return pr
+
+
+def test_trustrank_matches_python_reference(spark):
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    n = spark.createDataFrame([(v,) for v in NODES], "id long")
+    s = spark.createDataFrame([(1,), (4,)], "id long")
+    got = {
+        r.id: r.pr
+        for r in graph.pagerank(e, n, iterations=3, seeds=s).collect()
+    }
+    want = _py_trustrank(EDGES, NODES, [1, 4], iterations=3)
+    assert got == want
+    # unreachable-from-seeds nodes rank 0: node 8 is isolated, 7 self-loops
+    assert got[8] == 0 and got[7] == 0
+
+
+def test_trustrank_all_seeds_equals_pagerank(spark):
+    """seeds = all nodes must reproduce plain PageRank bit-for-bit."""
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    n = spark.createDataFrame([(v,) for v in NODES], "id long")
+    plain = {r.id: r.pr for r in graph.pagerank(e, n, iterations=4).collect()}
+    seeded = {
+        r.id: r.pr for r in graph.pagerank(e, n, iterations=4, seeds=n).collect()
+    }
+    assert seeded == plain

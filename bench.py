@@ -191,6 +191,13 @@ HEADLINE = [
     "multimodal_video_curation_end_to_end",
     "winnow_candidate_pairs",
     "multimodal_resize_thumbs",
+    # round 12 wave 5: exact set-similarity join (prefix-filtered,
+    # 100% recall), mergeable quantile sketch, fixed-point PageRank +
+    # TrustRank over the kNN graph
+    "setsim_exact_join",
+    "quantile_sketch_estimates",
+    "knn_pagerank",
+    "knn_trustrank",
 ]
 
 
@@ -368,6 +375,7 @@ def scale_block(spark, rep: int) -> dict:
 
     from renkodf_spark.operators.dedup import minhash_lsh_pairs, remove_duplicated_spans
     from renkodf_spark.operators.rangejoin import point_in_interval_join
+    from renkodf_spark.operators.setsim import setsim_join
     from renkodf_spark.operators.renko import renko_mode
     from renkodf_spark.operators.renko_chunked import renko_chunked
     from renkodf_spark.sources.tables import load_table, ticks_from_events
@@ -544,6 +552,16 @@ def scale_block(spark, rep: int) -> dict:
                     ),
                 )
             ),
+        ),
+        # r12 wave 5: the exact set-similarity join at rep x. The scale
+        # question is the prefix join's fan-out: the rep-suffix token
+        # perturbation keeps per-doc sets realistic while every rep of
+        # a planted near-dup pair stays a near-dup, so qualifying pairs
+        # grow rep-fold (not rep^2) — the frequency-ascending prefix
+        # ordering is what keeps candidate buckets from exploding.
+        (
+            "setsim_join",
+            lambda: materialize(setsim_join(docs, t_num=1, t_den=2)),
         ),
     ]
     probes: dict[str, list] = {name: [] for name, _ in entries}

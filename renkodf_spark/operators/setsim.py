@@ -96,11 +96,21 @@ def _ceil_div(num, den: int):
     return F.floor((num + F.lit(den - 1)) / F.lit(den)).cast("long")
 
 
+def element_frequencies(elements: DataFrame) -> DataFrame:
+    """Global document frequency per element hash: ``(h, c)``. This is
+    the total-order basis of the prefix index — persist it next to the
+    index and pass it (frozen) when indexing increments, so old and
+    new prefixes rank under the SAME order (see
+    :func:`incremental_setsim_pairs`)."""
+    return elements.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+
+
 def prefix_index(
     elements: DataFrame,
     *,
     t_num: int = 1,
     t_den: int = 2,
+    freq: DataFrame | None = None,
 ) -> DataFrame:
     """The prefix index over a distinct ``(id, h)`` element relation:
     one row per doc per PREFIX element — ``(id, sz, pos, h)`` where
@@ -110,18 +120,119 @@ def prefix_index(
     This is the persistable half of the join (the ``band_table``
     analogue): write it once per corpus snapshot, equi-join increments
     against it.
-    """
+
+    ``freq`` pins a FROZEN ``(h, c)`` order basis (an
+    :func:`element_frequencies` snapshot); elements unseen in it rank
+    rarest (c = 0, ties by h). Prefix-filter soundness holds under ANY
+    shared total order — frequency ascending is a pruning heuristic,
+    not a correctness requirement — which is exactly what lets an
+    increment rank under the baseline's stale frequencies and still
+    join exactly (recall stays 100%)."""
     _validate_threshold(t_num, t_den)
     szs = elements.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    freq = elements.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    if freq is None:
+        joined = elements.join(element_frequencies(elements), "h")
+    else:
+        joined = elements.join(freq.select("h", "c"), "h", "left").withColumn(
+            "c", F.coalesce("c", F.lit(0).cast("long"))
+        )
     w = Window.partitionBy("id").orderBy("c", "h")
     prefix_len = F.col("sz") - _ceil_div(F.lit(t_num) * F.col("sz"), t_den) + F.lit(1)
     return (
-        elements.join(freq, "h")
-        .join(szs, "id")
+        joined.join(szs, "id")
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .filter(F.col("pos") <= prefix_len)
         .select("id", "sz", "pos", "h")
+    )
+
+
+def element_sets(elements: DataFrame) -> DataFrame:
+    """Per-doc sorted element-hash arrays ``(id, hs)`` — the verify-
+    stage payload (and the third persistable index table)."""
+    return elements.groupBy("id").agg(F.sort_array(F.collect_set("h")).alias("hs"))
+
+
+def _prefix_side(pref: DataFrame, suffix: str) -> DataFrame:
+    return pref.select(
+        F.col("h"),
+        F.col("id").alias(f"id_{suffix}"),
+        F.col("sz").alias(f"sz_{suffix}"),
+        F.col("pos").alias(f"pos_{suffix}"),
+    )
+
+
+def _filtered_candidates(
+    a: DataFrame, b: DataFrame, *, t_num: int, t_den: int, same_side: bool
+) -> DataFrame:
+    """Prefix-join candidate pairs with the length and batch-PPJoin
+    positional filters applied (module docstring). ``same_side``: both
+    inputs are the same prefix table (dedupe by id_a < id_b); otherwise
+    the sides are disjoint id spaces (id_a != id_b suffices) and the
+    pair is normalized to id_a < id_b AFTER filtering — every filter is
+    symmetric in the two sides, so the swap is safe."""
+    # alpha = ceil(t/(1+t) * (sz_a + sz_b)) — the minimum overlap a
+    # qualifying pair must reach; t/(1+t) = t_num / (t_num + t_den)
+    alpha = _ceil_div(F.lit(t_num) * (F.col("sz_a") + F.col("sz_b")), t_num + t_den)
+    j = a.join(b, "h")
+    j = j.filter(F.col("id_a") < F.col("id_b")) if same_side else j.filter(
+        F.col("id_a") != F.col("id_b")
+    )
+    cand = (
+        # length filter: t * max(sz) <= min(sz), cross-multiplied
+        j.filter(
+            F.lit(t_den) * F.least("sz_a", "sz_b")
+            >= F.lit(t_num) * F.greatest("sz_a", "sz_b")
+        )
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.max("pos_a").alias("__mpa"),
+            F.max("pos_b").alias("__mpb"),
+        )
+        # positional filter (see module docstring): overlap is bounded
+        # by witnesses-so-far + what can still follow the last witness
+        .filter(
+            F.col("__c")
+            + F.least(
+                F.col("sz_a") - F.col("__mpa"), F.col("sz_b") - F.col("__mpb")
+            )
+            >= alpha
+        )
+        .select("id_a", "id_b", "sz_a", "sz_b")
+    )
+    if not same_side:
+        swap = F.col("id_a") > F.col("id_b")
+        cand = cand.select(
+            F.when(swap, F.col("id_b")).otherwise(F.col("id_a")).alias("id_a"),
+            F.when(swap, F.col("id_a")).otherwise(F.col("id_b")).alias("id_b"),
+            F.when(swap, F.col("sz_b")).otherwise(F.col("sz_a")).alias("sz_a"),
+            F.when(swap, F.col("sz_a")).otherwise(F.col("sz_b")).alias("sz_b"),
+        )
+    return cand
+
+
+def _verify(
+    cand: DataFrame, sets: DataFrame, *, t_num: int, t_den: int, round_digits: int
+) -> DataFrame:
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("long")
+    uni = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    return (
+        cand.join(
+            sets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a"
+        )
+        .join(sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
+        .withColumn("inter", inter)
+        .drop("hs_a", "hs_b")
+        # the exact threshold: inter / union >= t, cross-multiplied
+        .filter(F.col("inter") * F.lit(t_den) >= F.lit(t_num) * uni)
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "sz_a",
+            "sz_b",
+            F.round(F.try_divide(F.col("inter"), uni), round_digits).alias("jaccard"),
+        )
     )
 
 
@@ -145,64 +256,90 @@ def setsim_join(
     e = element_table(df, text_col=text_col, id_col=id_col, shingle_n=shingle_n)
     e = e.cache()  # feeds the prefix index, both candidate sides, and verify
     pref = prefix_index(e, t_num=t_num, t_den=t_den)
-    a = pref.select(
-        F.col("h"),
-        F.col("id").alias("id_a"),
-        F.col("sz").alias("sz_a"),
-        F.col("pos").alias("pos_a"),
+    cand = _filtered_candidates(
+        _prefix_side(pref, "a"),
+        _prefix_side(pref, "b"),
+        t_num=t_num,
+        t_den=t_den,
+        same_side=True,
     )
-    b = pref.select(
-        F.col("h"),
-        F.col("id").alias("id_b"),
-        F.col("sz").alias("sz_b"),
-        F.col("pos").alias("pos_b"),
+    return _verify(
+        cand, element_sets(e), t_num=t_num, t_den=t_den, round_digits=round_digits
     )
-    # alpha = ceil(t/(1+t) * (sz_a + sz_b)) — the minimum overlap a
-    # qualifying pair must reach; t/(1+t) = t_num / (t_num + t_den)
-    alpha = _ceil_div(F.lit(t_num) * (F.col("sz_a") + F.col("sz_b")), t_num + t_den)
-    cand = (
-        a.join(b, "h")
-        .filter(F.col("id_a") < F.col("id_b"))
-        # length filter: t * max(sz) <= min(sz), cross-multiplied
-        .filter(
-            F.lit(t_den) * F.least("sz_a", "sz_b")
-            >= F.lit(t_num) * F.greatest("sz_a", "sz_b")
-        )
-        .groupBy("id_a", "id_b", "sz_a", "sz_b")
-        .agg(
-            F.count(F.lit(1)).alias("__c"),
-            F.max("pos_a").alias("__mpa"),
-            F.max("pos_b").alias("__mpb"),
-        )
-        # positional filter (see module docstring): overlap is bounded
-        # by witnesses-so-far + what can still follow the last witness
-        .filter(
-            F.col("__c")
-            + F.least(
-                F.col("sz_a") - F.col("__mpa"), F.col("sz_b") - F.col("__mpb")
-            )
-            >= alpha
-        )
-        .drop("__c", "__mpa", "__mpb")
+
+
+def setsim_index(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three persistable index tables of the production protocol:
+    ``(freq, prefix, sets)`` — element frequencies (the frozen order
+    basis), the prefix index, and the per-doc element arrays. Write all
+    three once per corpus snapshot (bucket prefix by ``h``, sets by
+    ``id``) and run increments through
+    :func:`incremental_setsim_pairs` — the historical text is never
+    re-read."""
+    e = element_table(df, text_col=text_col, id_col=id_col, shingle_n=shingle_n).cache()
+    freq = element_frequencies(e)
+    return freq, prefix_index(e, t_num=t_num, t_den=t_den), element_sets(e)
+
+
+def incremental_setsim_pairs(
+    new_df: DataFrame,
+    freq: DataFrame,
+    baseline_prefix: DataFrame,
+    baseline_sets: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+    round_digits: int = 4,
+    include_within_new: bool = True,
+) -> DataFrame:
+    """Exact set-similarity pairs TOUCHING an increment: new-vs-baseline
+    plus (optionally) new-vs-new, against a persisted
+    :func:`setsim_index`. Equivalent to :func:`setsim_join` over the
+    union corpus restricted to pairs with at least one new member —
+    with 100% recall even though the increment ranks under the
+    baseline's FROZEN frequencies: the prefix filter is sound under any
+    total order shared by both sides, and freezing the order is what
+    makes old prefixes (computed at index time) and new prefixes
+    mutually consistent. Elements unseen at index time rank rarest
+    (c = 0), which is also the best pruning guess for them.
+
+    Caller contract (the ``incremental_lsh_pairs`` convention): the
+    increment's ids are disjoint from the baseline's.
+    """
+    _validate_threshold(t_num, t_den)
+    e_new = element_table(
+        new_df, text_col=text_col, id_col=id_col, shingle_n=shingle_n
+    ).cache()
+    pref_new = prefix_index(e_new, t_num=t_num, t_den=t_den, freq=freq)
+    cross = _filtered_candidates(
+        _prefix_side(pref_new, "a"),
+        _prefix_side(baseline_prefix, "b"),
+        t_num=t_num,
+        t_den=t_den,
+        same_side=False,
     )
-    sets = e.groupBy("id").agg(F.sort_array(F.collect_set("h")).alias("hs"))
-    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("long")
-    uni = F.col("sz_a") + F.col("sz_b") - F.col("inter")
-    return (
-        cand.join(
-            sets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a"
+    cand = cross
+    if include_within_new:
+        within = _filtered_candidates(
+            _prefix_side(pref_new, "a"),
+            _prefix_side(pref_new, "b"),
+            t_num=t_num,
+            t_den=t_den,
+            same_side=True,
         )
-        .join(sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
-        .withColumn("inter", inter)
-        .drop("hs_a", "hs_b")
-        # the exact threshold: inter / union >= t, cross-multiplied
-        .filter(F.col("inter") * F.lit(t_den) >= F.lit(t_num) * uni)
-        .select(
-            "id_a",
-            "id_b",
-            "inter",
-            "sz_a",
-            "sz_b",
-            F.round(F.try_divide(F.col("inter"), uni), round_digits).alias("jaccard"),
-        )
+        cand = cand.unionByName(within)
+    sets = element_sets(e_new).unionByName(baseline_sets)
+    return _verify(
+        cand, sets, t_num=t_num, t_den=t_den, round_digits=round_digits
     )

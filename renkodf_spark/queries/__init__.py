@@ -51,6 +51,7 @@ _PRIORITY = [
     "quantile_sketch_estimates",
     "knn_pagerank",
     "knn_trustrank",
+    "setsim_incremental_join",
     "multimodal_video_curation_end_to_end",
     "leakage_safe_splits",
     "winnow_fingerprints",

@@ -347,3 +347,41 @@ def knn_trustrank(spark, sf_dir):
         seeds=seeds,
     )
     return pr.select(F.col("id").alias("vec_id"), "pr")
+
+
+_SS_SPLIT = 250  # docs >= split are "today's increment" (the dedup_incremental_lsh convention)
+
+
+@query(
+    "setsim_incremental_join",
+    oracle=_SETSIM_CTES
+    + rf""",
+ov AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+       ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+FROM ov
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE inter * {_SS_TDEN} >= {_SS_TNUM} * (sa.sz + sb.sz - inter)
+  AND id_b >= {_SS_SPLIT}
+""",
+    doc=f"incremental exact set-similarity join: docs >= {_SS_SPLIT} are "
+    "'today's increment' run against the persisted setsim_index of the "
+    "baseline (frozen element-frequency order — the prefix filter is "
+    "sound under ANY shared total order, so recall stays 100% even "
+    "under stale frequencies); historical text is never re-read. "
+    "Oracle: full-corpus exact pairs filtered to at-least-one-new "
+    "(id_a < id_b makes that id_b >= split).",
+)
+def setsim_incremental_join(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") < _SS_SPLIT)
+    inc = docs.filter(F.col("doc_id") >= _SS_SPLIT)
+    freq, pref, sets = setsim.setsim_index(
+        base, shingle_n=_SS_N, t_num=_SS_TNUM, t_den=_SS_TDEN
+    )
+    return setsim.incremental_setsim_pairs(
+        inc, freq, pref, sets, shingle_n=_SS_N, t_num=_SS_TNUM, t_den=_SS_TDEN
+    )

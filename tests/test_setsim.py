@@ -127,3 +127,79 @@ def test_setsim_text_never_enters_an_exchange(spark, sf_dir):
     df = setsim.setsim_join(_docs(spark, sf_dir))
     for cols in exchange_inputs(df):
         assert "text" not in set(cols), f"text enters an exchange: {cols}"
+
+
+def test_incremental_equals_full_join_touching_new(spark, sf_dir):
+    """incremental_setsim_pairs == setsim_join over the union corpus
+    restricted to pairs with at least one new member — at two split
+    points (including one where the increment skews frequencies)."""
+    docs = _docs(spark, sf_dir)
+    full = setsim.setsim_join(docs, t_num=1, t_den=2)
+    for split in (250, 400):
+        base = docs.filter(F.col("doc_id") < split)
+        inc = docs.filter(F.col("doc_id") >= split)
+        freq, pref, sets = setsim.setsim_index(base, t_num=1, t_den=2)
+        got = {
+            tuple(r)
+            for r in setsim.incremental_setsim_pairs(
+                inc, freq, pref, sets, t_num=1, t_den=2
+            ).collect()
+        }
+        want = {
+            tuple(r) for r in full.filter(F.col("id_b") >= split).collect()
+        }
+        assert got == want, f"split {split}"
+
+
+def test_incremental_exact_under_frozen_stale_order(spark):
+    """The increment introduces elements UNSEEN at index time and flips
+    which elements are rare — recall must stay exact (the prefix filter
+    is sound under any shared total order)."""
+    base_rows = [
+        (1, "red green blue cyan magenta yellow"),
+        (2, "red green blue cyan magenta black"),
+        (3, "one two three four five six seven"),
+    ]
+    # new docs: near-dup of doc 1 plus brand-new vocabulary; 'red' goes
+    # from rare-ish to ubiquitous in the true union frequencies
+    inc_rows = [
+        (10, "red green blue cyan magenta yellow extra"),
+        (11, "red nova pulsar quasar comet meteor"),
+        (12, "red nova pulsar quasar comet asteroid"),
+    ]
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    inc = spark.createDataFrame(inc_rows, "doc_id long, text string")
+    n, tn, td = 2, 1, 3  # 2-gram shingles, threshold 1/3
+    freq, pref, sets = setsim.setsim_index(base, shingle_n=n, t_num=tn, t_den=td)
+    got = {
+        (r.id_a, r.id_b)
+        for r in setsim.incremental_setsim_pairs(
+            inc, freq, pref, sets, shingle_n=n, t_num=tn, t_den=td
+        ).collect()
+    }
+    union = base.unionByName(inc)
+    e = setsim.element_table(union, shingle_n=n)
+    want = {
+        (r.id_a, r.id_b)
+        for r in _brute_force(spark, e, tn, td).collect()
+        if r.id_b >= 10
+    }
+    assert got == want
+    assert (1, 10) in got and (11, 12) in got  # cross + within-new both present
+
+
+def test_incremental_without_within_new(spark):
+    base = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"
+    )
+    inc = spark.createDataFrame(
+        [(10, "a b c d e f"), (11, "a b c d e f")], "doc_id long, text string"
+    )
+    freq, pref, sets = setsim.setsim_index(base)
+    got = {
+        (r.id_a, r.id_b)
+        for r in setsim.incremental_setsim_pairs(
+            inc, freq, pref, sets, include_within_new=False
+        ).collect()
+    }
+    assert got == {(1, 10), (1, 11)}

@@ -481,3 +481,149 @@ def read_winnow_pairs(spark, pairs_path: str, *, min_shared: int = 2) -> DataFra
         .agg(F.sum("n_shared").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def setsim_index_writer(
+    state_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+    enforce_append_only: bool = True,
+):
+    """``foreachBatch`` writer maintaining the EXACT set-similarity
+    index (``operators/setsim.py``) and its per-trigger qualifying-pair
+    deltas — the streaming twin of :func:`setsim.incremental_setsim_pairs`.
+
+    The order-freeze contract: prefix-filter soundness needs every
+    indexed document ranked under ONE shared total order, so the
+    element-frequency order is FROZEN at the first trigger
+    (``state_path/freq``, written once; elements unseen there rank
+    rarest, c = 0 ties by h). Later triggers rank their prefixes under
+    that frozen order, which keeps every pair of generations mutually
+    consistent — recall stays 100% forever; only PRUNING quality drifts
+    with the corpus (the incremental_setsim_pairs argument). Re-freezing
+    would require re-ranking every stored prefix (O(corpus)), so it is
+    deliberately not offered here — rebuild the index offline instead.
+
+    Exactly-once pair deltas (the :func:`winnow_index_writer` protocol):
+    append-only ids mean a pair's LATER member arrives in exactly one
+    trigger, and that trigger emits the pair's full verified row —
+    ``read_setsim_pairs`` is a plain union of generations. Per-trigger
+    cost: O(batch elements + matched prefix buckets + candidate
+    verifies); stored text is never re-read (the index holds only
+    hashes). Writes are per-batch partition overwrites, replay-
+    idempotent (the freq overwrite recomputes identically from the
+    same first batch).
+
+    State layout: ``freq/`` (once), ``prefix/batch_id=N/``,
+    ``sets/batch_id=N/``, ``pairs/batch_id=N/``.
+    """
+    from renkodf_spark.operators.setsim import (
+        _validate_threshold,
+        element_frequencies,
+        element_sets,
+        element_table,
+        incremental_setsim_pairs,
+    )
+    from renkodf_spark.streaming.curation_stream import _is_missing_path
+
+    _validate_threshold(t_num, t_den)
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        sets_path = posixpath.join(state_path, "sets")
+        prefix_path = posixpath.join(state_path, "prefix")
+        freq_path = posixpath.join(state_path, "freq")
+        if enforce_append_only:
+            try:
+                seen = (
+                    spark.read.parquet(sets_path)
+                    .filter(F.col("batch_id") < batch_id)
+                    .select(F.col("id").alias(id_col))
+                    .distinct()
+                )
+                batch = batch.join(seen, id_col, "left_anti")
+            except Exception as exc:
+                if not (
+                    _is_missing_path(exc) or "UNABLE_TO_INFER_SCHEMA" in str(exc)
+                ):
+                    raise
+        try:
+            freq = spark.read.parquet(freq_path).select("h", "c")
+            have_freq = True
+        except Exception as exc:
+            if not (_is_missing_path(exc) or "UNABLE_TO_INFER_SCHEMA" in str(exc)):
+                raise
+            freq = None
+            have_freq = False
+        e_new = element_table(
+            batch, text_col=text_col, id_col=id_col, shingle_n=shingle_n
+        )
+        if not have_freq:
+            # first trigger: freeze the order basis (replay recomputes
+            # the identical table from the same admitted batch)
+            element_frequencies(e_new).write.mode("overwrite").parquet(freq_path)
+            freq = spark.read.parquet(freq_path).select("h", "c")
+        # prior state, strictly earlier generations (replay-safe)
+        try:
+            old_prefix = (
+                spark.read.parquet(prefix_path)
+                .filter(F.col("batch_id") < batch_id)
+                .select("id", "sz", "pos", "h")
+            )
+            old_sets = (
+                spark.read.parquet(sets_path)
+                .filter(F.col("batch_id") < batch_id)
+                .select("id", "hs")
+            )
+        except Exception as exc:
+            if not (_is_missing_path(exc) or "UNABLE_TO_INFER_SCHEMA" in str(exc)):
+                raise
+            old_prefix = old_sets = None
+        new_docs = batch  # already append-only-filtered
+        if old_prefix is None:
+            old_prefix = (
+                e_new.sparkSession.createDataFrame(
+                    [], "id long, sz long, pos long, h long"
+                )
+            )
+            old_sets = e_new.sparkSession.createDataFrame(
+                [], "id long, hs array<long>"
+            )
+        delta = incremental_setsim_pairs(
+            new_docs,
+            freq,
+            old_prefix,
+            old_sets,
+            text_col=text_col,
+            id_col=id_col,
+            shingle_n=shingle_n,
+            t_num=t_num,
+            t_den=t_den,
+        )
+        delta.write.mode("overwrite").parquet(
+            posixpath.join(state_path, "pairs", f"batch_id={batch_id}")
+        )
+        from renkodf_spark.operators.setsim import prefix_index
+
+        prefix_index(e_new, t_num=t_num, t_den=t_den, freq=freq).write.mode(
+            "overwrite"
+        ).parquet(posixpath.join(prefix_path, f"batch_id={batch_id}"))
+        element_sets(e_new).write.mode("overwrite").parquet(
+            posixpath.join(sets_path, f"batch_id={batch_id}")
+        )
+
+    return write_batch
+
+
+def read_setsim_pairs(spark, state_path: str) -> DataFrame:
+    """Current exact set-similarity pairs from a
+    :func:`setsim_index_writer` state: a plain union of the per-trigger
+    deltas — append-only ids put every pair in exactly one generation
+    (its later member's), already verified with its final jaccard."""
+    return spark.read.parquet(posixpath.join(state_path, "pairs")).select(
+        "id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard"
+    )

@@ -203,3 +203,75 @@ def test_incremental_without_within_new(spark):
         ).collect()
     }
     assert got == {(1, 10), (1, 11)}
+
+
+def test_setsim_stream_equals_batch(spark, tmp_path):
+    """Streaming setsim index: the union of per-trigger pair deltas ==
+    batch setsim_join over the concatenated stream (every qualifying
+    pair emitted exactly once, in its later member's trigger), with a
+    cross-trigger pair, a re-sent id dropped, and replay idempotency."""
+    import os
+
+    import pandas as pd
+
+    from renkodf_spark.streaming.neardup_stream import (
+        read_setsim_pairs,
+        setsim_index_writer,
+    )
+
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [
+        [(1, "w1 w2 w3 w4 w5 w6 w7 w8"), (2, "a b c d e f g h")],
+        [(3, "w1 w2 w3 w4 w5 w6 w7 zz"),  # cross-trigger near-dup of 1
+         (4, "p q r s t u v w")],
+        [(5, "p q r s t u v xx"),          # cross-trigger near-dup of 4
+         (1, "OVERWRITTEN must be dropped"),  # re-sent id
+         (6, "w1 w2 w3 w4 w5 w6 w7 w8")],  # exact dup of 1
+    ]
+
+    def _w(name, rows):
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            os.path.join(src, name)
+        )
+
+    _w("b1.parquet", batches[0])
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    state = str(tmp_path / "ssidx")
+    writer = setsim_index_writer(state, shingle_n=2, t_num=1, t_den=2)
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _w("b2.parquet", batches[1])
+        q.processAllAvailable()
+        _w("b3.parquet", batches[2])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {tuple(r) for r in read_setsim_pairs(spark, state).collect()}
+    # batch ground truth: first-writer-wins corpus (re-sent id dropped)
+    corpus = spark.createDataFrame(
+        batches[0] + batches[1] + [batches[2][0], batches[2][2]], schema
+    )
+    want = {
+        tuple(r)
+        for r in setsim.setsim_join(corpus, shingle_n=2, t_num=1, t_den=2).collect()
+    }
+    assert got == want
+    pairs_only = {(a, b) for a, b, *_ in got}
+    assert (1, 3) in pairs_only and (4, 5) in pairs_only  # cross-trigger
+    assert (1, 6) in pairs_only  # exact dup found, re-sent text ignored
+
+    # replay idempotency: re-run the last trigger's write_batch
+    last = spark.createDataFrame(batches[2], schema)
+    writer(last, 2)
+    again = {tuple(r) for r in read_setsim_pairs(spark, state).collect()}
+    assert again == want

@@ -60,6 +60,7 @@ def pagerank(
     dst_col: str = "dst",
     id_col: str = "id",
     seeds: DataFrame | None = None,
+    weight_col: str | None = None,
     checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list.
@@ -82,6 +83,15 @@ def pagerank(
     spam with TrustRank", VLDB 2004): rank flows outward from trusted
     documents through similarity edges, and low-rank nodes are the
     quality-suspect periphery — the curation signal.
+
+    ``weight_col`` names a POSITIVE BIGINT edge-weight column (what
+    similarity graphs actually have — e.g. the rounded integer cosine);
+    the contribution becomes ``pr(u) * w(u,v) div W(u)`` with
+    ``W(u) = sum of u's out-weights``, still every-division-a-floor
+    exact. Overflow contract: ``pr * w`` must stay under 2^63 — ranks
+    are bounded by ~scale, so keep ``scale * max_weight < 9e18``
+    (the default 1e12 scale allows weights up to ~9e6; the rounded-
+    micro-cosine convention's 1e6 fits with headroom).
     """
     if iterations < 0:
         raise ValueError(f"iterations must be >= 0, got {iterations}")
@@ -89,7 +99,14 @@ def pagerank(
         raise ValueError(f"damping must satisfy 0 < d_num < d_den, got {d_num}/{d_den}")
     if scale <= 0:
         raise ValueError(f"scale must be positive, got {scale}")
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if weight_col is not None:
+        e = edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+    else:
+        e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     if nodes is None:
         nodes = (
             e.select(F.col("src").alias(id_col))
@@ -113,8 +130,13 @@ def pagerank(
     pr0 = scale // n
     base = ((d_den - d_num) * pr0) // d_den
     base_col = F.when(F.col("__seed"), F.lit(base)).otherwise(F.lit(0)).cast("long")
-    outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    ew = e.join(outd, "src")  # (src, dst, od)
+    if weight_col is not None:
+        outd = e.groupBy("src").agg(F.sum("w").alias("od"))
+        contrib = F.expr("pr * w div od")
+    else:
+        outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+        contrib = F.expr("pr div od")
+    ew = e.join(outd, "src")  # (src, dst[, w], od)
     pr = nodes.select(
         id_col,
         F.when(F.col("__seed"), F.lit(pr0)).otherwise(F.lit(0)).cast("long").alias("pr"),
@@ -122,7 +144,7 @@ def pagerank(
     for t in range(iterations):
         sums = (
             ew.join(pr.withColumnRenamed(id_col, "src"), "src")
-            .select("dst", F.expr("pr div od").alias("c"))
+            .select("dst", contrib.alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )

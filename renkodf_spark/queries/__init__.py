@@ -52,6 +52,8 @@ _PRIORITY = [
     "knn_pagerank",
     "knn_trustrank",
     "setsim_incremental_join",
+    "quantile_outlier_trim",
+    "knn_pagerank_weighted",
     "multimodal_video_curation_end_to_end",
     "leakage_safe_splits",
     "winnow_fingerprints",

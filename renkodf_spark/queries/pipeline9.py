@@ -385,3 +385,143 @@ def setsim_incremental_join(spark, sf_dir):
     return setsim.incremental_setsim_pairs(
         inc, freq, pref, sets, shingle_n=_SS_N, t_num=_SS_TNUM, t_den=_SS_TDEN
     )
+
+
+# the sketch composed into a pipeline stage: per-source length-outlier
+# trim driven by sketch quantiles (p05/p95 lower bounds)
+_QT_CTES = rf"""
+WITH v AS (SELECT source AS g, n_chars AS v, doc_id FROM documents),
+bk AS (
+  SELECT g, doc_id, v,
+         CASE WHEN v <= 0 THEN -1 ELSE length(bin(v)) - 1 END AS e,
+         CASE WHEN v <= 0 THEN CAST(0 AS BIGINT)
+              WHEN length(bin(v)) - 1 >= {_QB}
+                THEN (v - (CAST(1 AS BIGINT) << (length(bin(v)) - 1))) >> (length(bin(v)) - 1 - {_QB})
+              ELSE ((v - (CAST(1 AS BIGINT) << (length(bin(v)) - 1))) << {_QB})
+                   // (CAST(1 AS BIGINT) << (length(bin(v)) - 1)) END AS m
+  FROM v),
+sk AS (SELECT g, e, m, CAST(COUNT(*) AS BIGINT) AS cnt FROM bk GROUP BY 1, 2, 3),
+cum AS (
+  SELECT g, e, m, cnt,
+         SUM(cnt) OVER (PARTITION BY g ORDER BY e, m) AS cum,
+         SUM(cnt) OVER (PARTITION BY g) AS n
+  FROM sk),
+qs AS (SELECT * FROM (VALUES (1, 20, 50), (19, 20, 950)) t(qn, qd, qp)),
+sel AS (
+  SELECT g, qp, n, e, m,
+         ROW_NUMBER() OVER (PARTITION BY g, qp ORDER BY e, m) AS rk
+  FROM cum CROSS JOIN qs
+  WHERE cum >= (qn * n + qd - 1) // qd),
+est AS (
+  SELECT g, qp, n,
+         CASE WHEN e < 0 THEN CAST(0 AS BIGINT)
+              WHEN e >= {_QB}
+                THEN (CAST(1 AS BIGINT) << e) + m * (CAST(1 AS BIGINT) << (e - {_QB}))
+              ELSE (CAST(1 AS BIGINT) << e)
+                   + ((m * (CAST(1 AS BIGINT) << e) + {_QK - 1}) >> {_QB}) END AS est
+  FROM sel WHERE rk = 1),
+bounds AS (
+  SELECT g, MAX(n) AS n,
+         MAX(CASE WHEN qp = 50 THEN est END) AS lo,
+         MAX(CASE WHEN qp = 950 THEN est END) AS hi
+  FROM est GROUP BY g)
+SELECT b.g AS source, b.n, b.lo, b.hi,
+       CAST(COUNT(*) FILTER (v.v >= b.lo AND v.v <= b.hi) AS BIGINT) AS n_kept
+FROM bounds b JOIN v ON v.g = b.g
+GROUP BY 1, 2, 3, 4
+"""
+
+
+@query(
+    "quantile_outlier_trim",
+    oracle=_QT_CTES,
+    doc="the sketch composed into a curation stage: per-source p05/p95 "
+    "length bounds read off the quantile sketch (never the raw data) "
+    "drive an outlier trim — (source, n, lo, hi, n_kept). At 100 TB "
+    "the bounds come from the tiny persisted sketch; only the final "
+    "keep-filter touches the corpus, and it is a broadcast join of "
+    "one bounds row per source.",
+)
+def quantile_outlier_trim(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("source"), F.col("n_chars").alias("v"), "doc_id"
+    )
+    sk = qsk.quantile_sketch(docs, "source", "v", k=_QK)
+    est = qsk.sketch_quantiles(sk, "source", [(1, 20), (19, 20)], k=_QK)
+    bounds = est.groupBy("source").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("q_permille") == 50, F.col("est"))).alias("lo"),
+        F.max(F.when(F.col("q_permille") == 950, F.col("est"))).alias("hi"),
+    )
+    return (
+        docs.join(F.broadcast(bounds), "source")
+        .groupBy("source", "n", "lo", "hi")
+        .agg(
+            F.count(
+                F.when((F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")), 1)
+            )
+            .cast("long")
+            .alias("n_kept")
+        )
+    )
+
+
+def _wpr_oracle() -> str:
+    head = (
+        _KNN_CTES
+        + f""",
+pedges AS (
+  SELECT src, dst,
+         GREATEST(CAST(ROUND(cos_sim * 1e6) AS BIGINT), 1) AS w
+  FROM knn WHERE rk <= {_KNN_K}),
+pnodes AS (SELECT vec_id AS id FROM embeddings),
+pb AS (SELECT {_PR_SCALE} // COUNT(*) AS pr0 FROM pnodes),
+outd AS (SELECT src, CAST(SUM(w) AS BIGINT) AS od FROM pedges GROUP BY 1),
+pr0 AS (SELECT id, (SELECT pr0 FROM pb) AS pr FROM pnodes)"""
+    )
+    base = f"(({_PR_DDEN - _PR_DNUM} * (SELECT pr0 FROM pb)) // {_PR_DDEN})"
+    iters = "".join(
+        f""",
+pr{t} AS (
+  SELECT n.id,
+         CAST({base} + ({_PR_DNUM} * COALESCE(s.c, 0)) // {_PR_DDEN} AS BIGINT) AS pr
+  FROM pnodes n LEFT JOIN (
+    SELECT e.dst, SUM((p.pr * e.w) // o.od) AS c
+    FROM pedges e JOIN pr{t - 1} p ON p.id = e.src JOIN outd o ON o.src = e.src
+    GROUP BY 1) s ON s.dst = n.id)"""
+        for t in range(1, _PR_ITERS + 1)
+    )
+    return head + iters + f"\nSELECT id AS vec_id, pr FROM pr{_PR_ITERS}"
+
+
+@query(
+    "knn_pagerank_weighted",
+    oracle=_wpr_oracle(),
+    doc="weighted fixed-point PageRank: edge weights are the rounded "
+    "integer micro-cosines (clamped to >= 1 so every kNN edge stays "
+    "effective), contribution pr(u)*w div W(u) — similarity-"
+    "proportional rank flow, the form similarity graphs actually "
+    "need. Same bit-replayable integer discipline; pr*w stays under "
+    "2^63 by the documented scale x max-weight contract.",
+)
+def knn_pagerank_weighted(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cents = similarity.embedding_centroids(emb, dim=_IVF_DIM)
+    edges = similarity.knn_graph(emb, cents, k=_KNN_K).select(
+        "src",
+        "dst",
+        F.greatest(
+            F.round(F.col("cos_sim") * 1e6).cast("long"), F.lit(1)
+        ).alias("w"),
+    )
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    pr = graph.pagerank(
+        edges,
+        nodes,
+        iterations=_PR_ITERS,
+        d_num=_PR_DNUM,
+        d_den=_PR_DDEN,
+        scale=_PR_SCALE,
+        weight_col="w",
+    )
+    return pr.select(F.col("id").alias("vec_id"), "pr")

@@ -155,3 +155,48 @@ def test_trustrank_all_seeds_equals_pagerank(spark):
         r.id: r.pr for r in graph.pagerank(e, n, iterations=4, seeds=n).collect()
     }
     assert seeded == plain
+
+
+def _py_weighted_pagerank(wedges, nodes, *, iterations=3, d_num=85, d_den=100, scale=10**12):
+    n = len(nodes)
+    pr0 = scale // n
+    base = ((d_den - d_num) * pr0) // d_den
+    outw = {}
+    for a, _, w in wedges:
+        outw[a] = outw.get(a, 0) + w
+    pr = {v: pr0 for v in nodes}
+    for _ in range(iterations):
+        sums = {}
+        for a, b, w in wedges:
+            sums[b] = sums.get(b, 0) + (pr[a] * w) // outw[a]
+        pr = {v: base + (d_num * sums.get(v, 0)) // d_den for v in nodes}
+    return pr
+
+
+WEDGES = [(1, 2, 5), (1, 3, 1), (2, 3, 7), (3, 1, 2), (4, 3, 1000000), (5, 1, 3)]
+
+
+def test_weighted_pagerank_matches_python_reference(spark):
+    e = spark.createDataFrame(WEDGES, "src long, dst long, w long")
+    n = spark.createDataFrame([(v,) for v in [1, 2, 3, 4, 5]], "id long")
+    got = {
+        r.id: r.pr
+        for r in graph.pagerank(e, n, iterations=4, weight_col="w").collect()
+    }
+    want = _py_weighted_pagerank(WEDGES, [1, 2, 3, 4, 5], iterations=4)
+    assert got == want
+
+
+def test_weighted_uniform_weights_equal_unweighted(spark):
+    """All-equal weights must reproduce unweighted PageRank bit-for-bit
+    (pr * w div (deg * w) == pr div deg only when w divides evenly —
+    use w=1, where it holds identically)."""
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    ew = e.withColumn("w", F.lit(1).cast("long"))
+    n = spark.createDataFrame([(v,) for v in NODES], "id long")
+    plain = {r.id: r.pr for r in graph.pagerank(e, n, iterations=3).collect()}
+    weighted = {
+        r.id: r.pr
+        for r in graph.pagerank(ew, n, iterations=3, weight_col="w").collect()
+    }
+    assert weighted == plain

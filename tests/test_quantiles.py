@@ -141,3 +141,21 @@ def test_quantile_sketch_stream_equals_batch(spark, tmp_path):
 
     with pytest.raises(ValueError, match="n_buckets"):
         quantile_sketch_writer(path, "g", "v", n_buckets=0)
+
+
+def test_sketch_build_plan_shape(spark, sf_dir):
+    """The sketch build is counting-only Catalyst: no Python node, one
+    shuffle with map-side partial aggregation (partial_count visible
+    before the exchange)."""
+    from renkodf_spark.plans import plan_summary
+    from renkodf_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    s = plan_summary(Q.quantile_sketch(li, "l_returnflag", "cents", k=64))
+    assert s.python_nodes == 0
+    assert s.exchanges == 1, s.text[:2000]
+    assert "partial_count" in s.text

@@ -353,3 +353,83 @@ def incremental_setsim_pairs(
     return _verify(
         cand, sets, t_num=t_num, t_den=t_den, round_digits=round_digits
     )
+
+
+def containment_join(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    t_num: int = 4,
+    t_den: int = 5,
+    round_digits: int = 4,
+    repartition_input: bool | str = "auto",
+) -> DataFrame:
+    """Exact CONTAINMENT join: all ORDERED pairs (a, b), a != b, with
+    ``|a ∩ b| >= t * |a|`` — "most of a's shingles appear in b", the
+    quote/subset-duplication detector (the set-level complement of the
+    exact-substring dedup family; resemblance misses a short doc
+    embedded in a long one because the union is large).
+
+    Asymmetric prefix filter: if C(a, b) >= t then the overlap has at
+    least ceil(t*|a|) elements while a's non-prefix tail holds only
+    ceil(t*|a|) - 1, so some overlap element lies in a's prefix
+    (frequency-ascending, length |a| - ceil(t*|a|) + 1). The CONTAINED
+    side therefore joins through its (corpus-rarest) prefix; the
+    containing side must be indexed in full — the fan-out per element
+    is prefix_count(h) x df(h), bounded because prefix elements are
+    rare by construction. No length filter applies (b may be any
+    size >= ceil(t*|a|)); the positional filter's pigeonhole does not
+    transfer to the asymmetric case, so verification does the exact
+    work. 100% recall and precision, like :func:`setsim_join`.
+
+    Output: ``(id_a, id_b, inter, sz_a, sz_b, containment)`` with
+    containment = inter / sz_a rounded to ``round_digits``; both
+    orientations of a mutually-containing pair are reported.
+    """
+    _validate_threshold(t_num, t_den)
+    e = element_table(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_n=shingle_n,
+        repartition_input=repartition_input,
+    ).cache()
+    pref = prefix_index(e, t_num=t_num, t_den=t_den)
+    a = pref.select("h", F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    b = e.select("h", F.col("id").alias("id_b"))
+    # b_min size filter: |b| >= |a ∩ b| >= ceil(t*|a|) — cheap prune
+    szs = e.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    cand = (
+        a.join(b, "h")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", "sz_a")
+        .distinct()
+        .join(szs.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .filter(
+            F.col("sz_b") >= _ceil_div(F.lit(t_num) * F.col("sz_a"), t_den)
+        )
+    )
+    sets = element_sets(e)
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("long")
+    return (
+        cand.join(
+            sets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a"
+        )
+        .join(sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
+        .withColumn("inter", inter)
+        .drop("hs_a", "hs_b")
+        # exact containment threshold, cross-multiplied
+        .filter(F.col("inter") * F.lit(t_den) >= F.lit(t_num) * F.col("sz_a"))
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "sz_a",
+            "sz_b",
+            F.round(F.try_divide(F.col("inter"), F.col("sz_a")), round_digits).alias(
+                "containment"
+            ),
+        )
+    )

@@ -55,6 +55,7 @@ _PRIORITY = [
     "quantile_outlier_trim",
     "knn_pagerank_weighted",
     "setsim_cluster_labels",
+    "setsim_containment_join",
     "multimodal_video_curation_end_to_end",
     "leakage_safe_splits",
     "winnow_fingerprints",

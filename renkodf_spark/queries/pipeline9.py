@@ -572,3 +572,34 @@ def setsim_cluster_labels(spark, sf_dir):
         docs, shingle_n=_SS_N, t_num=_SS_TNUM, t_den=_SS_TDEN
     ).select("id_a", "id_b")
     return dedup.cluster_labels(docs, pairs, on_nonconverge="raise")
+
+
+_CN_TNUM, _CN_TDEN = 4, 5  # containment threshold 4/5
+
+
+@query(
+    "setsim_containment_join",
+    oracle=_SETSIM_CTES
+    + rf""",
+ov AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM e a JOIN e b ON a.h = b.h AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+       ROUND(inter * 1.0 / sa.sz, 4) AS containment
+FROM ov
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE inter * {_CN_TDEN} >= {_CN_TNUM} * sa.sz
+""",
+    doc="exact containment join: ORDERED pairs with |a∩b| >= "
+    f"{_CN_TNUM}/{_CN_TDEN} * |a| — 'most of a appears in b', the "
+    "quote/subset-duplication detector resemblance misses (a short "
+    "doc inside a long one has small Jaccard but containment ~1). "
+    "Asymmetric prefix filter: the contained side joins through its "
+    "corpus-rarest prefix, the containing side is indexed in full; "
+    "100% recall (oracle = brute force).",
+)
+def setsim_containment_join(spark, sf_dir):
+    return setsim.containment_join(
+        _docs(spark, sf_dir), shingle_n=_SS_N, t_num=_CN_TNUM, t_den=_CN_TDEN
+    )

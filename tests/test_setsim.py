@@ -291,3 +291,50 @@ def test_setsim_stream_equals_batch(spark, tmp_path):
     writer(last, 2)
     again = {tuple(r) for r in read_setsim_pairs(spark, state).collect()}
     assert again == want
+
+
+def test_containment_finds_embedded_short_doc(spark):
+    """A short doc quoted inside a long one: high containment a->b,
+    low resemblance — the case setsim_join (Jaccard) must miss and
+    containment_join must find."""
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"filler{i}" for i in range(200))
+    rows = [(1, quote), (2, filler + " " + quote + " " + filler)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = setsim.containment_join(df, t_num=9, t_den=10).collect()
+    assert [(r.id_a, r.id_b, float(r.containment)) for r in cont] == [(1, 2, 1.0)]
+    assert setsim.setsim_join(df, t_num=1, t_den=2).count() == 0
+
+
+def test_containment_matches_brute_force(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    got = {
+        (r.id_a, r.id_b, r.inter)
+        for r in setsim.containment_join(docs, t_num=4, t_den=5).collect()
+    }
+    e = setsim.element_table(docs)
+    a = e.select(F.col("id").alias("id_a"), "h")
+    b = e.select(F.col("id").alias("id_b"), "h")
+    sz = e.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    ov = (
+        a.join(b, "h")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    want = {
+        (r.id_a, r.id_b, r.inter)
+        for r in ov.join(
+            sz.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a"
+        )
+        .filter(F.col("inter") * 5 >= 4 * F.col("sz_a"))
+        .collect()
+    }
+    assert got == want and want
+
+
+def test_containment_both_orientations_for_twins(spark):
+    rows = [(1, "a b c d e f g h"), (2, "a b c d e f g h")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b) for r in setsim.containment_join(df).collect()}
+    assert got == {(1, 2), (2, 1)}

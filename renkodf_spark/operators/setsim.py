@@ -312,6 +312,7 @@ def incremental_setsim_pairs(
     t_den: int = 2,
     round_digits: int = 4,
     include_within_new: bool = True,
+    new_elements: DataFrame | None = None,
 ) -> DataFrame:
     """Exact set-similarity pairs TOUCHING an increment: new-vs-baseline
     plus (optionally) new-vs-new, against a persisted
@@ -326,11 +327,21 @@ def incremental_setsim_pairs(
 
     Caller contract (the ``incremental_lsh_pairs`` convention): the
     increment's ids are disjoint from the baseline's.
+
+    ``new_elements`` lets a caller that already built (and manages the
+    lifecycle of) the increment's element table pass it in — the
+    streaming writer does this so the per-trigger cache is ITS to
+    unpersist; otherwise one is built and cached here (a long-lived
+    driver issuing many increments should prefer the explicit form).
     """
     _validate_threshold(t_num, t_den)
-    e_new = element_table(
-        new_df, text_col=text_col, id_col=id_col, shingle_n=shingle_n
-    ).cache()
+    e_new = (
+        new_elements
+        if new_elements is not None
+        else element_table(
+            new_df, text_col=text_col, id_col=id_col, shingle_n=shingle_n
+        ).cache()
+    )
     pref_new = prefix_index(e_new, t_num=t_num, t_den=t_den, freq=freq)
     cross = _filtered_candidates(
         _prefix_side(pref_new, "a"),

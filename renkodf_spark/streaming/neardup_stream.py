@@ -559,9 +559,12 @@ def setsim_index_writer(
                 raise
             freq = None
             have_freq = False
+        # built once, cached for the trigger's four consumers (freq
+        # freeze, pair delta, prefix, sets) and unpersisted at the end
+        # so a long-lived stream does not accumulate per-trigger caches
         e_new = element_table(
             batch, text_col=text_col, id_col=id_col, shingle_n=shingle_n
-        )
+        ).cache()
         if not have_freq:
             # first trigger: freeze the order basis (replay recomputes
             # the identical table from the same admitted batch)
@@ -583,7 +586,6 @@ def setsim_index_writer(
             if not (_is_missing_path(exc) or "UNABLE_TO_INFER_SCHEMA" in str(exc)):
                 raise
             old_prefix = old_sets = None
-        new_docs = batch  # already append-only-filtered
         if old_prefix is None:
             old_prefix = (
                 e_new.sparkSession.createDataFrame(
@@ -593,28 +595,32 @@ def setsim_index_writer(
             old_sets = e_new.sparkSession.createDataFrame(
                 [], "id long, hs array<long>"
             )
-        delta = incremental_setsim_pairs(
-            new_docs,
-            freq,
-            old_prefix,
-            old_sets,
-            text_col=text_col,
-            id_col=id_col,
-            shingle_n=shingle_n,
-            t_num=t_num,
-            t_den=t_den,
-        )
-        delta.write.mode("overwrite").parquet(
-            posixpath.join(state_path, "pairs", f"batch_id={batch_id}")
-        )
-        from renkodf_spark.operators.setsim import prefix_index
+        try:
+            delta = incremental_setsim_pairs(
+                batch,  # already append-only-filtered (unused: new_elements given)
+                freq,
+                old_prefix,
+                old_sets,
+                text_col=text_col,
+                id_col=id_col,
+                shingle_n=shingle_n,
+                t_num=t_num,
+                t_den=t_den,
+                new_elements=e_new,
+            )
+            delta.write.mode("overwrite").parquet(
+                posixpath.join(state_path, "pairs", f"batch_id={batch_id}")
+            )
+            from renkodf_spark.operators.setsim import prefix_index
 
-        prefix_index(e_new, t_num=t_num, t_den=t_den, freq=freq).write.mode(
-            "overwrite"
-        ).parquet(posixpath.join(prefix_path, f"batch_id={batch_id}"))
-        element_sets(e_new).write.mode("overwrite").parquet(
-            posixpath.join(sets_path, f"batch_id={batch_id}")
-        )
+            prefix_index(e_new, t_num=t_num, t_den=t_den, freq=freq).write.mode(
+                "overwrite"
+            ).parquet(posixpath.join(prefix_path, f"batch_id={batch_id}"))
+            element_sets(e_new).write.mode("overwrite").parquet(
+                posixpath.join(sets_path, f"batch_id={batch_id}")
+            )
+        finally:
+            e_new.unpersist()
 
     return write_batch
 

@@ -103,19 +103,29 @@ def quantile_sketch(
     value_col: str,
     *,
     k: int = DEFAULT_K,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build the sketch: (group_cols..., e, m, cnt). One narrow shuffle
     with map-side partial aggregation; output size is bounded by
-    groups x octaves x k, independent of row count."""
+    groups x octaves x k, independent of row count.
+
+    ``weight_col`` (non-negative BIGINT) switches to the WEIGHTED
+    sketch: cnt becomes the bucket's total weight, and downstream
+    quantiles are mass-weighted ranks — e.g. value = doc length,
+    weight = doc length answers "half the corpus BYTES sit in docs
+    shorter than the weighted median". Same mergeability (sums), same
+    guarantee with rank measured in weight."""
     _validate_k(k)
     if isinstance(group_cols, str):
         group_cols = [group_cols]
     e, m = bucket_exprs(value_col, k)
-    return (
-        df.select(*group_cols, e, m)
-        .groupBy(*group_cols, "e", "m")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    cols = [*group_cols, e, m] + ([F.col(weight_col)] if weight_col else [])
+    agg = (
+        F.sum(weight_col).cast("long").alias("cnt")
+        if weight_col
+        else F.count(F.lit(1)).alias("cnt")
     )
+    return df.select(*cols).groupBy(*group_cols, "e", "m").agg(agg)
 
 
 def merge_sketches(sketches: DataFrame, group_cols: list[str] | str) -> DataFrame:

@@ -56,6 +56,7 @@ _PRIORITY = [
     "knn_pagerank_weighted",
     "setsim_cluster_labels",
     "setsim_containment_join",
+    "weighted_quantile_lengths",
     "multimodal_video_curation_end_to_end",
     "leakage_safe_splits",
     "winnow_fingerprints",

@@ -603,3 +603,55 @@ def setsim_containment_join(spark, sf_dir):
     return setsim.containment_join(
         _docs(spark, sf_dir), shingle_n=_SS_N, t_num=_CN_TNUM, t_den=_CN_TDEN
     )
+
+
+@query(
+    "weighted_quantile_lengths",
+    oracle=rf"""
+WITH v AS (SELECT source AS g, n_chars AS v FROM documents),
+bk AS (
+  SELECT g, v,
+         CASE WHEN v <= 0 THEN -1 ELSE length(bin(v)) - 1 END AS e,
+         CASE WHEN v <= 0 THEN CAST(0 AS BIGINT)
+              WHEN length(bin(v)) - 1 >= {_QB}
+                THEN (v - (CAST(1 AS BIGINT) << (length(bin(v)) - 1))) >> (length(bin(v)) - 1 - {_QB})
+              ELSE ((v - (CAST(1 AS BIGINT) << (length(bin(v)) - 1))) << {_QB})
+                   // (CAST(1 AS BIGINT) << (length(bin(v)) - 1)) END AS m
+  FROM v),
+sk AS (SELECT g, e, m, CAST(SUM(v) AS BIGINT) AS cnt FROM bk GROUP BY 1, 2, 3),
+cum AS (
+  SELECT g, e, m, cnt,
+         SUM(cnt) OVER (PARTITION BY g ORDER BY e, m) AS cum,
+         SUM(cnt) OVER (PARTITION BY g) AS n
+  FROM sk),
+sel AS (
+  SELECT g, n, (1 * n + 1) // 2 AS r, e, m,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY e, m) AS rk
+  FROM cum WHERE cum >= (1 * n + 1) // 2)
+SELECT g AS source, CAST(500 AS BIGINT) AS q_permille, n, r,
+       CASE WHEN e < 0 THEN CAST(0 AS BIGINT)
+            WHEN e >= {_QB}
+              THEN (CAST(1 AS BIGINT) << e) + m * (CAST(1 AS BIGINT) << (e - {_QB}))
+            ELSE (CAST(1 AS BIGINT) << e)
+                 + ((m * (CAST(1 AS BIGINT) << e) + {_QK - 1}) >> {_QB}) END AS est
+FROM sel WHERE rk = 1
+""",
+    doc="mass-weighted quantiles off the sketch: value = doc length, "
+    "weight = doc length — est answers 'half of source X's corpus "
+    "BYTES sit in docs shorter than est' (the weighted median, rank "
+    "measured in weight not rows). Same sketch machinery, cnt = "
+    "bucket weight sum; the token-budget view of length distributions "
+    "a row-median misreads when long docs dominate the mass.",
+)
+def weighted_quantile_lengths(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("source"), F.col("n_chars").alias("v")
+    )
+    sk = qsk.quantile_sketch(docs, "source", "v", k=_QK, weight_col="v")
+    return qsk.sketch_quantiles(sk, "source", [(1, 2)], k=_QK).select(
+        "source",
+        F.col("q_permille").cast("long").alias("q_permille"),
+        "n",
+        "r",
+        "est",
+    )

@@ -159,3 +159,27 @@ def test_sketch_build_plan_shape(spark, sf_dir):
     assert s.python_nodes == 0
     assert s.exchanges == 1, s.text[:2000]
     assert "partial_count" in s.text
+
+
+def test_weighted_sketch_matches_python(spark):
+    """Weighted sketch: bucket cnt = weight sum; the weighted median
+    answers 'half the mass is below' — checked against a pure-Python
+    replay on skewed weights."""
+    rows = [("g", v, v) for v in [1, 1, 1, 1, 1000]]  # one heavy doc
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    sk = Q.quantile_sketch(df, "g", "v", k=32, weight_col="w")
+    est = Q.sketch_quantiles(sk, "g", [(1, 2)], k=32).collect()[0]
+    # total mass 1004, r = 502: the heavy value's bucket
+    assert est.n == 1004 and est.r == 502
+    e, m = Q.bucket_exprs("v", 32)
+    hv = spark.createDataFrame([(1000,)], "v long").select(e, m).collect()[0]
+    lo = (
+        spark.createDataFrame([(hv.e, hv.m)], "e int, m long")
+        .select(Q.bucket_floor_expr(32))
+        .collect()[0][0]
+    )
+    assert est.est == lo
+    # unweighted median of the same rows is the light value
+    sk2 = Q.quantile_sketch(df, "g", "v", k=32)
+    est2 = Q.sketch_quantiles(sk2, "g", [(1, 2)], k=32).collect()[0]
+    assert est2.est == 1

@@ -188,3 +188,85 @@ def degree_centrality(
             F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
         )
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-vertex triangle counts over the UNDIRECTED view of an edge
+    list — the local-density signal (a near-dup community is triangle-
+    rich; a hub spoking unrelated docs is triangle-poor, the classic
+    template-vs-coincidence discriminator).
+
+    The scalable shape (node-iterator with degree ordering, the
+    standard MapReduce formulation): dedupe to undirected edges, then
+    orient every edge from the (degree, id)-SMALLER endpoint to the
+    larger. Each triangle has exactly ONE vertex whose two incident
+    edges both point away (the smallest in the total order), so joining
+    oriented wedges (a->b, a->c, b<c in the order) against oriented
+    edges (b->c) counts each triangle exactly once — and the wedge
+    fan-out is quadratic only in OUT-degree, which the orientation
+    caps at O(sqrt(edges)) for every vertex regardless of raw skew
+    (a star's hub has out-degree 0). All joins are narrow (id, id)
+    equi-joins; no payload moves.
+
+    Returns ``(id, triangles)`` for every vertex incident to at least
+    one undirected edge (isolated-in-the-undirected-view vertices have
+    no row; count them as 0).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionByName(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient by (degree, id): strict total order, ties impossible
+    du = deg.select(F.col("id").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("d").alias("dv"))
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+            )
+            .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
+            .alias("e")
+        )
+        .select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+    )
+    w1 = oriented.select(F.col("a"), F.col("b").alias("x"))
+    w2 = oriented.select(F.col("a"), F.col("b").alias("y"))
+    wedges = w1.join(w2, "a").filter(F.col("x") < F.col("y"))
+    tri = wedges.join(
+        oriented.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+            # the closing edge may be oriented either way in (x, y) id
+            # order vs the degree order — check both orientations of
+            # the ORIENTED edge against the id-ordered wedge pair
+            oriented.select(F.col("b").alias("x"), F.col("a").alias("y"))
+        ),
+        ["x", "y"],
+    ).select("a", "x", "y")
+    per_vertex = (
+        tri.select(F.col("a").alias("id"))
+        .unionByName(tri.select(F.col("x").alias("id")))
+        .unionByName(tri.select(F.col("y").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return deg.join(per_vertex, "id", "left").select(
+        "id", F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles")
+    )

@@ -57,6 +57,7 @@ _PRIORITY = [
     "setsim_cluster_labels",
     "setsim_containment_join",
     "weighted_quantile_lengths",
+    "knn_triangle_counts",
     "multimodal_video_curation_end_to_end",
     "leakage_safe_splits",
     "winnow_fingerprints",

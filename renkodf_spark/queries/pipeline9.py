@@ -655,3 +655,37 @@ def weighted_quantile_lengths(spark, sf_dir):
         "r",
         "est",
     )
+
+
+@query(
+    "knn_triangle_counts",
+    oracle=_KNN_CTES
+    + f""",
+pedges AS (SELECT src, dst FROM knn WHERE rk <= {_KNN_K}),
+und AS (
+  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM pedges WHERE src <> dst GROUP BY 1, 2),
+adj AS (SELECT u AS a, v AS b FROM und UNION ALL SELECT v AS a, u AS b FROM und),
+tri AS (
+  SELECT t1.a AS apex, t1.b AS x, t2.b AS y
+  FROM adj t1 JOIN adj t2 ON t2.a = t1.a AND t1.b < t2.b
+  JOIN und e ON e.u = t1.b AND e.v = t2.b),
+verts AS (SELECT u AS id FROM und UNION SELECT v FROM und),
+cnt AS (SELECT apex AS id, CAST(COUNT(*) AS BIGINT) AS c FROM tri GROUP BY 1)
+SELECT verts.id, COALESCE(cnt.c, CAST(0 AS BIGINT)) AS triangles
+FROM verts LEFT JOIN cnt ON cnt.id = verts.id
+""",
+    doc="per-vertex triangle counts over the undirected kNN graph — "
+    "the local-density curation signal (triangle-rich = cohesive "
+    "near-dup community, triangle-poor hub = coincidental neighbor). "
+    "Engine: node-iterator with (degree, id) orientation — wedge "
+    "fan-out capped at O(sqrt(E)) out-degree per vertex regardless of "
+    "skew, each triangle counted once at its order-minimal apex; "
+    "oracle: the orientation-agnostic apex formulation (each triangle "
+    "once per apex with x < y).",
+)
+def knn_triangle_counts(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cents = similarity.embedding_centroids(emb, dim=_IVF_DIM)
+    edges = similarity.knn_graph(emb, cents, k=_KNN_K)
+    return graph.triangle_counts(edges.select("src", "dst"))

@@ -200,3 +200,53 @@ def test_weighted_uniform_weights_equal_unweighted(spark):
         for r in graph.pagerank(ew, n, iterations=3, weight_col="w").collect()
     }
     assert weighted == plain
+
+
+def _py_triangles(edges, nodes=None):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    out = {v: 0 for v in adj}
+    for v, nb in adj.items():
+        nb = sorted(nb)
+        for i in range(len(nb)):
+            for j in range(i + 1, len(nb)):
+                if tuple(sorted((nb[i], nb[j]))) in und:
+                    out[v] += 1
+    return out
+
+
+def test_triangles_match_python_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = list({(rng.randint(0, 30), rng.randint(0, 30)) for _ in range(120)})
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.triangles for r in graph.triangle_counts(e).collect()}
+    assert got == _py_triangles(edges)
+
+
+def test_triangles_k4_and_star(spark):
+    # K4: every vertex in 3 triangles; star: zero everywhere
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    e = spark.createDataFrame(k4, "src long, dst long")
+    assert {r.id: r.triangles for r in graph.triangle_counts(e).collect()} == {
+        1: 3, 2: 3, 3: 3, 4: 3,
+    }
+    star = [(i, 0) for i in range(1, 12)]
+    e2 = spark.createDataFrame(star, "src long, dst long")
+    got = {r.id: r.triangles for r in graph.triangle_counts(e2).collect()}
+    assert set(got.values()) == {0}
+
+
+def test_triangles_direction_and_dupes_irrelevant(spark):
+    # duplicated edges, both orientations, self-loops: same undirected graph
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (2, 2), (1, 2)],
+        "src long, dst long",
+    )
+    assert {r.id: r.triangles for r in graph.triangle_counts(e).collect()} == {
+        1: 1, 2: 1, 3: 1,
+    }

@@ -376,6 +376,7 @@ def scale_block(spark, rep: int) -> dict:
     from renkodf_spark.operators.dedup import minhash_lsh_pairs, remove_duplicated_spans
     from renkodf_spark.operators.rangejoin import point_in_interval_join
     from renkodf_spark.operators.setsim import setsim_join
+    from renkodf_spark.operators.graph import pagerank
     from renkodf_spark.operators.renko import renko_mode
     from renkodf_spark.operators.renko_chunked import renko_chunked
     from renkodf_spark.sources.tables import load_table, ticks_from_events
@@ -553,15 +554,35 @@ def scale_block(spark, rep: int) -> dict:
                 )
             ),
         ),
-        # r12 wave 5: the exact set-similarity join at rep x. The scale
-        # question is the prefix join's fan-out: the rep-suffix token
-        # perturbation keeps per-doc sets realistic while every rep of
-        # a planted near-dup pair stays a near-dup, so qualifying pairs
-        # grow rep-fold (not rep^2) — the frequency-ascending prefix
-        # ordering is what keeps candidate buckets from exploding.
+        # r12 wave 5: the exact set-similarity join at rep x. NOTE the
+        # output is legitimately quadratic-in-rep on this synthetic
+        # replication: the rep-suffix perturbation leaves each doc's
+        # rep copies ~92% Jaccard-similar, so every doc becomes a
+        # rep-clique and the TRUE answer has ~rep^2/2 per-doc pairs —
+        # the measured cost is the answer's size (verified == brute
+        # force by test), not a plan defect.
         (
             "setsim_join",
             lambda: materialize(setsim_join(docs, t_num=1, t_den=2)),
+        ),
+        # r12 wave 5: the graph-centrality fixpoint at rep x — the
+        # full DAG (centroids -> capped kNN graph -> 3 integer
+        # PageRank iterations over the narrow (id, pr) relation). The
+        # fixpoint's own cost is the delta over knn_graph_capped.
+        (
+            "knn_pagerank_capped",
+            lambda: materialize(
+                pagerank(
+                    similarity.knn_graph(
+                        remb,
+                        similarity.embedding_centroids(remb, dim=64),
+                        k=3,
+                        max_cell_size=500,
+                    ).select("src", "dst"),
+                    remb.select(F.col("vec_id").alias("id")),
+                    iterations=3,
+                )
+            ),
         ),
     ]
     probes: dict[str, list] = {name: [] for name, _ in entries}

@@ -16,8 +16,24 @@ i.e. k linearly-spaced sub-buckets per octave — the classical
 p + ceil((m+1)*p/k)), so its width is at most p/k + 1 and any value it
 contains is within relative error 1/k of the bucket's lower bound
 (plus at most 1 from integer ceil). Zero gets a dedicated exact bucket
-(e = -1, m = 0). Domain: non-negative integers (the house integer-cents
-/ token-count conventions); negative values are a caller error.
+(e = -1, m = 0).
+
+Signed domain (r13): negative values get MIRRORED octaves so the
+sketch can summarize the engine's own negative quality scores
+(unigram/bigram/NB integer micro-nats). For v < 0 with u = -v:
+
+    e = -(floor(log2 u)) - 2     (e = -2 is the [-1] octave, -3 is
+                                  [-3, -2], ... — descending e =
+                                  descending value)
+    m = k - 1 - m_u(u)           (mirrored sub-bucket)
+
+so ascending (e, m) remains ascending VALUE across the whole signed
+line: negative octaves (e <= -2) < zero (e = -1) < positive (e >= 0).
+Rank/cumulative logic needs no change. The bucket's lower bound
+(smallest, most-negative member) is 1 - hi_u where hi_u is the
+EXCLUSIVE upper bound of the mirrored positive bucket, computed with
+the same shift arithmetic; the relative-error guarantee is unchanged
+(|v - est| <= width <= |v|/k + 1).
 
 Overflow discipline: (v - p) * k can exceed BIGINT for v near 2^62, so
 m is computed with shifts — k = 2^b, and
@@ -57,42 +73,77 @@ def _validate_k(k: int) -> int:
     return k.bit_length() - 1
 
 
+def _pos_e_sql(u: str) -> str:
+    """SQL for floor(log2 u), u a strictly positive BIGINT expression."""
+    return f"CAST(length(bin({u})) - 1 AS INT)"
+
+
+def _pos_m_sql(u: str, b: int) -> str:
+    """SQL for the sub-bucket of a strictly positive BIGINT expression
+    — all shifts, exact in both Spark and DuckDB."""
+    return f"""CASE WHEN length(bin({u})) - 1 >= {b}
+            THEN shiftright({u} - shiftleft(CAST(1 AS BIGINT), CAST(length(bin({u})) - 1 AS INT)),
+                            CAST(length(bin({u})) - 1 - {b} AS INT))
+            ELSE shiftleft({u} - shiftleft(CAST(1 AS BIGINT), CAST(length(bin({u})) - 1 AS INT)),
+                           {b})
+                 div shiftleft(CAST(1 AS BIGINT), CAST(length(bin({u})) - 1 AS INT))
+            END"""
+
+
 def bucket_exprs(value_col: str, k: int = DEFAULT_K):
-    """The (e, m) bucket columns for a non-negative BIGINT column —
-    shared by the batch builder, the streaming writer, and the
-    guarantee check (bucket-of-exact == selected bucket)."""
+    """The (e, m) bucket columns for a signed BIGINT column — shared by
+    the batch builder, the streaming writer, and the guarantee check
+    (bucket-of-exact == selected bucket). Positive values use octaves
+    e >= 0, zero the exact (e=-1, m=0) bucket, negatives the mirrored
+    octaves e <= -2 (module docstring) so (e, m) order == value order."""
     b = _validate_k(k)
     v = value_col
-    e = F.when(F.col(v) <= 0, F.lit(-1)).otherwise(
-        F.expr(f"CAST(length(bin({v})) - 1 AS INT)")
+    neg = f"(-({v}))"  # u = -v, strictly positive when v < 0
+    e = (
+        F.when(F.col(v) == 0, F.lit(-1))
+        .when(F.col(v) < 0, F.expr(f"-({_pos_e_sql(neg)}) - 2"))
+        .otherwise(F.expr(_pos_e_sql(v)))
     )
-    m = F.when(F.col(v) <= 0, F.lit(0).cast("long")).otherwise(
-        F.expr(
-            f"""CASE WHEN length(bin({v})) - 1 >= {b}
-            THEN shiftright({v} - shiftleft(CAST(1 AS BIGINT), CAST(length(bin({v})) - 1 AS INT)),
-                            CAST(length(bin({v})) - 1 - {b} AS INT))
-            ELSE shiftleft({v} - shiftleft(CAST(1 AS BIGINT), CAST(length(bin({v})) - 1 AS INT)),
-                           {b})
-                 div shiftleft(CAST(1 AS BIGINT), CAST(length(bin({v})) - 1 AS INT))
-            END"""
-        )
+    m = (
+        F.when(F.col(v) == 0, F.lit(0).cast("long"))
+        .when(F.col(v) < 0, F.lit(k - 1) - F.expr(_pos_m_sql(neg, b)))
+        .otherwise(F.expr(_pos_m_sql(v, b)))
     )
     return e.alias("e"), m.alias("m")
 
 
 def bucket_floor_expr(k: int = DEFAULT_K):
     """Lower bound of bucket (e, m): the smallest integer the bucket
-    contains — p + ceil(m * p / k), computed with shifts (e >= b) or
-    in tiny integers (e < b). e = -1 is the exact zero bucket."""
+    contains — p + ceil(m * p / k) for positive octaves, computed with
+    shifts (e >= b) or in tiny integers (e < b). e = -1 is the exact
+    zero bucket. Negative octaves (e <= -2) mirror: the smallest
+    (most-negative) member is 1 - hi_u, where hi_u is the EXCLUSIVE
+    upper bound of the mirrored positive bucket (eu = -e-2,
+    mu = k-1-m); (mu+1) * 2^eu is exactly divisible by k when eu >= b,
+    so that branch needs no ceil."""
     b = _validate_k(k)
-    return F.when(F.col("e") < 0, F.lit(0).cast("long")).otherwise(
-        F.expr(
-            f"""CASE WHEN e >= {b}
+    return (
+        F.when(F.col("e") == -1, F.lit(0).cast("long"))
+        .when(
+            F.col("e") < -1,
+            F.expr(
+                f"""1 - (CASE WHEN (-e - 2) >= {b}
+                THEN shiftleft(CAST(1 AS BIGINT), CAST(-e - 2 AS INT))
+                     + ({k} - m) * shiftleft(CAST(1 AS BIGINT), CAST(-e - 2 - {b} AS INT))
+                ELSE shiftleft(CAST(1 AS BIGINT), CAST(-e - 2 AS INT))
+                     + shiftright(({k} - m) * shiftleft(CAST(1 AS BIGINT), CAST(-e - 2 AS INT)) + {k - 1}, {b})
+                END)"""
+            ),
+        )
+        .otherwise(
+            F.expr(
+                f"""CASE WHEN e >= {b}
             THEN shiftleft(CAST(1 AS BIGINT), CAST(e AS INT))
                  + m * shiftleft(CAST(1 AS BIGINT), CAST(e - {b} AS INT))
             ELSE shiftleft(CAST(1 AS BIGINT), CAST(e AS INT))
                  + shiftright(m * shiftleft(CAST(1 AS BIGINT), CAST(e AS INT)) + {k - 1}, {b})
             END"""
+            )
         )
     )
 
@@ -172,9 +223,19 @@ def sketch_quantiles(
     )
     outs = []
     for q_num, q_den in quantiles:
-        r = F.floor((F.lit(q_num) * F.col("__n") + F.lit(q_den - 1)) / F.lit(q_den)).cast(
-            "long"
-        )
+        # r = ceil(q_num * n / q_den) in pure BIGINT arithmetic. The naive
+        # (q_num * n + q_den - 1) div q_den overflows BIGINT once n exceeds
+        # 2^63 / q_num — realistic for the WEIGHTED sketch, where n is total
+        # corpus mass (bytes at 100 TB ~ 1e14, times q_num up to 999 ~ 1e17
+        # is float-inexact; ~1e18 overflows). Split on n = q_den*t + s:
+        #   ceil(q_num*n/q_den) = q_num*t + ceil(q_num*s/q_den)
+        # First term <= n (q_num <= q_den); second numerator < q_den^2 <= 1e6.
+        # Exact for ALL BIGINT n — no float division, no overflow, and
+        # identical to the oracle's integer // by the same identity.
+        r = F.expr(
+            f"{q_num} * (__n div {q_den})"
+            f" + ({q_num} * (__n % {q_den}) + {q_den - 1}) div {q_den}"
+        ).cast("long")
         eligible = cum.filter(F.col("__cum") >= r).withColumn("__r", r)
         first = (
             eligible.withColumn(

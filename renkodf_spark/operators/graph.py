@@ -123,7 +123,13 @@ def pagerank(
         ).select(id_col, F.coalesce("__seed", F.lit(False)).alias("__seed"))
     else:
         nodes = nodes.withColumn("__seed", F.lit(True))
-    nodes = nodes.cache()
+    # materialize-once via eager localCheckpoint, NOT cache(): a plan-
+    # keyed CacheManager entry outlives the call and accumulates in
+    # executor storage across a long-lived driver's many pagerank calls
+    # (ADVICE r12); checkpoint blocks are ContextCleaner-managed — freed
+    # when the returned DataFrame is dropped. Trade: blocks are not
+    # recomputable after executor loss (rerun the call).
+    nodes = nodes.localCheckpoint()
     n = nodes.filter("__seed").count()  # one bounded scalar (the model-totals convention)
     if n == 0:
         return nodes.select(id_col).withColumn("pr", F.lit(0).cast("long"))

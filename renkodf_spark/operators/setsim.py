@@ -102,8 +102,13 @@ def element_table(
 
 
 def _ceil_div(num, den: int):
-    # exact integer ceil(num / den) for non-negative num
-    return F.floor((num + F.lit(den - 1)) / F.lit(den)).cast("long")
+    # exact integer ceil(num / den) for non-negative num. Integer `div`,
+    # not float `/` + F.floor: _validate_threshold accepts arbitrarily
+    # large rationals, and t_num * set_size crossing 2^53 under float
+    # division would silently compute a wrong (recall-losing) prefix
+    # length / alpha bound. `div` keeps the pipeline in exact BIGINT
+    # (overflow past 2^63 fails loudly under ANSI instead of rounding).
+    return F.call_function("div", num + F.lit(den - 1), F.lit(den)).cast("long")
 
 
 def element_frequencies(elements: DataFrame) -> DataFrame:
@@ -264,7 +269,11 @@ def setsim_join(
     """
     _validate_threshold(t_num, t_den)
     e = element_table(df, text_col=text_col, id_col=id_col, shingle_n=shingle_n)
-    e = e.cache()  # feeds the prefix index, both candidate sides, and verify
+    # eager localCheckpoint, not cache(): feeds the prefix index, both
+    # candidate sides, and verify — and leaves no CacheManager entry
+    # behind in a long-lived driver (ADVICE r12; blocks are freed when
+    # the result is dropped, at the cost of no lineage recovery)
+    e = e.localCheckpoint()
     pref = prefix_index(e, t_num=t_num, t_den=t_den)
     cand = _filtered_candidates(
         _prefix_side(pref, "a"),
@@ -294,7 +303,7 @@ def setsim_index(
     ``id``) and run increments through
     :func:`incremental_setsim_pairs` — the historical text is never
     re-read."""
-    e = element_table(df, text_col=text_col, id_col=id_col, shingle_n=shingle_n).cache()
+    e = element_table(df, text_col=text_col, id_col=id_col, shingle_n=shingle_n).localCheckpoint()
     freq = element_frequencies(e)
     return freq, prefix_index(e, t_num=t_num, t_den=t_den), element_sets(e)
 
@@ -340,7 +349,7 @@ def incremental_setsim_pairs(
         if new_elements is not None
         else element_table(
             new_df, text_col=text_col, id_col=id_col, shingle_n=shingle_n
-        ).cache()
+        ).localCheckpoint()
     )
     pref_new = prefix_index(e_new, t_num=t_num, t_den=t_den, freq=freq)
     cross = _filtered_candidates(
@@ -406,7 +415,7 @@ def containment_join(
         id_col=id_col,
         shingle_n=shingle_n,
         repartition_input=repartition_input,
-    ).cache()
+    ).localCheckpoint()
     pref = prefix_index(e, t_num=t_num, t_den=t_den)
     a = pref.select("h", F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     b = e.select("h", F.col("id").alias("id_b"))

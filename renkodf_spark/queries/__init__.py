@@ -29,6 +29,7 @@ from renkodf_spark.queries import pipeline6  # noqa: F401
 from renkodf_spark.queries import pipeline7  # noqa: F401
 from renkodf_spark.queries import pipeline8  # noqa: F401
 from renkodf_spark.queries import pipeline9  # noqa: F401
+from renkodf_spark.queries import pipeline10  # noqa: F401
 
 # Gate-window priority (see module docstring). Rotation policy (ADVICE
 # r2, applied every round): queries that never had a gate row, plus
@@ -42,6 +43,13 @@ from renkodf_spark.queries import pipeline9  # noqa: F401
 # mechanical so the artifact no longer depends on habit).
 # Names not listed keep their module registration order after these.
 _PRIORITY = [
+    # -- new in round 13 (never had a gate row), plus the 4 round-12
+    #    driver-red oracles (HUGEINT casts fixed) needing fresh rows
+    "signed_lm_score_quantiles",
+    "quantile_sketch_estimates",
+    "quantile_outlier_trim",
+    "weighted_quantile_lengths",
+    "multimodal_resize_thumbs",
     # -- new in round 12 (never had a gate row), plus the queries whose
     #    shared cluster_labels stage switched to large-star/small-star
     #    contraction this round and need re-proving

@@ -842,10 +842,10 @@ sxy AS (SELECT sx.*, unnest(range(ylo, yhi + 1)) AS y FROM sx)
 SELECT media_id,
        CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'gif' END AS format,
        iy AS out_y, ix AS out_x, c,
-       SUM(CASE WHEN kind IN (0, 1)
+       CAST(SUM(CASE WHEN kind IN (0, 1)
                 THEN (media_id + 3*x + 7*y + 11*c) % 256
                 ELSE (media_id + 3*x + 7*y) % 256 END)
-         // COUNT(*) AS v,
+         // COUNT(*) AS BIGINT) AS v,
        'ok' AS status
 FROM sxy GROUP BY media_id, kind, iy, ix, c
 """

@@ -179,7 +179,8 @@ xb AS (
               ELSE ((v_star - (CAST(1 AS BIGINT) << (length(bin(v_star)) - 1))) << {_QB})
                    // (CAST(1 AS BIGINT) << (length(bin(v_star)) - 1)) END AS xm
   FROM exact)
-SELECT est.g AS l_returnflag, est.qp AS q_permille, est.n, est.r, est.est,
+SELECT est.g AS l_returnflag, est.qp AS q_permille,
+       CAST(est.n AS BIGINT) AS n, CAST(est.r AS BIGINT) AS r, est.est,
        (est.e = xb.xe AND est.m = xb.xm) AS bucket_contains_exact
 FROM est JOIN xb ON xb.g = est.g AND xb.qp = est.qp
 """,
@@ -425,7 +426,7 @@ bounds AS (
          MAX(CASE WHEN qp = 50 THEN est END) AS lo,
          MAX(CASE WHEN qp = 950 THEN est END) AS hi
   FROM est GROUP BY g)
-SELECT b.g AS source, b.n, b.lo, b.hi,
+SELECT b.g AS source, CAST(b.n AS BIGINT) AS n, b.lo, b.hi,
        CAST(COUNT(*) FILTER (v.v >= b.lo AND v.v <= b.hi) AS BIGINT) AS n_kept
 FROM bounds b JOIN v ON v.g = b.g
 GROUP BY 1, 2, 3, 4
@@ -628,7 +629,8 @@ sel AS (
   SELECT g, n, (1 * n + 1) // 2 AS r, e, m,
          ROW_NUMBER() OVER (PARTITION BY g ORDER BY e, m) AS rk
   FROM cum WHERE cum >= (1 * n + 1) // 2)
-SELECT g AS source, CAST(500 AS BIGINT) AS q_permille, n, r,
+SELECT g AS source, CAST(500 AS BIGINT) AS q_permille,
+       CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r,
        CASE WHEN e < 0 THEN CAST(0 AS BIGINT)
             WHEN e >= {_QB}
               THEN (CAST(1 AS BIGINT) << e) + m * (CAST(1 AS BIGINT) << (e - {_QB}))

@@ -6,6 +6,17 @@ order-insensitive value comparison (columns sorted by name, rows sorted
 by all columns). Exact equality for ints/strings/timestamps; floats are
 expected to already be ROUNDed inside the queries and compare exactly.
 
+Two representation checks close the builder-green/driver-red gap found
+in round 12 (the driver's value-hash is representation-sensitive, so
+DuckDB HUGEINT -> pandas float64 hash-differs from Spark int64 even at
+equal values):
+  * oracle type lint — every oracle's duckdb result types are scanned
+    for HUGEINT/UHUGEINT before execution; any hit is a FAIL telling
+    the author to CAST(... AS BIGINT) in the final projection.
+  * dtype-kind comparison — the Spark and DuckDB pandas frames must
+    agree per column on dtype KIND (int vs float vs bool vs datetime
+    vs object) BEFORE canonicalisation coerces them.
+
 Usage: [SF=sf0.001] [SWEEP_JSON=out.json] python scripts/check_entry.py [query ...]
 
 SWEEP_JSON writes the per-query verdicts as a JSON object — the
@@ -46,6 +57,34 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def dtype_kind(dtype) -> str:
+    """Collapse a pandas dtype to the representation class the driver's
+    value-hash distinguishes: int-family vs float vs bool vs datetime vs
+    object/str. int32 vs int64 is NOT a mismatch; int64 vs float64 is."""
+    if pd.api.types.is_bool_dtype(dtype):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dtype):
+        return "int"
+    if pd.api.types.is_float_dtype(dtype):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dtype):
+        return "datetime"
+    return "object"
+
+
+def lint_oracle_types(rel) -> list[str]:
+    """Reject DuckDB output types that round-trip to a different pandas
+    representation than their Spark twin ever could — HUGEINT (from an
+    un-cast SUM(BIGINT)) lands as float64/object and hash-mismatches the
+    driver even when every value is equal."""
+    bad = []
+    for col, typ in zip(rel.columns, rel.types):
+        t = str(typ).upper()
+        if "HUGEINT" in t:
+            bad.append(f"oracle col '{col}' is {t} — CAST(... AS BIGINT) in the final projection")
+    return bad
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems = []
     if len(spark_pdf) != len(duck_pdf):
@@ -53,6 +92,16 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
         problems.append(f"schema {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}")
         return problems
+    if problems:
+        return problems
+    for c in sorted(spark_pdf.columns):
+        ks, kd = dtype_kind(spark_pdf[c].dtype), dtype_kind(duck_pdf[c].dtype)
+        # an all-NaN/empty object column on one side is a pandas artifact,
+        # not a representation divergence the driver's hash would see
+        if ks != kd and not (len(spark_pdf) == 0 or spark_pdf[c].isna().all()):
+            problems.append(
+                f"dtype kind col '{c}': spark {spark_pdf[c].dtype} ({ks}) vs duckdb {duck_pdf[c].dtype} ({kd})"
+            )
     if problems:
         return problems
     a, b = canon(spark_pdf), canon(duck_pdf)
@@ -115,7 +164,14 @@ def main():
             print(f"rows  {name}: {len(sdf)} rows ({time.time()-t0:.1f}s) [no oracle]")
             continue
         try:
-            ddf = con.sql(oracles[name]).df()
+            rel = con.sql(oracles[name])
+            lint = lint_oracle_types(rel)
+            if lint:
+                failures.append(name)
+                report[name] = {"status": "fail", "detail": "type lint: " + "; ".join(lint)[:180]}
+                print(f"FAIL  {name}: type lint: {'; '.join(lint)}")
+                continue
+            ddf = rel.df()
         except Exception as ex:
             failures.append(name)
             report[name] = {"status": "fail", "detail": f"duckdb {str(ex)[:120]}"}
@@ -140,6 +196,7 @@ def main():
             # a name-filtered run is NOT a full-registry sweep; record
             # the filter so a partial artifact can't pass as exhaustive
             "filter": sorted(only) if only else None,
+            "lint": "hugeint+dtype-kind v1",
             "registry_size": len(qs),
             "summary": {"ok": passed, "rows_only": rows_only, "failed": len(failures)},
             "queries": report,

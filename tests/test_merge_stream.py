@@ -758,3 +758,123 @@ def test_knn_graph_stream_cap_passthrough(spark, tmp_path):
         assert r.cos_sim == all_pairs[(r.src, r.dst)]
         deg[r.src] = deg.get(r.src, 0) + 1
     assert max(deg.values()) <= 3
+
+
+# ------------------------------------------- streaming centrality
+
+
+def test_knn_centrality_stream_matches_batch(spark, tmp_path):
+    """Streaming TrustRank/PageRank maintenance (r13, VERDICT r12 item
+    6): after each trigger the maintained ranks equal the batch
+    graph.pagerank over similarity.knn_graph of the concatenated
+    stream, bit-for-bit. Steady-state triggers (no new seed vectors)
+    recompute ONLY affected cells — untouched cells' rank files are
+    not rewritten; a trigger that changes |S| refixpoints everything
+    (pr0 shifts globally); replays are idempotent."""
+    from renkodf_spark.operators import graph, similarity
+    from renkodf_spark.streaming.ann_stream import (
+        knn_centrality_writer,
+        read_knn_centrality,
+    )
+
+    lvecs = [
+        (i, [float((i * 7 + j * 3) % 11) for j in range(4)], "abc"[i % 3])
+        for i in range(30)
+    ]
+    schema = "vec_id long, embedding array<double>"
+    labeled = spark.createDataFrame(
+        lvecs, "vec_id long, embedding array<double>, label string"
+    )
+    vecs = [(i, v) for i, v, _ in lvecs]
+    all_df = spark.createDataFrame(vecs, schema)
+    cents = similarity.embedding_centroids(labeled, dim=4)
+    # trusted set: ids 0..4 (all inside trigger 1, so triggers 2 and 3
+    # leave |S| unchanged -> affected-cells-only recompute)
+    seeds = spark.createDataFrame([(i,) for i in range(5)], "id long")
+
+    def batch_ranks(df):
+        edges = similarity.knn_graph(df, cents, k=3).select("src", "dst")
+        nodes = df.selectExpr("vec_id as id")
+        pr = graph.pagerank(edges, nodes, iterations=3, seeds=seeds)
+        return {tuple(r) for r in pr.collect()}
+
+    state = str(tmp_path / "cent_stream")
+    writer = knn_centrality_writer(cents, state, seeds=seeds, k=3, iterations=3)
+
+    b1 = spark.createDataFrame(vecs[:12], schema)
+    b2 = spark.createDataFrame(vecs[12:22], schema)
+    b3 = spark.createDataFrame(vecs[22:], schema)
+
+    writer(b1, 0)
+    got = {tuple(r) for r in read_knn_centrality(spark, state).collect()}
+    assert got == batch_ranks(b1)
+
+    # trigger 2 adds NO seed vectors: |S| unchanged -> only its routed
+    # cells' rank partitions may be rewritten
+    ranks_dir = os.path.join(state, "ranks")
+    before = {
+        d: sorted(os.listdir(os.path.join(ranks_dir, d)))
+        for d in os.listdir(ranks_dir)
+        if d.startswith("cell=")
+    }
+    from renkodf_spark.operators.similarity import nearest_centroid
+
+    touched = {
+        f"cell={r['cell']}"
+        for r in nearest_centroid(b2, cents).select("cell").distinct().collect()
+    }
+    writer(b2, 1)
+    got = {tuple(r) for r in read_knn_centrality(spark, state).collect()}
+    assert got == batch_ranks(spark.createDataFrame(vecs[:22], schema))
+    for d, files in before.items():
+        if d not in touched:
+            assert (
+                sorted(os.listdir(os.path.join(ranks_dir, d))) == files
+            ), f"untouched cell rank partition {d} was rewritten"
+
+    # trigger 3 + replay
+    writer(b3, 2)
+    want = batch_ranks(all_df)
+    assert {tuple(r) for r in read_knn_centrality(spark, state).collect()} == want
+    writer(b3, 2)
+    assert {tuple(r) for r in read_knn_centrality(spark, state).collect()} == want
+
+    # empty trigger: no-op
+    writer(spark.createDataFrame([], schema), 3)
+    assert {tuple(r) for r in read_knn_centrality(spark, state).collect()} == want
+
+
+def test_knn_centrality_unseeded_full_refixpoint(spark, tmp_path):
+    """seeds=None is plain PageRank: |S| = |V| grows every trigger, so
+    each trigger is a full refixpoint (documented O(V+E)) and parity
+    with the batch run still holds exactly."""
+    from renkodf_spark.operators import graph, similarity
+    from renkodf_spark.streaming.ann_stream import (
+        knn_centrality_writer,
+        read_knn_centrality,
+    )
+
+    lvecs = [
+        (i, [float((i * 5 + j) % 7) for j in range(4)], "ab"[i % 2])
+        for i in range(16)
+    ]
+    schema = "vec_id long, embedding array<double>"
+    labeled = spark.createDataFrame(
+        lvecs, "vec_id long, embedding array<double>, label string"
+    )
+    vecs = [(i, v) for i, v, _ in lvecs]
+    all_df = spark.createDataFrame(vecs, schema)
+    cents = similarity.embedding_centroids(labeled, dim=4)
+    state = str(tmp_path / "pr_stream")
+    writer = knn_centrality_writer(cents, state, k=3, iterations=3)
+    writer(spark.createDataFrame(vecs[:9], schema), 0)
+    writer(spark.createDataFrame(vecs[9:], schema), 1)
+    edges = similarity.knn_graph(all_df, cents, k=3).select("src", "dst")
+    want = {
+        tuple(r)
+        for r in graph.pagerank(
+            edges, all_df.selectExpr("vec_id as id"), iterations=3
+        ).collect()
+    }
+    got = {tuple(r) for r in read_knn_centrality(spark, state).collect()}
+    assert got == want

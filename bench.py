@@ -204,6 +204,7 @@ HEADLINE = [
     # the centrality_split block decomposes it)
     "signed_lm_score_quantiles",
     "knn_pagerank_indexed",
+    "knn_communities",
 ]
 
 

@@ -293,3 +293,80 @@ def triangle_counts(
     return deg.join(per_vertex, "id", "left").select(
         "id", F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    nodes: DataFrame,
+    *,
+    iterations: int = 3,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al.
+    2007) — community detection one level finer than connected
+    components: CC merges everything reachable; LPA keeps densely
+    interlinked neighborhoods together while letting thin bridges
+    separate, which is what template-family grouping over a near-dup /
+    mutual-kNN graph actually wants (two template families joined by
+    one accidental near-pair stay distinct communities).
+
+    Classical LPA is randomized (visit order + tie coin-flips) and
+    never replays. This variant is exact and bit-replayable by a SQL
+    oracle:
+
+        label_0(v)   = v                      (its own BIGINT id)
+        label_t+1(v) = argmax over in-neighbor labels of vote count,
+                       ties -> SMALLEST label; no in-neighbors -> keep
+
+    with a FIXED iteration count — synchronous updates can oscillate
+    on bipartite structures, so the t-step output (not a fixpoint) is
+    the defined result, identical on every engine and partitioning.
+    Pass both orientations of an undirected graph (the
+    ``mutual_knn_edges`` both-ways convention) so votes flow both ways.
+
+    100 TB shape: iteration state is the narrow (id, label) long pair;
+    one iteration = one edge equi-join + one (dst, label) count + one
+    per-dst argmax window — every exchange carries long triples,
+    payloads never enter the loop (the ``pagerank`` posture). On the
+    kNN graph, edges never cross cells, so labels can only converge
+    within a cell's subgraph — the same per-cell decomposition the
+    streaming centrality maintainer exploits.
+    """
+    from pyspark.sql import Window
+
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    # LAZY localCheckpoint: every iteration references the edge
+    # relation, so an expensive upstream (the kNN-graph build) would be
+    # stamped `iterations` times into one physical plan. Non-eager
+    # checkpointing runs no job now; the first action computes the
+    # edges once, persists the blocks, and the remaining references
+    # read them back (ContextCleaner-managed — the setsim/pagerank
+    # no-CacheManager-leak rule).
+    e = edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+    if iterations > 1:
+        e = e.localCheckpoint(eager=False)
+    lbl = nodes.select(
+        F.col(id_col), F.col(id_col).cast("long").alias("lbl")
+    )
+    for t in range(iterations):
+        votes = (
+            e.join(lbl.select(F.col(id_col).alias("__s"), "lbl"), "__s")
+            .groupBy("__d", "lbl")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+        w = Window.partitionBy("__d").orderBy(F.desc("__cnt"), F.asc("lbl"))
+        winner = (
+            votes.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select(F.col("__d").alias(id_col), F.col("lbl").alias("__new"))
+        )
+        lbl = lbl.join(winner, id_col, "left").select(
+            id_col, F.coalesce("__new", "lbl").alias("lbl")
+        )
+        if checkpoint_every and (t + 1) % checkpoint_every == 0 and t + 1 < iterations:
+            lbl = lbl.localCheckpoint()
+    return lbl.select(id_col, F.col("lbl").alias("community"))

@@ -200,3 +200,73 @@ def knn_pagerank_indexed(spark, sf_dir):
         scale=_PR_SCALE,
     )
     return pr.select(F.col("id").alias("vec_id"), "pr")
+
+
+# ------------------------------------------- LPA communities
+
+from renkodf_spark.queries.pipeline8 import _KNN_CTES  # noqa: E402
+
+_LPA_ITERS = 4
+
+
+def _lpa_oracle() -> str:
+    head = (
+        _KNN_CTES
+        + f""",
+mutual AS (
+  SELECT a.src AS id_a, a.dst AS id_b
+  FROM (SELECT src, dst FROM knn WHERE rk <= {_KNN_K}) a
+  JOIN (SELECT src, dst FROM knn WHERE rk <= {_KNN_K}) b
+    ON a.src = b.dst AND a.dst = b.src
+  WHERE a.src < a.dst),
+uedges AS (
+  SELECT id_a AS s, id_b AS d FROM mutual
+  UNION
+  SELECT id_b AS s, id_a AS d FROM mutual),
+l0 AS (SELECT vec_id AS id, vec_id AS lbl FROM embeddings)"""
+    )
+    iters = "".join(
+        f""",
+v{t} AS (
+  SELECT e.d AS id, l.lbl, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM uedges e JOIN l{t - 1} l ON l.id = e.s GROUP BY 1, 2),
+w{t} AS (
+  SELECT id, lbl,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY cnt DESC, lbl) AS rk
+  FROM v{t}),
+l{t} AS (
+  SELECT p.id, COALESCE(w.lbl, p.lbl) AS lbl
+  FROM l{t - 1} p LEFT JOIN (SELECT id, lbl FROM w{t} WHERE rk = 1) w USING (id))"""
+        for t in range(1, _LPA_ITERS + 1)
+    )
+    return head + iters + f"\nSELECT id AS vec_id, lbl AS community FROM l{_LPA_ITERS}"
+
+
+@query(
+    "knn_communities",
+    oracle=_lpa_oracle(),
+    doc=f"deterministic synchronous label propagation ({_LPA_ITERS} "
+    "iterations, argmax-by-count ties to smallest label) over the "
+    "mutual-kNN graph — community detection one level FINER than "
+    "mutual_knn_cluster_labels' connected components: two dense "
+    "template families joined by one accidental near-pair stay "
+    "separate communities (CC merges them). Classical LPA is "
+    "randomized and never replays; this variant's fixed-iteration "
+    "integer votes are bit-identical on both engines. Iteration state "
+    "is (id, label) longs — one edge equi-join + one (id, label) "
+    "count + one per-id argmax per step; vectors cross only the kNN "
+    "cell exchange.",
+)
+def knn_communities(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cents = similarity.embedding_centroids(emb, dim=_IVF_DIM)
+    g = similarity.knn_graph(emb, cents, k=_KNN_K)
+    pairs = similarity.mutual_knn_edges(g)
+    und = pairs.selectExpr("id_a as src", "id_b as dst").unionByName(
+        pairs.selectExpr("id_b as src", "id_a as dst")
+    )
+    return graph.label_propagation(
+        und,
+        emb.select(F.col("vec_id").alias("id")),
+        iterations=_LPA_ITERS,
+    ).selectExpr("id as vec_id", "community")

@@ -299,3 +299,79 @@ def test_indexed_pagerank_plan_never_reads_vectors(spark, sf_dir, tmp_path):
         assert "embedding" not in cs and "vec" not in cs and "text" not in cs, cols
     plan = pr._jdf.queryExecution().executedPlan().toString()
     assert "embedding" not in plan
+
+
+def _py_lpa(edges, nodes, iterations):
+    """Pure-python replay of the deterministic synchronous LPA."""
+    from collections import Counter
+
+    lbl = {v: v for v in nodes}
+    inn = {}
+    for s, d in edges:
+        inn.setdefault(d, []).append(s)
+    for _ in range(iterations):
+        nxt = {}
+        for v in nodes:
+            votes = Counter(lbl[u] for u in inn.get(v, []))
+            if votes:
+                best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+                nxt[v] = best[0]
+            else:
+                nxt[v] = lbl[v]
+        lbl = nxt
+    return lbl
+
+
+@pytest.mark.parametrize("iterations", [0, 1, 3, 5])
+def test_lpa_matches_python_reference(spark, iterations):
+    """Two triangles joined by one bridge edge plus an isolated node:
+    the bit-replayable LPA matches a pure-Python replay at every
+    iteration count (including the 0-iteration identity)."""
+    und = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    edges = und + [(b, a) for a, b in und]
+    nodes = list(range(7))  # 6 is isolated
+    e = spark.createDataFrame(edges, "src long, dst long")
+    n = spark.createDataFrame([(v,) for v in nodes], "id long")
+    got = {
+        r.id: r.community
+        for r in graph.label_propagation(e, n, iterations=iterations).collect()
+    }
+    assert got == _py_lpa(edges, nodes, iterations)
+
+
+def test_lpa_communities_finer_than_components(spark):
+    """The motivating semantics: two dense cliques joined by ONE thin
+    bridge are a single connected component but distinct LPA
+    communities."""
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    und = c1 + c2 + [(3, 10)]
+    edges = und + [(b, a) for a, b in und]
+    nodes = list(range(4)) + list(range(10, 14))
+    e = spark.createDataFrame(edges, "src long, dst long")
+    n = spark.createDataFrame([(v,) for v in nodes], "id long")
+    got = {
+        r.id: r.community
+        for r in graph.label_propagation(e, n, iterations=4).collect()
+    }
+    # clique labels converge to each clique's min id; the bridge does
+    # not merge them (1 shared vote vs 3 intra-clique votes)
+    assert {got[v] for v in range(4)} == {0}
+    assert {got[v] for v in range(10, 14)} == {10}
+
+
+def test_lpa_tie_breaks_to_smallest_label(spark):
+    """A node with equal votes from two labels adopts the SMALLER one
+    (the determinism contract)."""
+    edges = [(0, 2), (1, 2)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    n = spark.createDataFrame([(v,) for v in range(3)], "id long")
+    got = {r.id: r.community for r in graph.label_propagation(e, n, iterations=1).collect()}
+    assert got[2] == 0
+
+
+def test_lpa_validation(spark):
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    n = spark.createDataFrame([(0,), (1,)], "id long")
+    with pytest.raises(ValueError):
+        graph.label_propagation(e, n, iterations=-1)

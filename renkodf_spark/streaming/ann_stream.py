@@ -459,3 +459,112 @@ def read_knn_centrality(spark, state_path: str) -> DataFrame:
     batch ``graph.pagerank`` over ``similarity.knn_graph`` of the
     concatenated stream bit-for-bit (parity-pinned)."""
     return spark.read.parquet(posixpath.join(state_path, "ranks")).select("id", "pr")
+
+
+def knn_communities_writer(
+    centroids: DataFrame,
+    state_path: str,
+    *,
+    k: int = 5,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    max_cell_size: int | None = None,
+    enforce_append_only: bool = True,
+    compact_every: int | None = None,
+):
+    """``foreachBatch`` writer maintaining LPA communities
+    (``graph.label_propagation``) over the streamed mutual-kNN graph.
+
+    Cleaner than the centrality maintainer: LPA has NO global
+    parameter — labels start at each node's own id and votes travel
+    only along edges, which never cross cells — so a node's community
+    is a pure function of its cell's subgraph. Every trigger
+    recomputes exactly the affected cells, always; there is no
+    |S|-changed full-refixpoint case. Per-trigger cost is
+    O(Σ|affected cell|²) for the pair stage plus `iterations` narrow
+    joins over those cells' edges.
+
+    State: ``communities/cell=...`` — (id, community), dynamic
+    partition overwrite; untouched cells' files are never rewritten.
+    stream == batch (``label_propagation`` over
+    ``mutual_knn_edges(knn_graph(all))``) bit-for-bit, pinned.
+    """
+    from renkodf_spark.operators.graph import label_propagation
+    from renkodf_spark.operators.similarity import mutual_knn_edges
+
+    inner = knn_graph_writer(
+        centroids,
+        state_path,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_digits=round_digits,
+        max_cell_size=max_cell_size,
+        enforce_append_only=enforce_append_only,
+        compact_every=compact_every,
+    )
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        inner(batch, batch_id)
+        data_dir = posixpath.join(state_path, "data")
+        gen_dir = posixpath.join(data_dir, f"batch_id={batch_id}")
+        try:
+            affected = [
+                r["cell"]
+                for r in spark.read.parquet(gen_dir).select("cell").distinct().collect()
+            ]
+        except Exception as exc:
+            if _is_missing_path(exc) or "UNABLE_TO_INFER_SCHEMA" in str(exc):
+                return
+            raise
+        if not affected:
+            return
+        nodes = (
+            spark.read.parquet(data_dir)
+            .filter(F.col("cell").isin(affected))
+            .select("id", "cell")
+        )
+        edges_dir = posixpath.join(state_path, "edges")
+        try:
+            g = (
+                spark.read.parquet(edges_dir)
+                .filter(F.col("cell").isin(affected))
+                .select("src", "dst", "cos_sim")
+            )
+        except Exception as exc:
+            if _is_missing_path(exc) or "UNABLE_TO_INFER_SCHEMA" in str(exc):
+                g = spark.createDataFrame(
+                    [], "src long, dst long, cos_sim double"
+                )
+            else:
+                raise
+        pairs = mutual_knn_edges(g)
+        und = pairs.selectExpr("id_a as src", "id_b as dst").unionByName(
+            pairs.selectExpr("id_b as src", "id_a as dst")
+        )
+        labels = label_propagation(
+            und, nodes.select("id"), iterations=iterations
+        )
+        (
+            labels.join(nodes, "id")
+            .select("id", "community", "cell")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell")
+            .parquet(posixpath.join(state_path, "communities"))
+        )
+
+    return write_batch
+
+
+def read_knn_communities(spark, state_path: str) -> DataFrame:
+    """The maintained community snapshot as ``(id, community)`` —
+    equals the batch ``label_propagation`` over
+    ``mutual_knn_edges(similarity.knn_graph(...))`` of the
+    concatenated stream bit-for-bit (parity-pinned)."""
+    return spark.read.parquet(posixpath.join(state_path, "communities")).select(
+        "id", "community"
+    )

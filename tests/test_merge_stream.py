@@ -878,3 +878,80 @@ def test_knn_centrality_unseeded_full_refixpoint(spark, tmp_path):
     }
     got = {tuple(r) for r in read_knn_centrality(spark, state).collect()}
     assert got == want
+
+
+def test_knn_communities_stream_matches_batch(spark, tmp_path):
+    """Streaming LPA community maintenance (r13): labels are a pure
+    function of each cell's subgraph (no global parameter), so every
+    trigger recomputes exactly the affected cells — stream == batch
+    label_propagation over mutual_knn_edges(knn_graph(concat)),
+    bit-for-bit; untouched cells' community files are never rewritten;
+    replays idempotent."""
+    from renkodf_spark.operators import graph, similarity
+    from renkodf_spark.streaming.ann_stream import (
+        knn_communities_writer,
+        read_knn_communities,
+    )
+
+    lvecs = [
+        (i, [float((i * 7 + j * 3) % 11) for j in range(4)], "abc"[i % 3])
+        for i in range(27)
+    ]
+    schema = "vec_id long, embedding array<double>"
+    labeled = spark.createDataFrame(
+        lvecs, "vec_id long, embedding array<double>, label string"
+    )
+    vecs = [(i, v) for i, v, _ in lvecs]
+    all_df = spark.createDataFrame(vecs, schema)
+    cents = similarity.embedding_centroids(labeled, dim=4)
+
+    def batch_communities(df):
+        g = similarity.knn_graph(df, cents, k=3)
+        pairs = similarity.mutual_knn_edges(g)
+        und = pairs.selectExpr("id_a as src", "id_b as dst").unionByName(
+            pairs.selectExpr("id_b as src", "id_a as dst")
+        )
+        out = graph.label_propagation(
+            und, df.selectExpr("vec_id as id"), iterations=3
+        )
+        return {tuple(r) for r in out.collect()}
+
+    state = str(tmp_path / "lpa_stream")
+    writer = knn_communities_writer(cents, state, k=3, iterations=3)
+
+    b1 = spark.createDataFrame(vecs[:11], schema)
+    b2 = spark.createDataFrame(vecs[11:20], schema)
+    b3 = spark.createDataFrame(vecs[20:], schema)
+
+    writer(b1, 0)
+    got = {tuple(r) for r in read_knn_communities(spark, state).collect()}
+    assert got == batch_communities(b1)
+
+    comm_dir = os.path.join(state, "communities")
+    before = {
+        d: sorted(os.listdir(os.path.join(comm_dir, d)))
+        for d in os.listdir(comm_dir)
+        if d.startswith("cell=")
+    }
+    from renkodf_spark.operators.similarity import nearest_centroid
+
+    touched = {
+        f"cell={r['cell']}"
+        for r in nearest_centroid(b2, cents).select("cell").distinct().collect()
+    }
+    writer(b2, 1)
+    got = {tuple(r) for r in read_knn_communities(spark, state).collect()}
+    assert got == batch_communities(spark.createDataFrame(vecs[:20], schema))
+    for d, files in before.items():
+        if d not in touched:
+            assert (
+                sorted(os.listdir(os.path.join(comm_dir, d))) == files
+            ), f"untouched cell community partition {d} was rewritten"
+
+    writer(b3, 2)
+    want = batch_communities(all_df)
+    assert {tuple(r) for r in read_knn_communities(spark, state).collect()} == want
+    writer(b3, 2)  # replay
+    assert {tuple(r) for r in read_knn_communities(spark, state).collect()} == want
+    writer(spark.createDataFrame([], schema), 3)  # empty trigger
+    assert {tuple(r) for r in read_knn_communities(spark, state).collect()} == want

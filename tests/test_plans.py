@@ -83,6 +83,10 @@ def test_no_python_udf_in_relational_queries(spark, sf_dir):
         "ivf_train_unlabeled",
         "lang_quota_sample",
         "asof_tolerance_purchase",
+        # round 13: signed sketch, persisted-graph PR, LPA communities
+        "signed_lm_score_quantiles",
+        "knn_pagerank_indexed",
+        "knn_communities",
     ]:
         assert_jvm_only(q.queries()[name](spark, sf_dir), name)
     # and the renko path has exactly one python node (the kernel)

@@ -462,6 +462,7 @@ def scale_block(spark, rep: int) -> dict:
     from renkodf_spark.operators.rangejoin import point_in_interval_join
     from renkodf_spark.operators.setsim import setsim_join
     from renkodf_spark.operators.graph import pagerank
+    from renkodf_spark.operators import graph as graph_ops
     from renkodf_spark.operators.renko import renko_mode
     from renkodf_spark.operators.renko_chunked import renko_chunked
     from renkodf_spark.sources.tables import load_table, ticks_from_events
@@ -606,6 +607,33 @@ def scale_block(spark, rep: int) -> dict:
                     similarity.embedding_centroids(remb, dim=64),
                     k=3,
                     max_cell_size=500,
+                )
+            ),
+        ),
+        # r13: LPA communities at rep x — same capped graph build as
+        # knn_pagerank_capped, plus the mutual symmetrization and
+        # `iterations` (id, label)-narrow vote rounds; the lazy edge
+        # checkpoint keeps the graph build out of the per-iteration
+        # plan. Delta over knn_graph_capped = symmetrize + votes.
+        (
+            "knn_communities_capped",
+            lambda: materialize(
+                (lambda g: graph_ops.label_propagation(
+                    similarity.mutual_knn_edges(g)
+                    .selectExpr("id_a as src", "id_b as dst")
+                    .unionByName(
+                        similarity.mutual_knn_edges(g)
+                        .selectExpr("id_b as src", "id_a as dst")
+                    ),
+                    remb.select(F.col("vec_id").alias("id")),
+                    iterations=4,
+                ))(
+                    similarity.knn_graph(
+                        remb,
+                        similarity.embedding_centroids(remb, dim=64),
+                        k=3,
+                        max_cell_size=500,
+                    )
                 )
             ),
         ),

@@ -135,13 +135,15 @@ def pagerank(
         ).select(id_col, F.coalesce("__seed", F.lit(False)).alias("__seed"))
     else:
         nodes = nodes.withColumn("__seed", F.lit(True))
-    # materialize-once via eager localCheckpoint, NOT cache(): a plan-
+    # materialize-once via LAZY localCheckpoint, NOT cache(): a plan-
     # keyed CacheManager entry outlives the call and accumulates in
     # executor storage across a long-lived driver's many pagerank calls
     # (ADVICE r12); checkpoint blocks are ContextCleaner-managed — freed
-    # when the returned DataFrame is dropped. Trade: blocks are not
-    # recomputable after executor loss (rerun the call).
-    nodes = nodes.localCheckpoint()
+    # when the returned DataFrame is dropped. The seed count below is
+    # the first action, so laziness changes nothing here — it just
+    # avoids the eager-barrier cost class measured on setsim. Trade:
+    # blocks are not recomputable after executor loss (rerun the call).
+    nodes = nodes.localCheckpoint(eager=False)
     if teleport_n is not None:
         if teleport_n < 0:
             raise ValueError(f"teleport_n must be >= 0, got {teleport_n}")

@@ -71,6 +71,18 @@ def _interval_bins(
 ) -> Column:
     """All bin ids covered by [start, end) or [start, end]."""
     # [s, e): the interval's last covered point is e-1; [s, e]: it is e.
+    #
+    # Float-division precision note (the setsim/quantiles integer-div
+    # audit, r13): floor(x / w) under float64 can be off by one for
+    # |x| > 2^53 (epoch-µs stays below that until ~year 2255, but the
+    # long domain accepts arbitrary BIGINTs). That is STILL SOUND here:
+    # both the point side and the interval side bin through this same
+    # monotone map (float division by a positive constant is monotone,
+    # floor is monotone), so a covered point's bin always lies within
+    # [first_bin, last_bin] and sequence() enumerates every integer in
+    # between — no pair can be missed; the exact residual predicate
+    # then discards any boundary spill. Bin LABELS near 2^53 may be
+    # shifted by one, which nothing downstream interprets.
     last = end - F.lit(1) if bounds == "[)" else end
     first_bin = F.floor(start / F.lit(width))
     last_bin = F.greatest(F.floor(last / F.lit(width)), first_bin)

@@ -47,6 +47,7 @@ _PRIORITY = [
     #    driver-red oracles (HUGEINT casts fixed) needing fresh rows
     "signed_lm_score_quantiles",
     "knn_pagerank_indexed",
+    "knn_trustrank_indexed",
     "knn_communities",
     "quantile_sketch_estimates",
     "quantile_outlier_trim",

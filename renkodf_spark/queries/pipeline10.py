@@ -270,3 +270,43 @@ def knn_communities(spark, sf_dir):
         emb.select(F.col("vec_id").alias("id")),
         iterations=_LPA_ITERS,
     ).selectExpr("id as vec_id", "community")
+
+
+from renkodf_spark.queries.pipeline9 import (  # noqa: E402
+    _TR_SEED_LABEL,
+    _trustrank_oracle,
+)
+
+
+@query(
+    "knn_trustrank_indexed",
+    oracle=_trustrank_oracle(),
+    doc="TrustRank over the PERSISTED kNN graph (r13): same stored "
+    "edge relation as knn_pagerank_indexed — one write_knn_graph "
+    "snapshot serves every centrality question (PageRank, TrustRank, "
+    "and any future seed set) without reloading vectors; the seeded "
+    "fixpoint reads only (src, dst) longs plus the broadcast seed "
+    "ids. Same oracle as knn_trustrank (stored == inline edges).",
+)
+def knn_trustrank_indexed(spark, sf_dir):
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    cents = similarity.embedding_centroids(emb, dim=_IVF_DIM)
+    path = tempfile.mkdtemp(prefix="knn_graph_state_")
+    similarity.write_knn_graph(emb, cents, path, k=_KNN_K)
+    edges = similarity.read_knn_graph(spark, path)
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    seeds = emb.filter(F.col("label") == _TR_SEED_LABEL).select(
+        F.col("vec_id").alias("id")
+    )
+    pr = graph.pagerank(
+        edges.select("src", "dst"),
+        nodes,
+        iterations=_PR_ITERS,
+        d_num=_PR_DNUM,
+        d_den=_PR_DDEN,
+        scale=_PR_SCALE,
+        seeds=seeds,
+    )
+    return pr.select(F.col("id").alias("vec_id"), "pr")

@@ -290,3 +290,42 @@ def test_signed_merge_and_stream_layout_roundtrip(spark):
     merged = _sketch_dict(Q.merge_sketches(fine, "g"))
     direct = _sketch_dict(Q.quantile_sketch(df, "g", "v", k=32))
     assert merged == direct
+
+
+def test_signed_stream_equals_batch(spark, tmp_path):
+    """The streaming sketch writer inherits the signed domain for free
+    (it calls quantile_sketch) — negative micro-nat-like values fold
+    across triggers to the exact batch sketch, and sketch_quantiles
+    over the folded state matches the batch run."""
+    from renkodf_spark.streaming.curation_stream import (
+        quantile_sketch_writer,
+        read_quantile_sketch,
+    )
+
+    schema = "g string, v long"
+    batches = [
+        [("a", -5), ("a", -130000), ("b", -7)],
+        [("a", 130), ("b", -(2**40)), ("b", 0)],
+        [("a", -1), ("b", -7), ("a", -999999)],
+    ]
+    path = str(tmp_path / "qsk_signed")
+    w = quantile_sketch_writer(path, "g", "v", k=32, n_buckets=2)
+    for i, rows in enumerate(batches):
+        w(spark.createDataFrame(rows, schema), i)
+    all_rows = spark.createDataFrame(sum(batches, []), schema)
+    batch_sk = _sketch_dict(Q.quantile_sketch(all_rows, "g", "v", k=32))
+    stream_sk = _sketch_dict(read_quantile_sketch(spark, path, "g"))
+    assert stream_sk == batch_sk
+    got = {
+        (r.g, r.q_permille): (r.n, r.r, r.est)
+        for r in Q.sketch_quantiles(
+            read_quantile_sketch(spark, path, "g"), "g", [(1, 2)], k=32
+        ).collect()
+    }
+    want = {
+        (r.g, r.q_permille): (r.n, r.r, r.est)
+        for r in Q.sketch_quantiles(
+            Q.quantile_sketch(all_rows, "g", "v", k=32), "g", [(1, 2)], k=32
+        ).collect()
+    }
+    assert got == want and len(got) == 2

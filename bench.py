@@ -385,7 +385,11 @@ def centrality_split(spark) -> dict:
 
     emb = load_table(spark, SF_DIR, "embeddings")
     cents = similarity.embedding_centroids(emb, dim=_IVF_DIM)
-    path = tempfile.mkdtemp(prefix="bench_knn_graph_")
+    # shared per-process state dir, rmtree'd at exit (ADVICE r13: a
+    # fresh mkdtemp per bench run accumulated graph copies in /tmp)
+    from renkodf_spark.queries.pipeline10 import _graph_state_path
+
+    path = _graph_state_path()
     nodes = emb.select(F.col("vec_id").alias("id"))
     seeds = emb.filter(F.col("label") == _TR_SEED_LABEL).select(
         F.col("vec_id").alias("id")

@@ -44,6 +44,13 @@ m is computed with shifts — k = 2^b, and
 Both branches and the bin()/shift primitives evaluate identically in
 Spark SQL and DuckDB, so the oracle hash-matches every bucket.
 
+Signed domain bounds: every BIGINT value except -2^63 itself is
+supported (that magnitude has no BIGINT form; see bucket_exprs). The
+extreme negative octave's floor is computed with the reassociated
+``(1 - p) - tail`` chain so no intermediate leaves BIGINT range
+(ADVICE r13; the naive ``1 - hi_u`` formed 2^63 and errored under
+DuckDB / ANSI Spark).
+
 Why this shape at 100 TB: the sketch is a tiny additive relation —
 counts per (group, e, m), at most ~64 octaves x k rows per group
 regardless of data size. groupBy builds it with map-side partial
@@ -95,7 +102,14 @@ def bucket_exprs(value_col: str, k: int = DEFAULT_K):
     the batch builder, the streaming writer, and the guarantee check
     (bucket-of-exact == selected bucket). Positive values use octaves
     e >= 0, zero the exact (e=-1, m=0) bucket, negatives the mirrored
-    octaves e <= -2 (module docstring) so (e, m) order == value order."""
+    octaves e <= -2 (module docstring) so (e, m) order == value order.
+
+    Domain: every BIGINT except -2^63 exactly — u = -v has no BIGINT
+    form there (non-ANSI Spark wraps it back to -2^63 and bin() sees a
+    negative), and the containing bucket's floor would sit below BIGINT
+    min regardless. All other values, including the extreme negative
+    octave down to -2^63+1, bucket and floor exactly (ADVICE r13
+    reassociation in bucket_floor_expr)."""
     b = _validate_k(k)
     v = value_col
     neg = f"(-({v}))"  # u = -v, strictly positive when v < 0
@@ -120,18 +134,28 @@ def bucket_floor_expr(k: int = DEFAULT_K):
     (most-negative) member is 1 - hi_u, where hi_u is the EXCLUSIVE
     upper bound of the mirrored positive bucket (eu = -e-2,
     mu = k-1-m); (mu+1) * 2^eu is exactly divisible by k when eu >= b,
-    so that branch needs no ceil."""
+    so that branch needs no ceil.
+
+    Overflow (ADVICE r13): for the extreme negative octave (e = -64,
+    m = 0 — values <= -(2^62 + 63*2^56)) hi_u is 2^63, which BIGINT
+    cannot hold, so the naive ``1 - hi_u`` errors in DuckDB/ANSI Spark.
+    Reassociating as ``(1 - p) - tail`` keeps every INTERMEDIATE in
+    range: 1 - 2^62 fits, and subtracting tail <= 2^62 lands on
+    1 - 2^63 = BIGINT min + 1, also representable. Both engines
+    evaluate the subtraction chain left-to-right, so the floor is now
+    exact over the full signed domain except v = -2^63 itself (whose
+    magnitude has no BIGINT form — see bucket_exprs)."""
     b = _validate_k(k)
     return (
         F.when(F.col("e") == -1, F.lit(0).cast("long"))
         .when(
             F.col("e") < -1,
             F.expr(
-                f"""1 - (CASE WHEN (-e - 2) >= {b}
-                THEN shiftleft(CAST(1 AS BIGINT), CAST(-e - 2 AS INT))
-                     + ({k} - m) * shiftleft(CAST(1 AS BIGINT), CAST(-e - 2 - {b} AS INT))
-                ELSE shiftleft(CAST(1 AS BIGINT), CAST(-e - 2 AS INT))
-                     + shiftright(({k} - m) * shiftleft(CAST(1 AS BIGINT), CAST(-e - 2 AS INT)) + {k - 1}, {b})
+                f"""(CASE WHEN (-e - 2) >= {b}
+                THEN (1 - shiftleft(CAST(1 AS BIGINT), CAST(-e - 2 AS INT)))
+                     - ({k} - m) * shiftleft(CAST(1 AS BIGINT), CAST(-e - 2 - {b} AS INT))
+                ELSE (1 - shiftleft(CAST(1 AS BIGINT), CAST(-e - 2 AS INT)))
+                     - shiftright(({k} - m) * shiftleft(CAST(1 AS BIGINT), CAST(-e - 2 AS INT)) + {k - 1}, {b})
                 END)"""
             ),
         )

@@ -27,6 +27,26 @@ _QK = 64
 _QB = 6
 _SGN_QS = [(1, 20), (1, 2), (19, 20)]
 
+_GRAPH_STATE_DIR: list[str] = []
+
+
+def _graph_state_path() -> str:
+    """One kNN-graph state dir per process, rmtree'd at exit (ADVICE
+    r13: per-invocation mkdtemp accumulated a full graph copy in /tmp
+    for every indexed-centrality call across sweep/bench runs). Safe to
+    share: each indexed query rewrites the graph before reading it, and
+    write_knn_graph's static ``overwrite`` truncates the whole path —
+    no stale cells can leak between scale factors."""
+    if not _GRAPH_STATE_DIR:
+        import atexit
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="knn_graph_state_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        _GRAPH_STATE_DIR.append(path)
+    return _GRAPH_STATE_DIR[0]
+
 
 def _m_pos_sql(u: str) -> str:
     """DuckDB sub-bucket of a strictly positive BIGINT expression —
@@ -54,13 +74,16 @@ def _signed_bucket_sql(v: str) -> tuple[str, str]:
 # bucket floor from (e, m), signed — mirrors bucket_floor_expr: the
 # most-negative member of a mirrored bucket is 1 - hi_u with hi_u the
 # EXCLUSIVE bound of the mirrored positive bucket (eu=-e-2, mu=k-1-m);
-# (k - m) * 2^eu is exactly divisible by k when eu >= b.
+# (k - m) * 2^eu is exactly divisible by k when eu >= b. Reassociated
+# as (1 - p) - tail (ADVICE r13): the naive 1 - hi_u forms 2^63 on the
+# extreme octave (e=-64, m=0) and errors in DuckDB; this chain keeps
+# every intermediate in BIGINT, matching the Spark side exactly.
 _SIGNED_FLOOR_SQL = f"""CASE WHEN e = -1 THEN CAST(0 AS BIGINT)
-    WHEN e < -1 THEN 1 - (CASE WHEN (-e - 2) >= {_QB}
-         THEN (CAST(1 AS BIGINT) << (-e - 2))
-              + ({_QK} - m) * (CAST(1 AS BIGINT) << (-e - 2 - {_QB}))
-         ELSE (CAST(1 AS BIGINT) << (-e - 2))
-              + ((({_QK} - m) * (CAST(1 AS BIGINT) << (-e - 2)) + {_QK - 1}) >> {_QB}) END)
+    WHEN e < -1 THEN (CASE WHEN (-e - 2) >= {_QB}
+         THEN (1 - (CAST(1 AS BIGINT) << (-e - 2)))
+              - ({_QK} - m) * (CAST(1 AS BIGINT) << (-e - 2 - {_QB}))
+         ELSE (1 - (CAST(1 AS BIGINT) << (-e - 2)))
+              - ((({_QK} - m) * (CAST(1 AS BIGINT) << (-e - 2)) + {_QK - 1}) >> {_QB}) END)
     WHEN e >= {_QB} THEN (CAST(1 AS BIGINT) << e) + m * (CAST(1 AS BIGINT) << (e - {_QB}))
     ELSE (CAST(1 AS BIGINT) << e)
          + ((m * (CAST(1 AS BIGINT) << e) + {_QK - 1}) >> {_QB}) END"""
@@ -183,11 +206,9 @@ from renkodf_spark.queries.pipeline9 import (  # noqa: E402
     "load again (the stored layout has no vector column at all).",
 )
 def knn_pagerank_indexed(spark, sf_dir):
-    import tempfile
-
     emb = _emb(spark, sf_dir)
     cents = similarity.embedding_centroids(emb, dim=_IVF_DIM)
-    path = tempfile.mkdtemp(prefix="knn_graph_state_")
+    path = _graph_state_path()
     similarity.write_knn_graph(emb, cents, path, k=_KNN_K)
     edges = similarity.read_knn_graph(spark, path)
     nodes = emb.select(F.col("vec_id").alias("id"))
@@ -289,11 +310,9 @@ from renkodf_spark.queries.pipeline9 import (  # noqa: E402
     "ids. Same oracle as knn_trustrank (stored == inline edges).",
 )
 def knn_trustrank_indexed(spark, sf_dir):
-    import tempfile
-
     emb = _emb(spark, sf_dir)
     cents = similarity.embedding_centroids(emb, dim=_IVF_DIM)
-    path = tempfile.mkdtemp(prefix="knn_graph_state_")
+    path = _graph_state_path()
     similarity.write_knn_graph(emb, cents, path, k=_KNN_K)
     edges = similarity.read_knn_graph(spark, path)
     nodes = emb.select(F.col("vec_id").alias("id"))

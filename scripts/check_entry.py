@@ -96,9 +96,15 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         return problems
     for c in sorted(spark_pdf.columns):
         ks, kd = dtype_kind(spark_pdf[c].dtype), dtype_kind(duck_pdf[c].dtype)
-        # an all-NaN/empty object column on one side is a pandas artifact,
-        # not a representation divergence the driver's hash would see
-        if ks != kd and not (len(spark_pdf) == 0 or spark_pdf[c].isna().all()):
+        # an all-NaN/empty object column on EITHER side is a pandas
+        # artifact (DuckDB renders all-NULL as object, Spark as float64
+        # NaN), not a representation divergence the driver's hash would
+        # see (ADVICE r13: the one-sided check false-positived there)
+        if ks != kd and not (
+            len(spark_pdf) == 0
+            or spark_pdf[c].isna().all()
+            or duck_pdf[c].isna().all()
+        ):
             problems.append(
                 f"dtype kind col '{c}': spark {spark_pdf[c].dtype} ({ks}) vs duckdb {duck_pdf[c].dtype} ({kd})"
             )
@@ -107,6 +113,13 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     a, b = canon(spark_pdf), canon(duck_pdf)
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
+        # all-NaN float64 vs all-None object (either orientation) is the
+        # same exempted pandas artifact as above — np.array_equal cannot
+        # mix the two representations, so settle it here
+        if a[c].isna().all() or b[c].isna().all():
+            if not (a[c].isna().all() and b[c].isna().all()):
+                problems.append(f"col '{c}': one side all-NULL, the other not")
+            continue
         if pd.api.types.is_float_dtype(a[c]):
             ok = np.array_equal(av, bv, equal_nan=True)
         else:

@@ -70,6 +70,15 @@ def test_dtype_kind_tolerates_all_nan_object_artifact():
     assert check_entry.compare("scratch", spark_pdf, duck_pdf) == []
 
 
+def test_dtype_kind_tolerates_all_null_duckdb_side():
+    # ADVICE r13: the mirror case — DuckDB renders an all-NULL column as
+    # object while Spark yields float64 NaN; the exemption must look at
+    # BOTH sides, not just the Spark frame
+    spark_pdf = pd.DataFrame({"n": pd.array([float("nan"), float("nan")], dtype="float64")})
+    duck_pdf = pd.DataFrame({"n": pd.array([None, None], dtype="object")})
+    assert check_entry.compare("scratch", spark_pdf, duck_pdf) == []
+
+
 def test_values_still_compared_after_kinds_match():
     spark_pdf = pd.DataFrame({"n": pd.array([1, 2], dtype="int64")})
     duck_pdf = pd.DataFrame({"n": pd.array([1, 3], dtype="int64")})

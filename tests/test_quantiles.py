@@ -264,6 +264,60 @@ def test_signed_buckets_order_and_floor(spark):
     assert by_v[5].e == 2 and by_v[1].e == 0
 
 
+def test_signed_extreme_octave_floor(spark):
+    """ADVICE r13: the naive ``1 - hi_u`` floor overflowed BIGINT on the
+    extreme negative octave (e = -64, m = 0: hi_u = 2^63). The
+    reassociated ``(1 - p) - tail`` chain must floor exactly over the
+    whole advertised domain — down to -2^63 + 1 — with floor <= v,
+    floor in the same bucket, and agreement with exact Python
+    arithmetic. The DuckDB oracle mirror (_SIGNED_FLOOR_SQL) must
+    produce the identical floors (it errored outright before)."""
+    import duckdb
+
+    from renkodf_spark.queries.pipeline10 import _SIGNED_FLOOR_SQL
+
+    k, b = 64, 6
+
+    def exact_floor(e, m):
+        if e == -1:
+            return 0
+        if e >= 0:
+            p = 1 << e
+            return p + -((-m * p) // k)
+        eu, mu = -e - 2, k - 1 - m
+        pu = 1 << eu
+        return 1 - (pu + -((-(mu + 1) * pu) // k))
+
+    vals = [
+        -(2**63) + 1,                      # most negative supported value
+        -(2**62) - 63 * (2**56),           # e=-64, m=0 lower region
+        -(2**62) - 63 * (2**56) + 1,
+        -(2**62) - 1,                      # first value in the e=-64 octave
+        -(2**62),                          # last value of e=-63
+        -(2**62) + 1,
+        2**62, 2**63 - 1, -1, -2, 0, 1,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    e, m = Q.bucket_exprs("v", k)
+    rows = df.select("v", e, m).withColumn("lo", Q.bucket_floor_expr(k)).collect()
+    floor_bucket = {
+        r.v: (r.e, r.m)
+        for r in spark.createDataFrame([(r.lo,) for r in rows], "v long")
+        .select("v", *Q.bucket_exprs("v", k))
+        .collect()
+    }
+    for r in rows:
+        assert r.lo == exact_floor(r.e, r.m), (r.v, r.lo)
+        assert r.lo <= r.v
+        assert floor_bucket[r.lo] == (r.e, r.m), (r.v, r.lo)
+        # DuckDB oracle floor mirrors the Spark expression bit-exactly
+        got = duckdb.sql(
+            f"SELECT {_SIGNED_FLOOR_SQL} AS f FROM "
+            f"(SELECT CAST({r.e} AS BIGINT) AS e, CAST({r.m} AS BIGINT) AS m)"
+        ).fetchone()[0]
+        assert got == r.lo, (r.v, got, r.lo)
+
+
 def test_signed_median_matches_python(spark):
     """Median of mixed-sign micro-nat-like scores: the selected bucket
     must contain the exact order statistic (the bucket_contains_exact

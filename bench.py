@@ -205,6 +205,13 @@ HEADLINE = [
     "signed_lm_score_quantiles",
     "knn_pagerank_indexed",
     "knn_communities",
+    # round 14: LPA communities over the stored graph (build+write+
+    # symmetrize+vote in one query; centrality_split's lpa_fixpoint
+    # shows the marginal cost once the graph is stored), end-to-end
+    # pretraining curation DAG, signed weighted quantiles
+    "knn_communities_indexed",
+    "pretrain_end_to_end",
+    "signed_weighted_quantiles",
 ]
 
 
@@ -418,10 +425,24 @@ def centrality_split(spark) -> dict:
             )
         )
 
+    def _fix_lpa():
+        from renkodf_spark.queries.pipeline10 import _LPA_ITERS
+
+        pairs = similarity.mutual_knn_edges(
+            similarity.read_knn_graph(spark, path)
+        )
+        und = pairs.selectExpr("id_a as src", "id_b as dst").unionByName(
+            pairs.selectExpr("id_b as src", "id_a as dst")
+        )
+        return materialize(
+            graph.label_propagation(und, nodes, iterations=_LPA_ITERS)
+        )
+
     phases = [
         ("build_write", _build),
         ("pagerank_fixpoint", _fix_pr),
         ("trustrank_fixpoint", _fix_tr),
+        ("lpa_fixpoint", _fix_lpa),
     ]
     samples: dict[str, list] = {n: [] for n, _ in phases}
     for _pass in range(2):
@@ -433,10 +454,11 @@ def centrality_split(spark) -> dict:
     out = {f"{n}_sec": min(samples[n]) for n, _ in phases}
     out["samples"] = samples
     out["note"] = (
-        "headline knn_pagerank/knn_trustrank each include a fresh graph "
-        "build; knn_pagerank_indexed includes build+write+fixpoint. The "
-        "fixpoint_sec values here are the per-question marginal cost "
-        "once the graph is stored."
+        "headline knn_pagerank/knn_trustrank/knn_communities each "
+        "include a fresh graph build; the *_indexed twins include "
+        "build+write+fixpoint. The fixpoint_sec values here are the "
+        "per-question marginal cost once the graph is stored "
+        "(lpa_fixpoint = mutual symmetrize + vote rounds, r14)."
     )
     return out
 

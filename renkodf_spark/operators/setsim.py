@@ -55,6 +55,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from renkodf_spark.plans.persist import persist_block
+
 
 def _validate_threshold(t_num: int, t_den: int) -> None:
     if not (isinstance(t_num, int) and isinstance(t_den, int)):
@@ -260,12 +262,17 @@ def setsim_join(
     t_num: int = 1,
     t_den: int = 2,
     round_digits: int = 4,
+    reliable: bool = False,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard >= t_num/t_den — EXACT
     (100% recall, 100% precision; the filters only prune cost).
 
     Output: ``(id_a, id_b, inter, sz_a, sz_b, jaccard)`` with
     id_a < id_b, jaccard rounded to ``round_digits``.
+
+    ``reliable=True`` checkpoints the internal element table to the
+    SparkContext checkpoint dir instead of executor-local blocks — the
+    executor-loss escape hatch for long-lived chains (plans/persist.py).
     """
     _validate_threshold(t_num, t_den)
     e = element_table(df, text_col=text_col, id_col=id_col, shingle_n=shingle_n)
@@ -277,7 +284,7 @@ def setsim_join(
     # its own serial job before the query and measured 1.96x on
     # setsim_exact_join at sf0.1; the lazy form persists on first use
     # inside the query's own parallel job, like cache() did.
-    e = e.localCheckpoint(eager=False)
+    e = persist_block(e, reliable=reliable)
     pref = prefix_index(e, t_num=t_num, t_den=t_den)
     cand = _filtered_candidates(
         _prefix_side(pref, "a"),
@@ -299,6 +306,7 @@ def setsim_index(
     shingle_n: int = 3,
     t_num: int = 1,
     t_den: int = 2,
+    reliable: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The three persistable index tables of the production protocol:
     ``(freq, prefix, sets)`` — element frequencies (the frozen order
@@ -306,8 +314,11 @@ def setsim_index(
     three once per corpus snapshot (bucket prefix by ``h``, sets by
     ``id``) and run increments through
     :func:`incremental_setsim_pairs` — the historical text is never
-    re-read."""
-    e = element_table(df, text_col=text_col, id_col=id_col, shingle_n=shingle_n).localCheckpoint(eager=False)
+    re-read. ``reliable=`` as in :func:`setsim_join`."""
+    e = persist_block(
+        element_table(df, text_col=text_col, id_col=id_col, shingle_n=shingle_n),
+        reliable=reliable,
+    )
     freq = element_frequencies(e)
     return freq, prefix_index(e, t_num=t_num, t_den=t_den), element_sets(e)
 
@@ -326,6 +337,7 @@ def incremental_setsim_pairs(
     round_digits: int = 4,
     include_within_new: bool = True,
     new_elements: DataFrame | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """Exact set-similarity pairs TOUCHING an increment: new-vs-baseline
     plus (optionally) new-vs-new, against a persisted
@@ -351,9 +363,12 @@ def incremental_setsim_pairs(
     e_new = (
         new_elements
         if new_elements is not None
-        else element_table(
-            new_df, text_col=text_col, id_col=id_col, shingle_n=shingle_n
-        ).localCheckpoint(eager=False)
+        else persist_block(
+            element_table(
+                new_df, text_col=text_col, id_col=id_col, shingle_n=shingle_n
+            ),
+            reliable=reliable,
+        )
     )
     pref_new = prefix_index(e_new, t_num=t_num, t_den=t_den, freq=freq)
     cross = _filtered_candidates(
@@ -389,6 +404,7 @@ def containment_join(
     t_den: int = 5,
     round_digits: int = 4,
     repartition_input: bool | str = "auto",
+    reliable: bool = False,
 ) -> DataFrame:
     """Exact CONTAINMENT join: all ORDERED pairs (a, b), a != b, with
     ``|a ∩ b| >= t * |a|`` — "most of a's shingles appear in b", the
@@ -413,13 +429,16 @@ def containment_join(
     orientations of a mutually-containing pair are reported.
     """
     _validate_threshold(t_num, t_den)
-    e = element_table(
-        df,
-        text_col=text_col,
-        id_col=id_col,
-        shingle_n=shingle_n,
-        repartition_input=repartition_input,
-    ).localCheckpoint(eager=False)
+    e = persist_block(
+        element_table(
+            df,
+            text_col=text_col,
+            id_col=id_col,
+            shingle_n=shingle_n,
+            repartition_input=repartition_input,
+        ),
+        reliable=reliable,
+    )
     pref = prefix_index(e, t_num=t_num, t_den=t_den)
     a = pref.select("h", F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     b = e.select("h", F.col("id").alias("id_b"))

@@ -175,6 +175,179 @@ def signed_lm_score_quantiles(spark, sf_dir):
     )
 
 
+# ------------- r14: signed WEIGHTED quantiles + signed outlier trim
+# (VERDICT r13 item 5: r13 proved the signed sketch on the unweighted
+# leg only; these exercise the weighted-rank and trim compositions on
+# the negative score domain.)
+
+_SGN_W_CTES = (
+    _BG_CTES
+    + rf""",
+svw AS (
+  SELECT d.lang AS g, s.s AS v, d.n_chars AS w
+  FROM scores s JOIN documents d USING (doc_id)),
+wbk AS (SELECT g, v, w, {_SGN_E} AS e, {_SGN_M} AS m FROM svw),
+wsk AS (SELECT g, e, m, CAST(SUM(w) AS BIGINT) AS cnt FROM wbk GROUP BY 1, 2, 3),
+wcum AS (
+  SELECT g, e, m, cnt,
+         SUM(cnt) OVER (PARTITION BY g ORDER BY e, m) AS cum,
+         SUM(cnt) OVER (PARTITION BY g) AS n
+  FROM wsk),
+wqs AS (SELECT * FROM (VALUES (1, 20, 50), (1, 2, 500), (19, 20, 950)) t(qn, qd, qp)),
+wsel AS (
+  SELECT g, qp, n, (qn * n + qd - 1) // qd AS r, e, m,
+         ROW_NUMBER() OVER (PARTITION BY g, qp ORDER BY e, m) AS rk
+  FROM wcum CROSS JOIN wqs
+  WHERE cum >= (qn * n + qd - 1) // qd),
+west AS (
+  SELECT g, qp, n, r, e, m, {_SIGNED_FLOOR_SQL} AS est
+  FROM wsel WHERE rk = 1),
+wdv AS (SELECT g, v, CAST(SUM(w) AS BIGINT) AS wv FROM svw GROUP BY 1, 2),
+wcw AS (SELECT g, v, SUM(wv) OVER (PARTITION BY g ORDER BY v) AS cumw FROM wdv),
+wx AS (
+  SELECT e2.g, e2.qp, MIN(c.v) AS v_star
+  FROM west e2 JOIN wcw c ON c.g = e2.g AND c.cumw >= e2.r
+  GROUP BY 1, 2),
+wxb AS (
+  SELECT g, qp, {_signed_bucket_sql("v_star")[0]} AS xe,
+         {_signed_bucket_sql("v_star")[1]} AS xm
+  FROM wx)
+"""
+)
+
+
+@query(
+    "signed_weighted_quantiles",
+    oracle=_SGN_W_CTES
+    + """
+SELECT west.g AS lang, west.qp AS q_permille,
+       CAST(west.n AS BIGINT) AS n, CAST(west.r AS BIGINT) AS r, west.est,
+       (west.e = wxb.xe AND west.m = wxb.xm) AS bucket_contains_exact
+FROM west JOIN wxb ON wxb.g = west.g AND wxb.qp = west.qp
+""",
+    doc="byte-WEIGHTED quantiles on the SIGNED domain (r14): value = "
+    "bigram Stupid-Backoff doc score (negative integer micro-nats), "
+    "weight = doc n_chars — 'p95 of source bytes sit in docs scoring "
+    "above est', the token-budget view of quality a row-quantile "
+    "misreads when long docs dominate the mass. Rank is measured in "
+    "weight via the overflow-free split identity (exact for total "
+    "mass beyond 2^53); the exactness check recomputes the weighted "
+    "order statistic v* (smallest v with cumulative weight >= r) by "
+    "full sort on both engines and confirms the sketch's bucket "
+    "contains it. At 100 TB: sketch rows are (lang, e, m, weight), "
+    "the corpus collapses in one map-side-combined shuffle.",
+)
+def signed_weighted_quantiles(spark, sf_dir):
+    docs, model = _bigram_model(spark, sf_dir)
+    scores = text.bigram_logprob(docs, model)
+    scored = scores.join(docs.select("doc_id", "lang", "n_chars"), "doc_id").select(
+        F.col("lang"), F.col("sum_logp_micros").alias("v"), F.col("n_chars").alias("w")
+    )
+    sk = qsk.quantile_sketch(scored, "lang", "v", k=_QK, weight_col="w")
+    est = qsk.sketch_quantiles(sk, "lang", _SGN_QS, k=_QK)
+    # exact weighted order statistic: smallest v whose cumulative
+    # weight (ascending v, per-distinct-v pre-aggregated) reaches r
+    cw = (
+        scored.groupBy("lang", "v")
+        .agg(F.sum("w").alias("wv"))
+        .withColumn("cumw", F.sum("wv").over(Window.partitionBy("lang").orderBy("v")))
+    )
+    xb = (
+        est.select("lang", "q_permille", "r")
+        .join(cw, "lang")
+        .filter(F.col("cumw") >= F.col("r"))
+        .groupBy("lang", "q_permille")
+        .agg(F.min("v").alias("v_star"))
+    )
+    xe, xm = qsk.bucket_exprs("v_star", _QK)
+    xb = xb.select("lang", "q_permille", xe.alias("xe"), xm.alias("xm"))
+    return est.join(xb, ["lang", "q_permille"]).select(
+        "lang",
+        "q_permille",
+        "n",
+        "r",
+        "est",
+        ((F.col("e") == F.col("xe")) & (F.col("m") == F.col("xm"))).alias(
+            "bucket_contains_exact"
+        ),
+    )
+
+
+_SGN_TRIM_CTES = (
+    _BG_CTES
+    + rf""",
+sv AS (
+  SELECT d.lang AS g, s.s AS v, s.doc_id
+  FROM scores s JOIN documents d USING (doc_id)),
+tbk AS (SELECT g, v, {_SGN_E} AS e, {_SGN_M} AS m FROM sv),
+tsk AS (SELECT g, e, m, CAST(COUNT(*) AS BIGINT) AS cnt FROM tbk GROUP BY 1, 2, 3),
+tcum AS (
+  SELECT g, e, m, cnt,
+         SUM(cnt) OVER (PARTITION BY g ORDER BY e, m) AS cum,
+         SUM(cnt) OVER (PARTITION BY g) AS n
+  FROM tsk),
+tqs AS (SELECT * FROM (VALUES (1, 20, 50), (19, 20, 950)) t(qn, qd, qp)),
+tsel AS (
+  SELECT g, qp, n, e, m,
+         ROW_NUMBER() OVER (PARTITION BY g, qp ORDER BY e, m) AS rk
+  FROM tcum CROSS JOIN tqs
+  WHERE cum >= (qn * n + qd - 1) // qd),
+test_ AS (
+  SELECT g, qp, n, {_SIGNED_FLOOR_SQL} AS est
+  FROM tsel WHERE rk = 1),
+tbounds AS (
+  SELECT g, MAX(n) AS n,
+         MAX(CASE WHEN qp = 50 THEN est END) AS lo,
+         MAX(CASE WHEN qp = 950 THEN est END) AS hi
+  FROM test_ GROUP BY g)
+"""
+)
+
+
+@query(
+    "signed_score_trim",
+    oracle=_SGN_TRIM_CTES
+    + """
+SELECT b.g AS lang, CAST(b.n AS BIGINT) AS n, b.lo, b.hi,
+       CAST(COUNT(*) FILTER (sv.v >= b.lo AND sv.v <= b.hi) AS BIGINT) AS n_kept
+FROM tbounds b JOIN sv ON sv.g = b.g
+GROUP BY 1, 2, 3, 4
+""",
+    doc="outlier trim driven by SIGNED sketch quantiles (r14): "
+    "per-language p05/p95 bounds of the (negative) bigram doc scores "
+    "read off the sketch — never the raw score relation — then one "
+    "broadcast join applies the keep-filter: (lang, n, lo, hi, "
+    "n_kept). The quantile_outlier_trim composition, now proven on "
+    "the mirrored-octave domain; at 100 TB the bounds relation is "
+    "one row per language and only the final filter touches the "
+    "corpus-sized score relation.",
+)
+def signed_score_trim(spark, sf_dir):
+    docs, model = _bigram_model(spark, sf_dir)
+    scores = text.bigram_logprob(docs, model)
+    scored = scores.join(docs.select("doc_id", "lang"), "doc_id").select(
+        F.col("lang"), F.col("sum_logp_micros").alias("v")
+    )
+    sk = qsk.quantile_sketch(scored, "lang", "v", k=_QK)
+    est = qsk.sketch_quantiles(sk, "lang", [(1, 20), (19, 20)], k=_QK)
+    bounds = est.groupBy("lang").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("q_permille") == 50, F.col("est"))).alias("lo"),
+        F.max(F.when(F.col("q_permille") == 950, F.col("est"))).alias("hi"),
+    )
+    return (
+        scored.join(F.broadcast(bounds), "lang")
+        .groupBy("lang", "n", "lo", "hi")
+        .agg(
+            F.count(
+                F.when((F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")), 1)
+            )
+            .cast("long")
+            .alias("n_kept")
+        )
+    )
+
+
 # ------------------------------------- persisted-graph centrality
 
 from renkodf_spark.operators import graph, similarity  # noqa: E402
@@ -329,3 +502,34 @@ def knn_trustrank_indexed(spark, sf_dir):
         seeds=seeds,
     )
     return pr.select(F.col("id").alias("vec_id"), "pr")
+
+
+@query(
+    "knn_communities_indexed",
+    oracle=_lpa_oracle(),
+    doc="deterministic LPA communities over the PERSISTED kNN graph "
+    "(r14, completing the indexed centrality set): mutual-kNN "
+    "symmetrization runs on the stored (src, dst) relation — a narrow "
+    "self-join, no vector anywhere in the plan — then the same "
+    f"fixed-{_LPA_ITERS}-iteration argmax-vote loop as knn_communities. "
+    "Same oracle (stored == inline edges, parity-pinned). Why at "
+    "100 TB: communities was the last graph question still paying the "
+    "routing + sum(|cell|^2) pair build inside every call; against a "
+    "stored snapshot the marginal cost is symmetrize + vote rounds "
+    "over (id, label) longs (bench centrality_split lpa_fixpoint).",
+)
+def knn_communities_indexed(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cents = similarity.embedding_centroids(emb, dim=_IVF_DIM)
+    path = _graph_state_path()
+    similarity.write_knn_graph(emb, cents, path, k=_KNN_K)
+    stored = similarity.read_knn_graph(spark, path)
+    pairs = similarity.mutual_knn_edges(stored)
+    und = pairs.selectExpr("id_a as src", "id_b as dst").unionByName(
+        pairs.selectExpr("id_b as src", "id_a as dst")
+    )
+    return graph.label_propagation(
+        und,
+        emb.select(F.col("vec_id").alias("id")),
+        iterations=_LPA_ITERS,
+    ).selectExpr("id as vec_id", "community")

@@ -55,6 +55,61 @@ def test_pagerank_checkpoint_parity(spark):
     assert ck == base
 
 
+def test_reliable_checkpoint_requires_dir(spark):
+    """reliable=True without a SparkContext checkpoint dir must fail
+    eagerly with instructions, not mid-job (plans/persist.py)."""
+    if spark.sparkContext.getCheckpointDir() is not None:
+        pytest.skip("checkpoint dir already set on the shared session")
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    n = spark.createDataFrame([(v,) for v in NODES], "id long")
+    with pytest.raises(ValueError, match="setCheckpointDir"):
+        graph.pagerank(e, n, iterations=2, reliable=True)
+
+
+def test_reliable_checkpoint_parity(spark, tmp_path):
+    """VERDICT r13 item 4: the reliable= escape hatch (checkpoint-dir
+    blocks that survive executor loss) must produce bit-identical
+    results for pagerank, label_propagation, and setsim_join."""
+    from renkodf_spark.operators import setsim
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    n = spark.createDataFrame([(v,) for v in NODES], "id long")
+    base = {r.id: r.pr for r in graph.pagerank(e, n, iterations=5).collect()}
+    rel = {
+        r.id: r.pr
+        for r in graph.pagerank(
+            e, n, iterations=5, checkpoint_every=2, reliable=True
+        ).collect()
+    }
+    assert rel == base
+
+    und = e.unionByName(e.selectExpr("dst as src", "src as dst"))
+    lb = {
+        r.id: r.community
+        for r in graph.label_propagation(und, n, iterations=4).collect()
+    }
+    lr = {
+        r.id: r.community
+        for r in graph.label_propagation(
+            und, n, iterations=4, checkpoint_every=2, reliable=True
+        ).collect()
+    }
+    assert lr == lb
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox " * 3 + ("jumps" if i % 2 else "sleeps"))
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    key = lambda df: {  # noqa: E731
+        (r.id_a, r.id_b): (r.inter, r.jaccard) for r in df.collect()
+    }
+    assert key(setsim.setsim_join(docs, reliable=True)) == key(
+        setsim.setsim_join(docs)
+    )
+
+
 def test_pagerank_star_hub_ranks_highest(spark):
     spokes = [(i, 0) for i in range(1, 20)]
     e = spark.createDataFrame(spokes, "src long, dst long")

@@ -646,6 +646,7 @@ def decontaminate(
     id_col: str = "doc_id",
     eval_text_col: str = "text",
     eval_id_col: str = "eval_id",
+    broadcast_report: bool = False,
 ) -> DataFrame:
     """Drop training documents contaminated by the evaluation set: any
     doc with at least ``min_hit_grams`` distinct overlapping normalized
@@ -655,6 +656,10 @@ def decontaminate(
     Plan: the contamination report (narrow: id + two counts) drives a
     LEFT ANTI join against the corpus — AQE broadcasts it when small,
     so the common case adds zero shuffles beyond the report itself.
+    ``broadcast_report=True`` forces the broadcast — inside a long
+    composed DAG AQE has no stats to see it is small, and the flagged
+    set is bounded by the eval set's gram reach, not the corpus, so
+    the hint is scale-safe (keeps the text side out of any exchange).
     """
     flagged = contamination(
         train,
@@ -665,7 +670,10 @@ def decontaminate(
         eval_text_col=eval_text_col,
         eval_id_col=eval_id_col,
     ).filter(F.col("n_hit_grams") >= min_hit_grams)
-    return train.join(flagged.select(id_col), id_col, "left_anti")
+    ids = flagged.select(id_col)
+    if broadcast_report:
+        ids = F.broadcast(ids)
+    return train.join(ids, id_col, "left_anti")
 
 
 # ------------------------------------------------- temperature resampling
@@ -732,6 +740,7 @@ def temperature_sample(
     target_total: int = 1000,
     id_col: str = "doc_id",
     salt: str = "sample",
+    broadcast_rates: bool = False,
 ) -> DataFrame:
     """Apply :func:`temperature_rates` with the deterministic hash
     threshold of :func:`rate_sample`: a row is kept iff its 48-bit
@@ -745,6 +754,10 @@ def temperature_sample(
     the join (unhinted, per the quota_admitted precedent: a
     high-cardinality group column must be allowed to shuffle) — and
     the filter is the same narrow integer compare as rate_sample.
+    ``broadcast_rates=True`` forces the broadcast for composed DAGs
+    where AQE has no stats (temperature over LANGUAGE-cardinality
+    groups is always broadcast-safe; leave False for group columns
+    whose cardinality could rival the row count).
     """
     rates = temperature_rates(
         df, group_col=group_col, alpha=alpha, target_total=target_total
@@ -753,8 +766,11 @@ def temperature_sample(
     g = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00null"))
     h48 = F.conv(F.substring(_sample_key(id_col, salt), 1, 12), 16, 10).cast("long")
     keyed = df.withColumn("__g", g)
+    rel = rates.select(F.col(group_col).alias("__g"), thresh.alias("__t"))
+    if broadcast_rates:
+        rel = F.broadcast(rel)
     return (
-        keyed.join(rates.select(F.col(group_col).alias("__g"), thresh.alias("__t")), "__g")
+        keyed.join(rel, "__g")
         .filter(h48 < F.col("__t"))
         .select(*df.columns)
     )

@@ -30,6 +30,7 @@ from renkodf_spark.queries import pipeline7  # noqa: F401
 from renkodf_spark.queries import pipeline8  # noqa: F401
 from renkodf_spark.queries import pipeline9  # noqa: F401
 from renkodf_spark.queries import pipeline10  # noqa: F401
+from renkodf_spark.queries import pipeline11  # noqa: F401
 
 # Gate-window priority (see module docstring). Rotation policy (ADVICE
 # r2, applied every round): queries that never had a gate row, plus
@@ -43,8 +44,19 @@ from renkodf_spark.queries import pipeline10  # noqa: F401
 # mechanical so the artifact no longer depends on habit).
 # Names not listed keep their module registration order after these.
 _PRIORITY = [
-    # -- new in round 13 (never had a gate row), plus the 4 round-12
-    #    driver-red oracles (HUGEINT casts fixed) needing fresh rows
+    # -- new in round 14 (never had a gate row), plus the queries whose
+    #    operator or oracle changed this round: the signed sketch floor
+    #    reassociation (signed_lm_score_quantiles), the shared graph
+    #    state dir + reliable= threading (indexed centrality, setsim,
+    #    pagerank/LPA consumers), and the broadcast hints on
+    #    decontaminate/temperature_sample
+    "pretrain_end_to_end",
+    "knn_communities_indexed",
+    "signed_weighted_quantiles",
+    "signed_score_trim",
+    "decontaminated_corpus",
+    "lang_temperature_sample",
+    # -- round 13 batch (rotating out as they green)
     "signed_lm_score_quantiles",
     "knn_pagerank_indexed",
     "knn_trustrank_indexed",

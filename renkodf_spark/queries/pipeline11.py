@@ -1,0 +1,230 @@
+"""Round-14 flagship: the end-to-end pretraining-data DAG.
+
+``pretrain_end_to_end`` chains the full public curation pipeline —
+exact dedup -> MinHash-LSH near-dup drop -> Gopher quality filter ->
+benchmark decontamination -> temperature mixing -> sequence packing ->
+shard content export — as ONE declarative DataFrame DAG (VERDICT r13
+item 6). No stage materializes; Catalyst plans the whole pipeline at
+once, so the document text column flows scan -> per-row feature
+projections -> pack without ever entering an exchange (pinned in
+tests/test_plans.py): every shuffle in the plan carries narrow keys
+(content hashes, band keys, gram digests, doc ids, chunk labels).
+
+Oracle strategy (the ``curation_end_to_end`` composition device, at
+full length): the DuckDB program is ASSEMBLED from the single-stage
+oracle texts — ``_PAIRS_CTES`` (dedup_minhash_lsh), ``_GOPHER_ORACLE``
+(gopher_quality_filter), ``_DECON_CTES`` (decontaminated_corpus),
+``_TEMP_ORACLE`` (lang_temperature_sample), ``_BINS_ORACLE``
+(packed_bins) — each rebased from ``documents`` onto the previous
+stage's output CTE by string surgery. The composed oracle therefore
+cannot drift from the stage oracles the gate already pins one by one;
+stage thresholds are inherited verbatim for the same reason.
+
+The C4-style cross-document boilerplate stage
+(``boilerplate_line_removal`` / corpus.remove_boilerplate_lines)
+composes the same way on multi-line corpora; the gate corpus is
+single-line (its own gate query synthesizes the multi-line structure),
+so chaining it here would be a no-op by construction and it is left to
+its dedicated gate query.
+
+Why this is the 100 TB flagship: a real pretraining run executes
+exactly this chain over the full corpus. Every stage here keeps the
+payload column out of the exchanges — dedup shuffles 32-char hashes,
+LSH shuffles (band, key) pairs, Gopher is a pure projection,
+decontamination broadcasts the eval gram set, temperature mixing
+broadcasts one rate row per language, and packing shuffles chunk
+LABELS before the single payload-bearing bin assembly — so the data
+volume that crosses the network is a small multiple of the doc COUNT,
+not the corpus SIZE.
+
+Final output: (shard, bin_id, bin_tokens, bin_digest) — the content
+fingerprint of every training sequence a shard writer would emit, so
+the oracle hash pins the ENTIRE pipeline end to end: any divergence in
+any stage changes some bin digest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from renkodf_spark.operators import corpus, dedup, text
+from renkodf_spark.queries.pipeline import (
+    BAND_SIZE,
+    MAX_BUCKET,
+    NUM_HASHES,
+    SHINGLE_N,
+    _PAIRS_CTES,
+    _docs,
+)
+from renkodf_spark.queries.pipeline2 import (
+    _CHUNK_SIZE,
+    _CHUNK_STRIDE,
+    _PACK_BUDGET,
+    _PACK_SHARDS,
+    _BINS_ORACLE,
+)
+from renkodf_spark.queries.pipeline3 import (
+    _DECON_CTES,
+    _DECON_N,
+    _TEMP_ALPHA,
+    _TEMP_ORACLE,
+    _TEMP_TARGET,
+    _eval_snippets,
+)
+from renkodf_spark.queries.pipeline4 import (
+    _G_MIN_STOP,
+    _G_MIN_WORDS,
+    _GOPHER_ORACLE,
+)
+from renkodf_spark.queries.registry import query
+
+
+def _pretrain_oracle() -> str:
+    """Assemble the end-to-end DuckDB program from the five stage
+    oracles (module docstring). Each block is rebased onto the previous
+    stage's output CTE; the rebasing substring is asserted present so a
+    stage-oracle edit that breaks the surgery fails loudly at import."""
+    # stage 1: exact dedup (the curation_end_to_end head, verbatim)
+    sql = """
+WITH dd AS (
+  SELECT d.* FROM documents d
+  JOIN (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+    USING (doc_id))"""
+
+    # stage 2: MinHash-LSH candidates on the deduped corpus, greedy
+    # lower-id drop (keep docs with no lower-id candidate partner)
+    assert "WITH toks AS" in _PAIRS_CTES and "FROM documents" in _PAIRS_CTES
+    sql += _PAIRS_CTES.replace("WITH toks AS", ",\ntoks AS", 1).replace(
+        "FROM documents", "FROM dd", 1
+    )
+    sql += """,
+nd AS (
+  SELECT dd.* FROM dd
+  LEFT JOIN (SELECT DISTINCT id_b FROM pairs) dr ON dd.doc_id = dr.id_b
+  WHERE dr.id_b IS NULL)"""
+
+    # stage 3: Gopher rule filter (the curation_end_to_end rsplit
+    # device, rebased onto nd)
+    head, tail = _GOPHER_ORACLE.rsplit("SELECT feat.*,", 1)
+    assert "WITH f AS" in head and "FROM documents)" in head
+    sql += (
+        head.replace("WITH f AS", ",\nf AS", 1).replace("FROM documents)", "FROM nd)", 1)
+        + ", gp AS (SELECT feat.doc_id,"
+        + tail.rstrip()
+        + """),
+gq AS (SELECT nd.* FROM nd JOIN gp ON gp.doc_id = nd.doc_id AND gp.gopher_pass = 1)"""
+    )
+
+    # stage 4: decontamination. _DECON_CTES stays verbatim on the FULL
+    # corpus — the eval carve is an external benchmark, and the `rep`
+    # flag relation is a superset whose intersection with gq is exactly
+    # the rebased computation (left-anti below applies it to gq only).
+    assert "WITH nt AS" in _DECON_CTES
+    sql += _DECON_CTES.replace("WITH nt AS", ",\nnt AS", 1)
+    sql += """,
+dc AS (
+  SELECT gq.* FROM gq LEFT JOIN rep USING (doc_id)
+  WHERE rep.doc_id IS NULL)"""
+
+    # stage 5: temperature mixing — rates from dc's language counts,
+    # threshold applied to dc (both `documents` references rebased)
+    thead, ttail = _TEMP_ORACLE.rsplit("SELECT d.doc_id, d.lang", 1)
+    assert "WITH c AS" in thead and "FROM documents GROUP BY 1" in thead
+    assert "FROM documents d" in ttail
+    sql += (
+        thead.replace("WITH c AS", ",\nc AS", 1).replace(
+            "FROM documents GROUP BY 1", "FROM dc GROUP BY 1", 1
+        )
+        + ",\ntm AS (SELECT d.*"
+        + ttail.replace("FROM documents d", "FROM dc d", 1).rstrip()
+        + ")"
+    )
+
+    # stage 6+7: packing + bin assembly (the packed_bins oracle over
+    # tm; its `toks` CTE renamed — the LSH block owns that name here)
+    assert "WITH toks AS" in _BINS_ORACLE and "FROM documents)" in _BINS_ORACLE
+    sql += (
+        _BINS_ORACLE.replace("toks", "ptoks")
+        .replace("WITH ptoks AS", ",\nptoks AS", 1)
+        .replace("FROM documents)", "FROM tm)", 1)
+    )
+    return sql
+
+
+@query(
+    "pretrain_end_to_end",
+    oracle=_pretrain_oracle(),
+    doc="the COMPLETE pretraining-data pipeline as one declarative DAG "
+    "(r14 flagship): exact dedup (keep min-id per content hash) -> "
+    f"MinHash-LSH near-dup drop ({NUM_HASHES} hashes x {BAND_SIZE}-row "
+    "bands, greedy lower-id keep) -> Gopher rule filter -> benchmark "
+    f"decontamination (normalized {_DECON_N}-gram overlap with the "
+    "deterministic eval carve) -> temperature mixing (n^0.5 rates, "
+    "48-bit hash threshold) -> concat-and-split sequence packing -> "
+    "per-shard bin digests, i.e. the exact content a shard writer "
+    "emits. Oracle is ASSEMBLED from the five stage oracles by CTE "
+    "rebasing, so it cannot drift from the individually-pinned "
+    "stages; the bin digests hash-pin every upstream stage at once. "
+    "Plan shape: document text crosses no exchange until the single "
+    "payload-bearing bin-assembly shuffle (pinned in test_plans.py); "
+    "everything else moves hashes, band keys, gram digests, and "
+    "chunk labels.",
+)
+def pretrain_end_to_end(spark, sf_dir):
+    # Join discipline: every stage's keep/drop set is a doc_id-only
+    # relation, explicitly broadcast, so the text-bearing probe side
+    # never enters an exchange (the plan pin). At 100 TB, where a
+    # billion-row id set outgrows a broadcast, the same DAG swaps these
+    # for bucketed co-located joins (sources/bucketed) — the stage
+    # semantics and the oracle are join-strategy-independent.
+    docs = _docs(spark, sf_dir)
+    # 1: exact dedup — keep the minimum id of every content group
+    keepers = dedup.exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
+    dd = docs.join(F.broadcast(keepers), "doc_id")
+    # 2: near-dup drop — LSH candidates on the deduped corpus; a doc
+    # with any lower-id candidate partner is dropped (deterministic
+    # greedy keep, the multimodal_curation_end_to_end policy)
+    # repartition_input=False: the auto input-spread exists for
+    # under-parallel LOCAL reads and is itself a text exchange; a
+    # well-partitioned production scan never triggers it, and this DAG
+    # pins the production plan shape (text crosses no exchange)
+    pairs = dedup.minhash_lsh_pairs(
+        dd,
+        num_hashes=NUM_HASHES,
+        band_size=BAND_SIZE,
+        shingle_n=SHINGLE_N,
+        max_bucket_size=MAX_BUCKET,
+        repartition_input=False,
+    )
+    nd = dd.join(
+        F.broadcast(pairs.select(F.col("id_b").alias("doc_id")).distinct()),
+        "doc_id",
+        "left_anti",
+    )
+    # 3: Gopher rule filter
+    passing = (
+        text.gopher_rules(nd, min_words=_G_MIN_WORDS, min_stop_hits=_G_MIN_STOP)
+        .filter(F.col("gopher_pass") == 1)
+        .select("doc_id")
+    )
+    gq = nd.join(F.broadcast(passing), "doc_id")
+    # 4: decontamination against the eval carve of the FULL corpus
+    # (broadcast_report: the flag set is bounded by the eval set's
+    # gram reach, and AQE cannot see that inside this DAG)
+    dc = corpus.decontaminate(
+        gq, _eval_snippets(spark, sf_dir), n=_DECON_N, broadcast_report=True
+    )
+    # 5: temperature mixing over the surviving language distribution
+    # (broadcast_rates: one row per language)
+    tm = corpus.temperature_sample(
+        dc, alpha=_TEMP_ALPHA, target_total=_TEMP_TARGET, broadcast_rates=True
+    )
+    # 6+7: chunk -> pack -> assemble bins; export the shard content
+    chunks = corpus.chunk_documents(
+        tm, chunk_size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+    )
+    packed = corpus.pack_sequences(chunks, budget=_PACK_BUDGET, shards=_PACK_SHARDS)
+    bins = corpus.assemble_bins(packed, budget=_PACK_BUDGET)
+    return bins.select(
+        "shard", "bin_id", "bin_tokens", F.md5("bin_text").alias("bin_digest")
+    )

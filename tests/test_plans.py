@@ -448,3 +448,27 @@ def test_winnow_text_never_enters_an_exchange(spark, sf_dir):
         df = q.queries()[name](spark, sf_dir)
         for cols in exchange_inputs(df):
             assert "text" not in set(cols), f"{name}: text enters an exchange: {cols}"
+
+
+def test_pretrain_end_to_end_text_never_enters_an_exchange(spark, sf_dir):
+    """The r14 flagship DAG's plan pin (VERDICT r13 item 6): across the
+    ENTIRE pipeline — exact dedup, LSH near-dup drop, Gopher filter,
+    decontamination, temperature mixing, packing — no exchange input
+    (shuffle OR broadcast) may carry the raw document text: stage
+    verdicts travel as broadcast doc_id sets, features as hashes/band
+    keys/gram digests/counts. The packed payload (chunk_text and its
+    bin pieces) is the pipeline's OUTPUT and must cross an exchange at
+    least once to be assembled into shards — but only in the terminal
+    packing segment, and boundedly."""
+    from renkodf_spark.plans import exchange_inputs
+
+    df = q.queries()["pretrain_end_to_end"](spark, sf_dir)
+    payload_crossings = 0
+    for cols in exchange_inputs(df):
+        s = set(cols)
+        assert "text" not in s, f"document text enters an exchange: {cols}"
+        if {"chunk_text", "piece", "bin_text"} & s:
+            payload_crossings += 1
+    # chunk payload may cross only in bin assembly: the (shard, bin_id)
+    # group plus at most an AQE re-partitioning of the same segment
+    assert 1 <= payload_crossings <= 3, payload_crossings

@@ -523,7 +523,10 @@ def scale_block(spark, rep: int) -> dict:
         )
     )
     from renkodf_spark.operators import classifier, similarity
+    from renkodf_spark.operators import corpus as corpus_ops
     from renkodf_spark.operators import text as text_ops
+    from renkodf_spark.queries.pipeline3 import _EVAL_LEN, _EVAL_MOD, _EVAL_START
+    from renkodf_spark.queries.pipeline11 import pretrain_dag
 
     # replicated corpus WITH metadata (source label) for the model
     # families: each rep keeps the base source tag, so the trusted
@@ -723,6 +726,34 @@ def scale_block(spark, rep: int) -> dict:
                 )
             ),
         ),
+        # r14: the flagship pretraining DAG at rep x — all seven stages
+        # (exact dedup -> LSH near-dup drop -> Gopher -> decontam ->
+        # temperature -> packing -> shard digests) in one plan over the
+        # replicated corpus; the eval carve replays the gate rule
+        # (every _EVAL_MOD-th doc) on the replicated ids. NOTE the
+        # rep-suffix perturbation makes every doc's rep copies LSH
+        # candidates of each other, so the near-dup stage drops ~all
+        # replication — the adversarial-dedup regime, which is exactly
+        # what this stage exists to bound.
+        (
+            "pretrain_end_to_end",
+            lambda: materialize(
+                pretrain_dag(
+                    rdocs_meta,
+                    rdocs_meta.filter(F.col("doc_id") % _EVAL_MOD == 0).select(
+                        F.col("doc_id").alias("eval_id"),
+                        F.array_join(
+                            F.slice(
+                                corpus_ops._norm_gram_tokens("text"),
+                                _EVAL_START,
+                                _EVAL_LEN,
+                            ),
+                            " ",
+                        ).alias("text"),
+                    ),
+                )
+            ),
+        ),
     ]
     probes: dict[str, list] = {name: [] for name, _ in entries}
     samples: dict[str, list] = {name: [] for name, _ in entries}
@@ -739,6 +770,75 @@ def scale_block(spark, rep: int) -> dict:
         out[f"{name}_sec"] = min(samples[name])
         out[f"{name}_samples"] = samples[name]
         out[f"{name}_probes"] = probes[name]
+
+    # --- streaming centrality/communities maintainers at rep x (r14,
+    # VERDICT r13 item 3): the batch twins above time the FULL-graph
+    # recompute; these time what a TRIGGER costs against the stored
+    # rep-x state. Trigger 0 ingests the whole replicated corpus (the
+    # one-time build, reported for context); the measured steady-state
+    # triggers deliver ~1% new vectors, whose cost the per-cell
+    # decomposition bounds by the affected cells' sum(|cell|^2) — not
+    # |V|+|E|. Centrality runs SEEDED (TrustRank): the trigger batches
+    # carry no seed vectors, so |S| is frozen and only routed cells
+    # refixpoint (unseeded PageRank refixpoints everything on every
+    # growing trigger — documented in knn_centrality_writer). LPA has
+    # no global parameter, so its affected-cells recompute is always
+    # exact. min over 2 steady-state triggers each (fresh ids per
+    # trigger — a replayed batch_id would take the idempotent
+    # short-circuit and measure nothing).
+    import shutil
+
+    from renkodf_spark.streaming.ann_stream import (
+        knn_centrality_writer,
+        knn_communities_writer,
+    )
+
+    emb_base = remb.select("vec_id", "embedding")
+    n_base = emb_base.count()
+    small_n = max(n_base // 100, 1)
+    scents = similarity.embedding_centroids(remb, dim=64)
+    seeds = remb.filter(F.col("label") == 0).select(F.col("vec_id").alias("id"))
+
+    def _trigger_batch(i: int):
+        # small_n fresh vectors with ids beyond every stored id
+        return emb_base.filter(F.col("vec_id") < small_n).select(
+            (F.col("vec_id") + F.lit((rep + 1 + i) * n_base)).alias("vec_id"),
+            "embedding",
+        )
+
+    for wname, factory in (
+        (
+            "knn_centrality_writer",
+            lambda p: knn_centrality_writer(
+                scents, p, seeds=seeds, k=3, iterations=3, max_cell_size=500
+            ),
+        ),
+        (
+            "knn_communities_writer",
+            lambda p: knn_communities_writer(
+                scents, p, k=3, iterations=3, max_cell_size=500
+            ),
+        ),
+    ):
+        sdir = tempfile.mkdtemp(prefix=f"bench_{wname}_")
+        try:
+            w = factory(sdir)
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            w(emb_base, 0)
+            out[f"{wname}_ingest_sec"] = round(time.perf_counter() - t0, 3)
+            trig = []
+            for i in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                w(_trigger_batch(i), i + 1)
+                trig.append(round(time.perf_counter() - t0, 3))
+            out[f"{wname}_trigger_sec"] = min(trig)
+            out[f"{wname}_trigger_samples"] = trig
+            out[f"{wname}_trigger_rows"] = small_n
+        finally:
+            shutil.rmtree(sdir, ignore_errors=True)
+    out["stream_state_rows"] = n_base
 
     out["ticks_rows"] = ticks.count()
     out["docs_rows"] = docs.count()

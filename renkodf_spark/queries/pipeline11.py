@@ -171,13 +171,18 @@ dc AS (
     "chunk labels.",
 )
 def pretrain_end_to_end(spark, sf_dir):
+    return pretrain_dag(_docs(spark, sf_dir), _eval_snippets(spark, sf_dir))
+
+
+def pretrain_dag(docs, eval_snippets):
+    """The DAG body on explicit inputs — the gate query binds the sf_dir
+    tables; bench.py's x10 scale entry binds the replicated corpus."""
     # Join discipline: every stage's keep/drop set is a doc_id-only
     # relation, explicitly broadcast, so the text-bearing probe side
     # never enters an exchange (the plan pin). At 100 TB, where a
     # billion-row id set outgrows a broadcast, the same DAG swaps these
     # for bucketed co-located joins (sources/bucketed) — the stage
     # semantics and the oracle are join-strategy-independent.
-    docs = _docs(spark, sf_dir)
     # 1: exact dedup — keep the minimum id of every content group
     keepers = dedup.exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
     dd = docs.join(F.broadcast(keepers), "doc_id")
@@ -212,7 +217,7 @@ def pretrain_end_to_end(spark, sf_dir):
     # (broadcast_report: the flag set is bounded by the eval set's
     # gram reach, and AQE cannot see that inside this DAG)
     dc = corpus.decontaminate(
-        gq, _eval_snippets(spark, sf_dir), n=_DECON_N, broadcast_report=True
+        gq, eval_snippets, n=_DECON_N, broadcast_report=True
     )
     # 5: temperature mixing over the surviving language distribution
     # (broadcast_rates: one row per language)

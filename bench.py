@@ -800,10 +800,18 @@ def scale_block(spark, rep: int) -> dict:
     seeds = remb.filter(F.col("label") == 0).select(F.col("vec_id").alias("id"))
 
     def _trigger_batch(i: int):
-        # small_n fresh vectors with ids beyond every stored id
-        return emb_base.filter(F.col("vec_id") < small_n).select(
-            (F.col("vec_id") + F.lit((rep + 1 + i) * n_base)).alias("vec_id"),
-            "embedding",
+        # small_n fresh ids all carrying ONE base vector's embedding —
+        # every trigger row routes to the SAME centroid cell, so the
+        # measured trigger recomputes exactly one cell's subgraph. (A
+        # first cut used small_n DISTINCT vectors: they spread across
+        # every cell and the "steady-state" trigger cost equalled the
+        # full ingest — affected-cells boundedness needs the affected
+        # set to actually be small, which one hot cell demonstrates.)
+        one = emb_base.filter(F.col("vec_id") == i).select("embedding")
+        return (
+            spark.range(small_n)
+            .select((F.col("id") + F.lit((rep + 1 + i) * n_base)).alias("vec_id"))
+            .crossJoin(F.broadcast(one))
         )
 
     for wname, factory in (

@@ -353,7 +353,10 @@ def signed_score_trim(spark, sf_dir):
 from renkodf_spark.operators import graph, similarity  # noqa: E402
 from renkodf_spark.queries.pipeline import _emb  # noqa: E402
 from renkodf_spark.queries.pipeline2 import _IVF_DIM  # noqa: E402
-from renkodf_spark.queries.pipeline8 import _KNN_K  # noqa: E402
+from renkodf_spark.queries.pipeline8 import (  # noqa: E402
+    _KNN_K,
+    _shared_knn_edges,
+)
 from renkodf_spark.queries.pipeline9 import (  # noqa: E402
     _PR_DDEN,
     _PR_DNUM,
@@ -453,8 +456,7 @@ l{t} AS (
 )
 def knn_communities(spark, sf_dir):
     emb = _emb(spark, sf_dir)
-    cents = similarity.embedding_centroids(emb, dim=_IVF_DIM)
-    g = similarity.knn_graph(emb, cents, k=_KNN_K)
+    g = _shared_knn_edges(spark, sf_dir)
     pairs = similarity.mutual_knn_edges(g)
     und = pairs.selectExpr("id_a as src", "id_b as dst").unionByName(
         pairs.selectExpr("id_b as src", "id_a as dst")

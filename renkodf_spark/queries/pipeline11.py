@@ -7,7 +7,9 @@ shard content export — as ONE declarative DataFrame DAG (VERDICT r13
 item 6). No stage materializes; Catalyst plans the whole pipeline at
 once, so the document text column flows scan -> per-row feature
 projections -> pack without ever entering an exchange (pinned in
-tests/test_plans.py): every shuffle in the plan carries narrow keys
+tests/test_plans.py on an already-parallel input — the production
+shape; under-parallel LOCAL scans get one auto ingest spread, see
+``pretrain_dag``): every shuffle in the plan carries narrow keys
 (content hashes, band keys, gram digests, doc ids, chunk labels).
 
 Oracle strategy (the ``curation_end_to_end`` composition device, at
@@ -183,16 +185,26 @@ def pretrain_dag(docs, eval_snippets):
     # billion-row id set outgrows a broadcast, the same DAG swaps these
     # for bucketed co-located joins (sources/bucketed) — the stage
     # semantics and the oracle are join-strategy-independent.
+    # 0: ingest spread — the ONE place the DAG may repartition text.
+    # "auto" is a no-op whenever the input is already at least as
+    # parallel as the cluster (every production scan; the plan pin
+    # feeds such an input and asserts ZERO text exchanges end to end).
+    # It triggers only on under-parallel local inputs — the gate
+    # tables are single-row-group parquet files whose scan cannot
+    # split, and without the spread every downstream text projection
+    # (minhash signatures, Gopher tokenization, decontamination gram
+    # explosion, chunking) inherits the one-partition layout and runs
+    # on a single core.
+    docs = dedup._maybe_repartition(docs, "doc_id", "auto")
     # 1: exact dedup — keep the minimum id of every content group
     keepers = dedup.exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
     dd = docs.join(F.broadcast(keepers), "doc_id")
     # 2: near-dup drop — LSH candidates on the deduped corpus; a doc
     # with any lower-id candidate partner is dropped (deterministic
     # greedy keep, the multimodal_curation_end_to_end policy)
-    # repartition_input=False: the auto input-spread exists for
-    # under-parallel LOCAL reads and is itself a text exchange; a
-    # well-partitioned production scan never triggers it, and this DAG
-    # pins the production plan shape (text crosses no exchange)
+    # repartition_input=False: the ingest spread above already settled
+    # parallelism; a second auto-spread here would be a redundant text
+    # exchange
     pairs = dedup.minhash_lsh_pairs(
         dd,
         num_hashes=NUM_HASHES,

@@ -226,10 +226,13 @@ def quantile_sketch_estimates(spark, sf_dir):
 
 # ------------------------------------------- graph centrality (PageRank)
 
-from renkodf_spark.operators import graph, similarity  # noqa: E402
+from renkodf_spark.operators import graph  # noqa: E402
 from renkodf_spark.queries.pipeline import _emb  # noqa: E402
-from renkodf_spark.queries.pipeline2 import _IVF_DIM  # noqa: E402
-from renkodf_spark.queries.pipeline8 import _KNN_CTES, _KNN_K  # noqa: E402
+from renkodf_spark.queries.pipeline8 import (  # noqa: E402
+    _KNN_CTES,
+    _KNN_K,
+    _shared_knn_edges,
+)
 
 _PR_ITERS = 3
 _PR_SCALE = 10**12
@@ -275,8 +278,7 @@ pr{t} AS (
 )
 def knn_pagerank(spark, sf_dir):
     emb = _emb(spark, sf_dir)
-    cents = similarity.embedding_centroids(emb, dim=_IVF_DIM)
-    edges = similarity.knn_graph(emb, cents, k=_KNN_K)
+    edges = _shared_knn_edges(spark, sf_dir)
     nodes = emb.select(F.col("vec_id").alias("id"))
     pr = graph.pagerank(
         edges.select("src", "dst"),
@@ -332,8 +334,7 @@ pr{t} AS (
 )
 def knn_trustrank(spark, sf_dir):
     emb = _emb(spark, sf_dir)
-    cents = similarity.embedding_centroids(emb, dim=_IVF_DIM)
-    edges = similarity.knn_graph(emb, cents, k=_KNN_K)
+    edges = _shared_knn_edges(spark, sf_dir)
     nodes = emb.select(F.col("vec_id").alias("id"))
     seeds = emb.filter(F.col("label") == _TR_SEED_LABEL).select(
         F.col("vec_id").alias("id")
@@ -507,8 +508,7 @@ pr{t} AS (
 )
 def knn_pagerank_weighted(spark, sf_dir):
     emb = _emb(spark, sf_dir)
-    cents = similarity.embedding_centroids(emb, dim=_IVF_DIM)
-    edges = similarity.knn_graph(emb, cents, k=_KNN_K).select(
+    edges = _shared_knn_edges(spark, sf_dir).select(
         "src",
         "dst",
         F.greatest(
@@ -687,7 +687,5 @@ FROM verts LEFT JOIN cnt ON cnt.id = verts.id
     "once per apex with x < y).",
 )
 def knn_triangle_counts(spark, sf_dir):
-    emb = _emb(spark, sf_dir)
-    cents = similarity.embedding_centroids(emb, dim=_IVF_DIM)
-    edges = similarity.knn_graph(emb, cents, k=_KNN_K)
+    edges = _shared_knn_edges(spark, sf_dir)
     return graph.triangle_counts(edges.select("src", "dst"))

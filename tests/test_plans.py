@@ -459,10 +459,27 @@ def test_pretrain_end_to_end_text_never_enters_an_exchange(spark, sf_dir):
     keys/gram digests/counts. The packed payload (chunk_text and its
     bin pieces) is the pipeline's OUTPUT and must cross an exchange at
     least once to be assembled into shards — but only in the terminal
-    packing segment, and boundedly."""
-    from renkodf_spark.plans import exchange_inputs
+    packing segment, and boundedly.
 
-    df = q.queries()["pretrain_end_to_end"](spark, sf_dir)
+    The pin feeds an ALREADY-PARALLEL input (the production shape: a
+    100 TB scan arrives split across thousands of tasks), under which
+    the DAG's auto ingest spread is a no-op and ZERO exchanges may
+    carry text. The gate tables are single-row-group local parquet —
+    unsplittable scans — so the gate query itself is allowed exactly
+    ONE text exchange: the ingest spread, and nothing downstream."""
+    from renkodf_spark.plans import exchange_inputs
+    from renkodf_spark.queries.pipeline import _docs
+    from renkodf_spark.queries.pipeline3 import _eval_snippets
+    from renkodf_spark.queries.pipeline11 import pretrain_dag
+
+    # production shape: input at cluster parallelism, lineage truncated
+    # so the test's own repartition is not in the audited plan
+    par_docs = (
+        _docs(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .localCheckpoint()
+    )
+    df = pretrain_dag(par_docs, _eval_snippets(spark, sf_dir))
     payload_crossings = 0
     for cols in exchange_inputs(df):
         s = set(cols)
@@ -472,3 +489,25 @@ def test_pretrain_end_to_end_text_never_enters_an_exchange(spark, sf_dir):
     # chunk payload may cross only in bin assembly: the (shard, bin_id)
     # group plus at most an AQE re-partitioning of the same segment
     assert 1 <= payload_crossings <= 3, payload_crossings
+
+    # gate-query shape: the unsplittable local scan triggers the auto
+    # ingest spread. Column pruning clones that spread per verdict
+    # branch (each with its pruned projection; runtime exchange reuse
+    # collapses the identical ones), so the pin is not a node count but
+    # a SHAPE check: every text-carrying exchange must BE the ingest
+    # spread — hash-partitioned by doc_id, never a downstream text
+    # shuffle on band keys / gram digests / chunk labels.
+    gate = q.queries()["pretrain_end_to_end"](spark, sf_dir)
+    jvm = gate.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    lines = gate._jdf.queryExecution().explainString(mode).splitlines()
+    import re
+
+    for i, line in enumerate(lines):
+        if not re.match(r"^\(\d+\) \w*Exchange", line.strip()):
+            continue
+        block = "\n".join(lines[i : i + 4])
+        if re.search(r"Input \[\d+\]: \[[^]]*\btext#", block):
+            assert "hashpartitioning(doc_id#" in block, (
+                f"text crosses a non-ingest exchange:\n{block}"
+            )

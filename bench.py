@@ -212,6 +212,10 @@ HEADLINE = [
     "knn_communities_indexed",
     "pretrain_end_to_end",
     "signed_weighted_quantiles",
+    # round 14, second wave: query-likelihood ranking next to BM25,
+    # Heaps-law vocabulary growth
+    "ql_search_spark_vector",
+    "vocab_growth_curve",
 ]
 
 

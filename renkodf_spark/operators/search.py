@@ -277,6 +277,92 @@ def bm25_topk(
     )
 
 
+def ql_topk(
+    index: DataFrame,
+    terms: Sequence[str],
+    *,
+    k: int = 20,
+    mu: int = 100,
+) -> DataFrame:
+    """Query-likelihood ranked retrieval with Dirichlet smoothing over
+    the postings: ``(doc_id, score_micros, rank)`` for the top-``k``
+    documents — the language-modeling ranker that sits next to
+    :func:`bm25_topk` in every IR stack (Lucene's LMDirichletSimilarity).
+
+    Scored in the rank-equivalent decomposed form (Zhai & Lafferty,
+    SIGIR'01), which touches only MATCHING postings instead of the
+    full docs x terms cross product:
+
+        score(D, Q) = Σ_{t ∈ Q∩D}  ln(1 + tf·total / (μ·cf_t))
+                      + |Q| · ln(μ / (|D| + μ))
+
+    where ``cf_t`` is the collection frequency of ``t`` and ``total``
+    the corpus token count (so ``cf_t/total`` = P(t|C)).  Documents
+    containing none of the query terms are not ranked (they differ
+    only by the length prior — the standard top-k retrieval contract,
+    and the same candidate set BM25 scores).
+
+    Determinism: each term's contribution and the per-doc length prior
+    are ROUNDed once to integer micro-units, so the score is an exact
+    long sum in any aggregation order; ``ln`` ulp differences across
+    engines are absorbed by the rounding, and ties break on doc_id.
+    ``tf·total`` and ``μ·cf_t`` are each a single product of exact
+    longs in IEEE double (exact below 2^53 — at larger corpus token
+    counts the ratio loses ulps, absorbed by the same rounding).
+
+    Scale shape mirrors :func:`bm25_topk`: doc lengths are one
+    aggregate over the postings; corpus totals collapse to a broadcast
+    row; only the query terms' postings are scored
+    (term-partition-prunable via :func:`read_postings`); the final
+    top-k is one rank ordering.
+    """
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if mu <= 0:
+        raise ValueError(f"mu must be positive, got {mu}")
+
+    doclen = index.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("__dl"))
+    glob = index.groupBy().agg(F.sum("tf").cast("long").alias("__total"))
+    cfreq = (
+        index.filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("__cf"))
+    )
+
+    posts = (
+        index.filter(F.col("term").isin(terms))
+        .join(F.broadcast(cfreq), "term")
+        .crossJoin(F.broadcast(glob))
+    )
+    tf = F.col("tf").cast("double")
+    contrib = F.round(
+        F.log(F.lit(1.0) + tf * F.col("__total") / (F.lit(float(mu)) * F.col("__cf")))
+        * 1e6
+    ).cast("long")
+
+    from pyspark.sql.window import Window
+
+    scored = posts.select("doc_id", contrib.alias("__c")).groupBy("doc_id").agg(
+        F.sum("__c").alias("__match")
+    )
+    prior = F.round(
+        F.lit(float(len(terms)))
+        * F.log(F.lit(float(mu)) / (F.col("__dl") + F.lit(float(mu))))
+        * 1e6
+    ).cast("long")
+    w = Window.orderBy(F.desc("score_micros"), F.asc("doc_id"))
+    return (
+        scored.join(doclen, "doc_id")
+        .select("doc_id", (F.col("__match") + prior).alias("score_micros"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "score_micros", "rank")
+    )
+
+
 def rrf_fuse(
     ranked_a: DataFrame,
     ranked_b: DataFrame,

@@ -1060,3 +1060,66 @@ def bigram_logprob(
             F.round(total / (F.col("n_tokens") * F.lit(1e6)), 6).alias("avg_logp"),
         )
     )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    *,
+    n_buckets: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve: split the corpus into
+    ``n_buckets`` ingestion-order slices and report, per slice, how
+    many NEVER-BEFORE-SEEN terms it introduces and the running
+    vocabulary / token totals — the curve a mixture designer reads to
+    decide whether another slice of a source still buys new coverage
+    (Heaps' law: cum_vocab ~ K * cum_tokens^beta; a flattening curve
+    means the source is exhausted).
+
+    Bucket assignment is the pure projection ``(id * n_buckets) div
+    (max_id + 1)`` — ingestion order by id, no global ranking, so the
+    only non-narrow steps are the two aggregations the answer is made
+    of: per-bucket token counts, and per-term MIN(bucket) (terms hash
+    across the cluster; the term relation is narrow). The closing
+    cumulative window runs over at most ``n_buckets`` rows.
+
+    Returns ``(bucket, n_docs, bucket_tokens, cum_tokens, new_terms,
+    cum_vocab)``, all exact longs. Buckets with no documents (sparse
+    id ranges) do not appear — derived identically on any engine.
+    """
+    from pyspark.sql.window import Window
+
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+
+    mx = docs.groupBy().agg(F.max(F.col(id_col)).cast("long").alias("__mx"))
+    bucket = F.expr(f"({id_col} * {int(n_buckets)}) div (__mx + 1)").alias("bucket")
+    toks = docs.crossJoin(F.broadcast(mx)).select(
+        F.col(id_col).alias("__id"),
+        bucket,
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    )
+    per_bucket = toks.groupBy("bucket").agg(
+        F.count_distinct("__id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("bucket_tokens"),
+    )
+    first_seen = toks.groupBy("term").agg(F.min("bucket").alias("bucket"))
+    new_terms = first_seen.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("new_terms")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.join(new_terms, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            "bucket_tokens",
+            F.sum("bucket_tokens").over(w).cast("long").alias("cum_tokens"),
+            F.coalesce(F.col("new_terms"), F.lit(0)).cast("long").alias("new_terms"),
+            F.sum(F.coalesce(F.col("new_terms"), F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("cum_vocab"),
+        )
+    )

@@ -245,3 +245,93 @@ def pretrain_dag(docs, eval_snippets):
     return bins.select(
         "shard", "bin_id", "bin_tokens", F.md5("bin_text").alias("bin_digest")
     )
+
+
+# ------------------------------------------------ round-14 additions
+
+from renkodf_spark.operators import search as search_ops  # noqa: E402
+from renkodf_spark.operators import text as text_ops  # noqa: E402
+from renkodf_spark.queries.relational3 import _TOKS_CTE  # noqa: E402
+
+
+@query(
+    "ql_search_spark_vector",
+    oracle=_TOKS_CTE
+    + """,
+    postings AS (
+      SELECT term, doc_id, COUNT(*)::BIGINT AS tf
+      FROM toks GROUP BY term, doc_id),
+    doclen AS (SELECT doc_id, SUM(tf)::BIGINT AS dl FROM postings GROUP BY 1),
+    gstats AS (SELECT SUM(tf)::BIGINT AS total FROM postings),
+    cfreq AS (SELECT term, SUM(tf)::BIGINT AS cf FROM postings
+              WHERE term IN ('spark', 'vector') GROUP BY 1),
+    contrib AS (
+      SELECT p.doc_id,
+             ROUND(ln(1.0 + p.tf * g.total / (100.0 * c.cf)) * 1e6)::BIGINT AS c
+      FROM postings p
+      JOIN cfreq c ON c.term = p.term
+      CROSS JOIN gstats g
+      WHERE p.term IN ('spark', 'vector')),
+    matched AS (SELECT doc_id, SUM(c)::BIGINT AS m FROM contrib GROUP BY 1),
+    scored AS (
+      SELECT m.doc_id,
+             (m.m + ROUND(2.0 * ln(100.0 / (d.dl + 100.0)) * 1e6)::BIGINT)::BIGINT
+               AS score_micros
+      FROM matched m JOIN doclen d USING (doc_id))
+    SELECT doc_id, score_micros, rank FROM (
+      SELECT doc_id, score_micros,
+             ROW_NUMBER() OVER (ORDER BY score_micros DESC, doc_id) AS rank
+      FROM scored)
+    WHERE rank <= 20
+    """,
+    doc="query-likelihood ranked retrieval ('spark vector', top-20, "
+    "Dirichlet mu=100): the language-modeling ranker next to BM25 "
+    "(Lucene's LMDirichletSimilarity), scored in the Zhai-Lafferty "
+    "decomposed form that touches only matching postings — per-term "
+    "ln(1 + tf*total/(mu*cf)) contributions and the per-doc length "
+    "prior |Q|*ln(mu/(dl+mu)), each ROUNDed once to integer "
+    "micro-units so scores are exact long sums; ties on doc_id. Same "
+    "scale shape as BM25: broadcast corpus stats, term-prunable "
+    "postings scan, one top-k ordering.",
+)
+def ql_search_spark_vector(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    idx = search_ops.build_inverted_index(docs)
+    return search_ops.ql_topk(idx, ["spark", "vector"], k=20, mu=100)
+
+
+_VG_BUCKETS = 10
+
+
+@query(
+    "vocab_growth_curve",
+    oracle=rf"""
+    WITH mx AS (SELECT MAX(doc_id)::BIGINT AS mx FROM documents),
+    tok AS (
+      SELECT d.doc_id, (d.doc_id * {_VG_BUCKETS}) // (mx.mx + 1) AS bucket,
+             unnest(string_split_regex(trim(text), '\s+')) AS term
+      FROM documents d CROSS JOIN mx),
+    per_bucket AS (
+      SELECT bucket, COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+             COUNT(*)::BIGINT AS bucket_tokens
+      FROM tok GROUP BY 1),
+    firstb AS (SELECT term, MIN(bucket) AS bucket FROM tok GROUP BY 1),
+    newt AS (SELECT bucket, COUNT(*)::BIGINT AS new_terms FROM firstb GROUP BY 1)
+    SELECT b.bucket::BIGINT AS bucket, n_docs, bucket_tokens,
+           (SUM(bucket_tokens) OVER (ORDER BY b.bucket))::BIGINT AS cum_tokens,
+           COALESCE(new_terms, 0)::BIGINT AS new_terms,
+           (SUM(COALESCE(new_terms, 0)) OVER (ORDER BY b.bucket))::BIGINT AS cum_vocab
+    FROM per_bucket b LEFT JOIN newt USING (bucket)
+    """,
+    doc=f"vocabulary-growth (Heaps-law) curve over {_VG_BUCKETS} "
+    "ingestion-order corpus slices: per slice, the never-before-seen "
+    "terms it introduces plus running vocabulary/token totals — the "
+    "curve a mixture designer reads to decide whether another slice "
+    "of a source still buys new coverage. Bucketing is the pure "
+    "projection (id*B) div (max_id+1) — no global ranking; the only "
+    "shuffles are the per-bucket token counts and per-term "
+    "MIN(bucket), and the closing cumulative window runs over at "
+    "most B rows.",
+)
+def vocab_growth_curve(spark, sf_dir):
+    return text_ops.vocab_growth(_docs(spark, sf_dir), n_buckets=_VG_BUCKETS)

@@ -422,3 +422,69 @@ def test_bm25_indexed_parity_and_pruning(spark, tmp_path):
     scan = read_postings(spark, path, ["x", "b"])
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "dynamicpruning" not in plan
+
+
+# ------------------------------------------------ query likelihood
+
+def test_ql_matches_python_reference(spark):
+    import math
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from renkodf_spark.operators.search import build_inverted_index, ql_topk
+
+    def r6(x):
+        # Spark/DuckDB ROUND: half away from zero on either sign
+        return int(Decimal(x).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
+    docs = _docs(spark)
+    idx = build_inverted_index(docs)
+    got = {r.doc_id: (r.score_micros, r.rank)
+           for r in ql_topk(idx, ["x", "b"], k=10, mu=7).collect()}
+
+    corpus = {1: "x x x y z".split(), 2: "a b c a b".split(),
+              3: "z y x".split(), 4: ["b"]}
+    total = sum(len(t) for t in corpus.values())
+    cf = {t: sum(toks.count(t) for toks in corpus.values()) for t in ("x", "b")}
+    want = {}
+    for d, toks in corpus.items():
+        match = 0
+        hit = False
+        for t in ("x", "b"):
+            tf = toks.count(t)
+            if not tf:
+                continue
+            hit = True
+            match += r6(math.log(1.0 + tf * total / (7.0 * cf[t])) * 1e6)
+        if not hit:
+            continue  # docs with no query term are not ranked
+        prior = r6(2.0 * math.log(7.0 / (len(toks) + 7.0)) * 1e6)
+        want[d] = match + prior
+    ranks = {d: r for r, (d, s) in enumerate(
+        sorted(want.items(), key=lambda kv: (-kv[1], kv[0])), start=1)}
+    assert got == {d: (want[d], ranks[d]) for d in want}
+
+
+def test_ql_validates(spark):
+    from renkodf_spark.operators.search import build_inverted_index, ql_topk
+
+    idx = build_inverted_index(_docs(spark))
+    with pytest.raises(ValueError, match="non-empty"):
+        ql_topk(idx, [])
+    with pytest.raises(ValueError, match="k must"):
+        ql_topk(idx, ["x"], k=0)
+    with pytest.raises(ValueError, match="mu must"):
+        ql_topk(idx, ["x"], mu=0)
+
+
+def test_ql_length_prior_prefers_shorter_doc_at_equal_tf(spark):
+    """Two docs with identical query-term tf: Dirichlet's length prior
+    must rank the shorter one first (less smoothing mass spent)."""
+    from renkodf_spark.operators.search import build_inverted_index, ql_topk
+
+    docs = spark.createDataFrame(
+        [(1, "q filler filler filler filler"), (2, "q filler")],
+        "doc_id long, text string",
+    )
+    idx = build_inverted_index(docs)
+    out = {r.doc_id: r.rank for r in ql_topk(idx, ["q"], k=10).collect()}
+    assert out[2] == 1 and out[1] == 2

@@ -201,3 +201,71 @@ def test_winnow_guarantee_and_tiebreak(spark):
         pos = max(i for i in range(lo, j + 1) if hs[i] == mh)
         want.add((pos, mh))
     assert by_doc[4] == want
+
+
+# ------------------------------------------------ vocabulary growth
+
+def test_vocab_growth_matches_python_replay(spark):
+    from renkodf_spark.operators.text import vocab_growth
+
+    rows = [
+        (0, "a b a"),
+        (1, "b c"),
+        (4, "c d d"),
+        (7, "e"),
+        (9, "a e f"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    B = 4
+    got = {r.bucket: (r.n_docs, r.bucket_tokens, r.cum_tokens, r.new_terms, r.cum_vocab)
+           for r in vocab_growth(docs, n_buckets=B).collect()}
+
+    mx = max(d for d, _ in rows)
+    buckets = {}
+    first = {}
+    for d, text in rows:
+        b = (d * B) // (mx + 1)
+        toks = text.split()
+        nd, nt = buckets.get(b, (set(), 0))
+        nd = nd | {d}
+        buckets[b] = (nd, nt + len(toks))
+        for t in toks:
+            first[t] = min(first.get(t, b), b)
+    new = {}
+    for t, b in first.items():
+        new[b] = new.get(b, 0) + 1
+    want, cum_t, cum_v = {}, 0, 0
+    for b in sorted(buckets):
+        nd, nt = buckets[b]
+        cum_t += nt
+        nb = new.get(b, 0)
+        cum_v += nb
+        want[b] = (len(nd), nt, cum_t, nb, cum_v)
+    assert got == want
+    # sparse id ranges leave holes: bucket 1 (ids 3-4 -> 4 only) exists,
+    # but not every bucket index must
+    assert set(got) == {(d * B) // (mx + 1) for d, _ in rows}
+
+
+def test_vocab_growth_validates(spark):
+    import pytest as _pytest
+
+    from renkodf_spark.operators.text import vocab_growth
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="n_buckets"):
+        vocab_growth(docs, n_buckets=0)
+
+
+def test_vocab_growth_exhausted_source_flattens(spark):
+    """A corpus that repeats the same vocabulary in every slice shows a
+    flat curve after bucket 0 — the signal the operator exists for."""
+    from renkodf_spark.operators.text import vocab_growth
+
+    docs = spark.createDataFrame(
+        [(i, "same three words") for i in range(12)],
+        "doc_id long, text string",
+    )
+    out = sorted(vocab_growth(docs, n_buckets=3).collect(), key=lambda r: r.bucket)
+    assert [r.new_terms for r in out] == [3, 0, 0]
+    assert [r.cum_vocab for r in out] == [3, 3, 3]

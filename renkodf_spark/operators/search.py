@@ -491,3 +491,63 @@ def bm25_topk_indexed(
         .filter(F.col("rank") <= k)
         .select("doc_id", "score_micros", "rank")
     )
+
+
+def ql_topk_indexed(
+    spark,
+    path: str,
+    terms: Sequence[str],
+    *,
+    k: int = 20,
+    mu: int = 100,
+) -> DataFrame:
+    """Query-likelihood over a persisted :func:`write_search_index`:
+    identical scores to :func:`ql_topk` on the in-memory postings
+    (parity-pinned in tests) at indexed-scan cost.  Everything the
+    decomposed formula needs is already term-prunable: each query
+    term's collection frequency is the ``SUM(tf)`` of its OWN postings
+    bucket, doc lengths and the corpus token total come from the same
+    two stats tables BM25 reads — so the scan stays ∝ query terms,
+    not corpus size.
+    """
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if mu <= 0:
+        raise ValueError(f"mu must be positive, got {mu}")
+    posts = read_postings(spark, path, terms)
+    doclen = spark.read.parquet(path + "/doclen").select(
+        "doc_id", F.col("dl").alias("__dl")
+    )
+    stats = spark.read.parquet(path + "/stats").select(
+        F.col("total_tokens").alias("__total")
+    )
+    cfreq = posts.groupBy("term").agg(F.sum("tf").cast("long").alias("__cf"))
+
+    joined = posts.join(F.broadcast(cfreq), "term").crossJoin(F.broadcast(stats))
+    tf = F.col("tf").cast("double")
+    contrib = F.round(
+        F.log(F.lit(1.0) + tf * F.col("__total") / (F.lit(float(mu)) * F.col("__cf")))
+        * 1e6
+    ).cast("long")
+
+    from pyspark.sql.window import Window
+
+    scored = joined.select("doc_id", contrib.alias("__c")).groupBy("doc_id").agg(
+        F.sum("__c").alias("__match")
+    )
+    prior = F.round(
+        F.lit(float(len(terms)))
+        * F.log(F.lit(float(mu)) / (F.col("__dl") + F.lit(float(mu))))
+        * 1e6
+    ).cast("long")
+    w = Window.orderBy(F.desc("score_micros"), F.asc("doc_id"))
+    return (
+        scored.join(doclen, "doc_id")
+        .select("doc_id", (F.col("__match") + prior).alias("score_micros"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "score_micros", "rank")
+    )

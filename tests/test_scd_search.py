@@ -488,3 +488,22 @@ def test_ql_length_prior_prefers_shorter_doc_at_equal_tf(spark):
     idx = build_inverted_index(docs)
     out = {r.doc_id: r.rank for r in ql_topk(idx, ["q"], k=10).collect()}
     assert out[2] == 1 and out[1] == 2
+
+
+def test_ql_indexed_parity(spark, tmp_path):
+    """ql_topk_indexed == ql_topk exactly: the persisted stats tables
+    plus per-term cf from the pruned postings reproduce every micro."""
+    from renkodf_spark.operators.search import (
+        build_inverted_index,
+        ql_topk,
+        ql_topk_indexed,
+        write_search_index,
+    )
+
+    idx = build_inverted_index(_docs(spark))
+    path = str(tmp_path / "qlidx")
+    write_search_index(idx, path, n_buckets=16)
+
+    got = sorted(map(tuple, ql_topk_indexed(spark, path, ["x", "b"], k=10, mu=7).collect()))
+    want = sorted(map(tuple, ql_topk(idx, ["x", "b"], k=10, mu=7).collect()))
+    assert got == want

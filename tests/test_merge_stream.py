@@ -250,6 +250,13 @@ def test_search_index_stream_matches_batch(spark, tmp_path):
     got_bm = sorted(map(tuple, bm25_topk(full_stream_idx, ["x", "b"], k=5).collect()))
     want_bm = sorted(map(tuple, bm25_topk(batch_idx, ["x", "b"], k=5).collect()))
     assert got_bm == want_bm
+    # the query-likelihood ranker scores the folded stream index too —
+    # same postings relation, so exact score parity with batch
+    from renkodf_spark.operators.search import ql_topk
+
+    got_ql = sorted(map(tuple, ql_topk(full_stream_idx, ["x", "b"], k=5, mu=7).collect()))
+    want_ql = sorted(map(tuple, ql_topk(batch_idx, ["x", "b"], k=5, mu=7).collect()))
+    assert got_ql == want_ql
 
 
 def test_search_index_resent_doc_id_is_ignored(spark, tmp_path):

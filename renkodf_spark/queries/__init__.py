@@ -56,6 +56,17 @@ _PRIORITY = [
     "signed_score_trim",
     "decontaminated_corpus",
     "lang_temperature_sample",
+    # -- round 14, second wave: new rankers/analytics plus the queries
+    #    whose plans changed (the pretrain ingest spread is covered
+    #    above; the kNN consumers now read the shared edge memo)
+    "ql_search_spark_vector",
+    "vocab_growth_curve",
+    "mutual_knn_cluster_labels",
+    "knn_pagerank",
+    "knn_trustrank",
+    "knn_pagerank_weighted",
+    "knn_triangle_counts",
+    "knn_density_tiers",
     # -- round 13 batch (rotating out as they green)
     "signed_lm_score_quantiles",
     "knn_pagerank_indexed",

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from renkodf_spark.plans.persist import persist_block
+
 # --------------------------------------------------------------- dedup apply
 
 
@@ -647,6 +649,7 @@ def decontaminate(
     eval_text_col: str = "text",
     eval_id_col: str = "eval_id",
     broadcast_report: bool = False,
+    persist_report: bool = False,
 ) -> DataFrame:
     """Drop training documents contaminated by the evaluation set: any
     doc with at least ``min_hit_grams`` distinct overlapping normalized
@@ -660,6 +663,13 @@ def decontaminate(
     composed DAG AQE has no stats to see it is small, and the flagged
     set is bounded by the eval set's gram reach, not the corpus, so
     the hint is scale-safe (keeps the text side out of any exchange).
+    ``persist_report=True`` additionally truncates the flagged-id
+    relation's lineage (lazy localCheckpoint — optimization guide
+    §3.3): inside a long composed DAG the report's upstream (the whole
+    corpus chain) would otherwise be re-stamped into every consumer of
+    the decontaminated relation, inflating the plan exponentially with
+    pipeline depth. Results are identical; the persisted relation is
+    the narrow id set, never the text.
     """
     flagged = contamination(
         train,
@@ -671,6 +681,8 @@ def decontaminate(
         eval_id_col=eval_id_col,
     ).filter(F.col("n_hit_grams") >= min_hit_grams)
     ids = flagged.select(id_col)
+    if persist_report:
+        ids = persist_block(ids)
     if broadcast_report:
         ids = F.broadcast(ids)
     return train.join(ids, id_col, "left_anti")
@@ -741,6 +753,7 @@ def temperature_sample(
     id_col: str = "doc_id",
     salt: str = "sample",
     broadcast_rates: bool = False,
+    persist_rates: bool = False,
 ) -> DataFrame:
     """Apply :func:`temperature_rates` with the deterministic hash
     threshold of :func:`rate_sample`: a row is kept iff its 48-bit
@@ -767,6 +780,11 @@ def temperature_sample(
     h48 = F.conv(F.substring(_sample_key(id_col, salt), 1, 12), 16, 10).cast("long")
     keyed = df.withColumn("__g", g)
     rel = rates.select(F.col(group_col).alias("__g"), thresh.alias("__t"))
+    if persist_rates:
+        # one row per group; lineage truncation for composed DAGs
+        # (guide §3.3) — the rates' upstream corpus chain is not
+        # re-stamped into the probe side's plan. Identical rows.
+        rel = persist_block(rel)
     if broadcast_rates:
         rel = F.broadcast(rel)
     return (

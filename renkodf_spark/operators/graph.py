@@ -386,4 +386,12 @@ def label_propagation(
         )
         if checkpoint_every and (t + 1) % checkpoint_every == 0 and t + 1 < iterations:
             lbl = persist_block(lbl, reliable=reliable, eager=True)
+        elif t + 1 < iterations:
+            # r14 (guide §3.3): each round references lbl TWICE (the
+            # vote join and the carry-forward left join), so an inline
+            # chain doubles the logical plan per iteration — 3 rounds
+            # stamped the node relation 8x and planning dominated the
+            # fixpoint. A LAZY per-round localCheckpoint keeps the plan
+            # linear in rounds with no barrier job; rows identical.
+            lbl = persist_block(lbl, reliable=reliable)
     return lbl.select(id_col, F.col("lbl").alias("community"))

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from renkodf_spark.plans.persist import persist_block
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
@@ -30,6 +32,18 @@ def _norm(a):
 
 def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _cosine_pre(a, b, na, nb):
+    """``cosine(a, b)`` with the two norms supplied as pre-computed
+    columns. Bit-identical to :func:`cosine` whenever ``na``/``nb``
+    hold exactly ``_norm(a)``/``_norm(b)``: the same IEEE doubles feed
+    the same ``dot / (na * nb)`` association — only *where* each norm
+    is evaluated changes (once per row instead of once per pair). This
+    is the §2/§4-of-the-optimization-guide arithmetic dial for the
+    pair stages: a cell/bucket join evaluates O(sum |cell|^2) cosines,
+    and two of the three folds inside each were per-row-constant."""
+    return _dot(a, b) / (na * nb)
 
 
 def cosine_topk(
@@ -49,17 +63,23 @@ def cosine_topk(
     (cardinality = |queries|)."""
     from pyspark.sql.window import Window
 
+    # r14 (guide §1.2): per-row norms computed once on each side of the
+    # N x Q pair stage; the pair term is one fold, values bit-identical
+    # (:func:`_cosine_pre`).
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
-    )
+    ).withColumn("__cn", _norm(F.col("cvec")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
-    )
+    ).withColumn("__qn", _norm(F.col("qvec")))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "cos",
+            _cosine_pre(F.col("qvec"), F.col("cvec"), F.col("__qn"), F.col("__cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -85,12 +105,15 @@ def label_blocked_pairs(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    )
+    ).withColumn("__n", _norm(F.col("v")))
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(b, "block")
         .filter(F.col("a.id") < F.col("b.id"))
-        .withColumn("cos", cosine(F.col("a.v"), F.col("b.v")))
+        .withColumn(
+            "cos",
+            _cosine_pre(F.col("a.v"), F.col("b.v"), F.col("a.__n"), F.col("b.__n")),
+        )
         .filter(F.col("cos") > threshold)
         .select(
             F.col("block"),
@@ -216,10 +239,21 @@ def _probe_cells(
     the vectors stream through one narrow pass where the ranking
     is a per-row ``array_sort`` of a struct transform — no groupBy,
     no window, zero shuffle. The posexplode multiplies rows by
-    ``n_probe`` (1 for plain assignment)."""
+    ``n_probe`` (1 for plain assignment).
+
+    r14 (optimization guide §1.2 "per-task work"): each centroid's
+    norm is computed once into the broadcast struct and each vector's
+    norm once per row, so the per-(row, centroid) argmax term drops
+    from three dim-element folds to one — values bit-identical
+    (:func:`_cosine_pre`)."""
+    c_arr = F.col("centroid").cast("array<double>")
     cents_row = centroids.agg(
         F.collect_list(
-            F.struct(F.col("cell"), F.col("centroid").cast("array<double>").alias("centroid"))
+            F.struct(
+                F.col("cell"),
+                c_arr.alias("centroid"),
+                _norm(c_arr).alias("cnorm"),
+            )
         ).alias("__cents")
     )
     v = F.col(vec_col).cast("array<double>")
@@ -232,9 +266,15 @@ def _probe_cells(
         F.transform(
             F.col("__cents"),
             lambda c: F.struct(
-                (F.lit(0.0) - F.round(cosine(F.col("vec"), c["centroid"]), round_digits)).alias(
-                    "negcos"
-                ),
+                (
+                    F.lit(0.0)
+                    - F.round(
+                        _cosine_pre(
+                            F.col("vec"), c["centroid"], F.col("__vnorm"), c["cnorm"]
+                        ),
+                        round_digits,
+                    )
+                ).alias("negcos"),
                 c["cell"].alias("cell"),
             ),
         )
@@ -242,6 +282,7 @@ def _probe_cells(
     extra = [F.col(c) for c in carry]
     return (
         df.select(F.col(id_col).alias("id"), v.alias("vec"), *extra)
+        .withColumn("__vnorm", _norm(F.col("vec")))
         .crossJoin(F.broadcast(cents_row))
         .select(
             "id", "vec", *carry,
@@ -344,14 +385,21 @@ def ivf_topk(
             .filter(F.col("__ck") <= max_cell_size)
             .drop("__ck")
         )
-    cc = cc.drop("cell_cos")
-    qc = _probe_cells(
-        queries, centroids, id_col=id_col, vec_col=vec_col, n_probe=n_probe, round_digits=6
-    ).select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "cell")
+    cc = cc.drop("cell_cos").withColumn("__cn", _norm(F.col("cvec")))
+    qc = (
+        _probe_cells(
+            queries, centroids, id_col=id_col, vec_col=vec_col, n_probe=n_probe, round_digits=6
+        )
+        .select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "cell")
+        .withColumn("__qn", _norm(F.col("qvec")))
+    )
     scored = (
         cc.join(F.broadcast(qc), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "cos",
+            _cosine_pre(F.col("qvec"), F.col("cvec"), F.col("__qn"), F.col("__cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -434,14 +482,18 @@ def ivf_topk_indexed(
         )
         .filter(F.col("probe_rank") <= n_probe)
         .select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "cell")
+        .withColumn("__qn", _norm(F.col("qvec")))
     )
     idx = spark.read.parquet(path + "/data").select(
         F.col("id").alias("neighbor_id"), F.col("vec").alias("cvec"), "cell"
-    )
+    ).withColumn("__cn", _norm(F.col("cvec")))
     scored = (
         idx.join(F.broadcast(qc), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "cos",
+            _cosine_pre(F.col("qvec"), F.col("cvec"), F.col("__qn"), F.col("__cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -504,14 +556,17 @@ def lsh_bucket_topk(
 
     cb = rp_lsh_bucket(corpus, vec_col=vec_col, n_planes=n_planes, dim=dim).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cvec"), "bucket"
-    )
+    ).withColumn("__cn", _norm(F.col("cvec")))
     qb = rp_lsh_bucket(queries, vec_col=vec_col, n_planes=n_planes, dim=dim).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qvec"), "bucket"
-    )
+    ).withColumn("__qn", _norm(F.col("qvec")))
     scored = (
         cb.join(F.broadcast(qb), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "cos",
+            _cosine_pre(F.col("qvec"), F.col("cvec"), F.col("__qn"), F.col("__cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -622,16 +677,30 @@ def semantic_dedup(
     exact (``n_sub = 1``). Opt in for adversarial corpora; balanced
     centroids (``train_ivf_centroids``) are the real fix.
     """
-    routed = nearest_centroid(
-        emb, centroids, id_col=id_col, vec_col=vec_col, round_digits=round_digits
-    ).select("id", "vec", "cell")
+    # r14 (guide §3.3, §1.2): the routed relation is referenced three
+    # times (both self-join sides + the keep-side anti-join probe) —
+    # lazily localCheckpoint it so routing runs once, and reuse each
+    # row's precomputed norm in the pair cosine (bit-identical,
+    # :func:`_cosine_pre`).
+    routed = persist_block(
+        nearest_centroid(
+            emb, centroids, id_col=id_col, vec_col=vec_col, round_digits=round_digits
+        ).select("id", "vec", "cell")
+    )
     routed, pair_keys = _cap_cells(routed, max_cell_size)
-    a, b = routed.alias("a"), routed.alias("b")
+    capped = routed.withColumn("__nrm", _norm(F.col("vec")))
+    a, b = capped.alias("a"), capped.alias("b")
     drops = (
         a.join(b, pair_keys)
         .filter(F.col("a.id") > F.col("b.id"))
         .filter(
-            F.round(cosine(F.col("a.vec"), F.col("b.vec")), round_digits) >= threshold
+            F.round(
+                _cosine_pre(
+                    F.col("a.vec"), F.col("b.vec"), F.col("a.__nrm"), F.col("b.__nrm")
+                ),
+                round_digits,
+            )
+            >= threshold
         )
         .select(F.col("a.id").alias("id"))
         .distinct()
@@ -701,14 +770,29 @@ def knn_edges_from_routed(
     frozen at index-write time so batch and stream agree bit-for-bit).
     ``keep_cell=True`` carries the source's cell onto each edge (src
     and dst always share it — edges never cross cells), which the
-    streaming writer uses as the partition-overwrite key."""
+    streaming writer uses as the partition-overwrite key.
+
+    r14 plan shape (optimization guide §2.4, §3.3, §1.2): the routed
+    relation is lazily localCheckpoint'd, so the self-join's two sides
+    read one materialized (id, vec, cell) pass instead of stamping the
+    whole routing pipeline (scan + broadcast-argmax) twice into the
+    physical plan; each row's vector norm is computed once before the
+    join and the per-pair cosine reuses it (``_cosine_pre`` —
+    bit-identical values, one fold per pair instead of three); and the
+    top-k window partitions by ``(cell[, __sub], src)`` — equivalent
+    grouping, since a source's pairs all share its cell — which the
+    join's existing hash partitioning already satisfies, removing the
+    final per-src Exchange outright."""
     from pyspark.sql import Window
 
+    routed = persist_block(routed)
     routed, pair_keys = _cap_cells(routed, max_cell_size)
+    routed = routed.withColumn("__nrm", _norm(F.col("vec")))
     a, b = routed.alias("a"), routed.alias("b")
     # cosine is symmetric: evaluate it once per UNORDERED pair
     # (id < id — half the join output and half the arithmetic), then
     # emit both orientations for the per-source rank
+    sub_keys = [c for c in pair_keys if c != "cell"]
     half = (
         a.join(b, pair_keys)
         .filter(F.col("a.id") < F.col("b.id"))
@@ -716,10 +800,16 @@ def knn_edges_from_routed(
             F.col("a.id").alias("lo"),
             F.col("b.id").alias("hi"),
             (
-                F.round(cosine(F.col("a.vec"), F.col("b.vec")), round_digits)
+                F.round(
+                    _cosine_pre(
+                        F.col("a.vec"), F.col("b.vec"), F.col("a.__nrm"), F.col("b.__nrm")
+                    ),
+                    round_digits,
+                )
                 + F.lit(0.0)
             ).alias("cos_sim"),
             F.col("a.cell").alias("cell"),
+            *[F.col(f"a.{c}") for c in sub_keys],
         )
     )
     # both orientations via explode of ONE row (a unionByName of two
@@ -741,12 +831,17 @@ def knn_edges_from_routed(
             )
         ).alias("e"),
         "cell",
-    ).select("e.src", "e.dst", "e.cos_sim", "cell")
-    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.col("dst"))
+        *sub_keys,
+    ).select("e.src", "e.dst", "e.cos_sim", "cell", *sub_keys)
+    # per-src grouping, expressed over the join's own partitioning
+    # keys: a source's pairs all live in its (cell[, __sub]) group, so
+    # row_number per (pair_keys..., src) == row_number per src, and the
+    # window rides the join exchange instead of adding its own.
+    w = Window.partitionBy(*pair_keys, "src").orderBy(F.desc("cos_sim"), F.col("dst"))
     out = (
         pairs.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
-        .drop("__rk")
+        .drop("__rk", *sub_keys)
     )
     return out if keep_cell else out.drop("cell")
 
@@ -930,12 +1025,18 @@ def projected_cosine_topk(
     cp = random_project(
         corpus, id_col=id_col, vec_col=vec_col, out_dim=out_dim, dim=dim
     ).select(F.col(id_col).alias("neighbor_id"), F.col("proj").cast("array<double>").alias("cv"))
+    cp = cp.withColumn("__cn", _norm(F.col("cv")))
     qp = random_project(
         queries, id_col=id_col, vec_col=vec_col, out_dim=out_dim, dim=dim
     ).select(F.col(id_col).alias("query_id"), F.col("proj").cast("array<double>").alias("qv"))
+    qp = qp.withColumn("__qn", _norm(F.col("qv")))
     scored = cp.crossJoin(F.broadcast(qp)).filter(
         F.col("neighbor_id") != F.col("query_id")
-    ).select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    ).select(
+        "query_id",
+        "neighbor_id",
+        _cosine_pre(F.col("qv"), F.col("cv"), F.col("__qn"), F.col("__cn")).alias("cos"),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -1075,12 +1176,12 @@ def hard_negative_mining(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("__nlabel"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
-    )
+    ).withColumn("__cn", _norm(F.col("cvec")))
     a = anchors.select(
         F.col(id_col).alias("anchor_id"),
         F.col(label_col).alias("__alabel"),
         F.col(vec_col).cast("array<double>").alias("avec"),
-    )
+    ).withColumn("__an", _norm(F.col("avec")))
     # _mine_candidates re-applies the neighbor!=anchor guard; the join
     # condition here only avoids materializing the diagonal pairs
     joined = c.join(F.broadcast(a), F.col("neighbor_id") != F.col("anchor_id"))
@@ -1145,7 +1246,7 @@ def hard_negative_mining_ann(
         F.col("vec").alias("cvec"),
         F.col(label_col).alias("__nlabel"),
         "cell",
-    )
+    ).withColumn("__cn", _norm(F.col("cvec")))
     qc = _probe_cells(
         anchors, centroids, id_col=id_col, vec_col=vec_col, n_probe=n_probe,
         round_digits=6, carry=(label_col,),
@@ -1154,7 +1255,7 @@ def hard_negative_mining_ann(
         F.col("vec").alias("avec"),
         F.col(label_col).alias("__alabel"),
         "cell",
-    )
+    ).withColumn("__an", _norm(F.col("avec")))
     # each corpus vector lives in exactly one cell and an anchor's
     # probed cells are distinct, so no (anchor, neighbor) pair repeats
     if broadcast_anchors:
@@ -1185,8 +1286,12 @@ def _mine_candidates(joined, k: int, round_digits: int) -> DataFrame:
     windows — never a vector."""
     from pyspark.sql.window import Window
 
+    # per-row norms are attached by every caller before the candidate
+    # join (__an on the anchor side, __cn on the corpus side), so the
+    # per-pair term is one fold — values bit-identical (_cosine_pre)
     cand = joined.filter(F.col("neighbor_id") != F.col("anchor_id")).withColumn(
-        "cos", cosine(F.col("avec"), F.col("cvec"))
+        "cos",
+        _cosine_pre(F.col("avec"), F.col("cvec"), F.col("__an"), F.col("__cn")),
     )
     scored = cand.withColumn(
         "__pos",
@@ -1242,7 +1347,7 @@ def hard_negative_mining_ann_indexed(
         F.col("vec").alias("cvec"),
         F.col(label_col).alias("__nlabel"),
         "cell",
-    )
+    ).withColumn("__cn", _norm(F.col("cvec")))
     qc = _probe_cells(
         anchors, cents, id_col=id_col, vec_col=vec_col, n_probe=n_probe,
         round_digits=6, carry=(label_col,),
@@ -1254,7 +1359,9 @@ def hard_negative_mining_ann_indexed(
         # restated for DPP: pruning fires only when the broadcast side
         # carries a selective predicate (the ivf_topk_indexed rule)
         "probe_rank",
-    ).filter(F.col("probe_rank") <= n_probe).drop("probe_rank")
+    ).filter(F.col("probe_rank") <= n_probe).drop("probe_rank").withColumn(
+        "__an", _norm(F.col("avec"))
+    )
     if broadcast_anchors:
         joined = cc.join(F.broadcast(qc), "cell")
     else:
@@ -1327,7 +1434,7 @@ def hard_negative_mining_ann_bucketed(
         F.col("vec").alias("cvec"),
         F.col(label_col).alias("__nlabel"),
         "cell",
-    )
+    ).withColumn("__cn", _norm(F.col("cvec")))
     qc = _probe_cells(
         anchors, cents, id_col=id_col, vec_col=vec_col, n_probe=n_probe,
         round_digits=6, carry=(label_col,),
@@ -1336,6 +1443,6 @@ def hard_negative_mining_ann_bucketed(
         F.col("vec").alias("avec"),
         F.col(label_col).alias("__alabel"),
         "cell",
-    )
+    ).withColumn("__an", _norm(F.col("avec")))
     joined = cc.hint("shuffle_merge").join(qc.hint("shuffle_merge"), "cell")
     return _mine_candidates(joined, k, round_digits)

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from renkodf_spark.plans.persist import persist_block
+
 # tiny marker-word lists per language for the n-gram/stopword heuristic
 LANG_MARKERS = {
     "en": ("the", "and", "of", "a", "to"),
@@ -954,14 +956,25 @@ def derive_bigram_model(
     (``curation_stream.read_bigram_lm``) models are bit-equal."""
     if alpha <= 0:
         raise ValueError(f"alpha must be positive, got {alpha}")
+    # r14 (guide §3.3): the count table feeds THREE consumers (the
+    # unigram model, the (T, V) totals, and the bigram denominator
+    # join) and the unigram model itself is probed twice by every
+    # scorer — left inline, the whole tokenize+count training chain is
+    # re-stamped into each consumer's plan (bigram_lm_doc_quality
+    # carried 18 copies of the docs scan; the signed-quantile family
+    # 140). Lazily localCheckpoint the two bounded model relations so
+    # training is planned and executed once. Rows identical.
+    counts = persist_block(counts)
     totals = counts.agg(
         F.sum("cnt").alias("__T"), F.count(F.lit(1)).alias("__V")
     )
     lp = F.round(
         F.log((F.col("cnt") + alpha) / (F.col("__T") + alpha * F.col("__V"))) * 1e6
     ).cast("long")
-    unigrams = counts.crossJoin(F.broadcast(totals)).select(
-        "term", "cnt", lp.alias("lp_micros")
+    unigrams = persist_block(
+        counts.crossJoin(F.broadcast(totals)).select(
+            "term", "cnt", lp.alias("lp_micros")
+        )
     )
     bigrams = bcounts.join(
         unigrams.select(F.col("term").alias("w1"), F.col("cnt").alias("__c1")), "w1"

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from renkodf_spark.functions import quantiles as qsk
 from renkodf_spark.operators import text
+from renkodf_spark.plans.persist import persist_block
 from renkodf_spark.queries.pipeline import _docs
 from renkodf_spark.queries.pipeline8 import _BG_CTES, _bigram_model
 from renkodf_spark.queries.registry import query
@@ -148,11 +149,19 @@ FROM sest JOIN sxb ON sxb.g = sest.g AND sxb.qp = sest.qp
 def signed_lm_score_quantiles(spark, sf_dir):
     docs, model = _bigram_model(spark, sf_dir)
     scores = text.bigram_logprob(docs, model)
-    scored = scores.join(docs.select("doc_id", "lang"), "doc_id").select(
-        F.col("lang"), F.col("sum_logp_micros").alias("v")
+    # r14 (guide §3.3): the scored relation — the full bigram-LM
+    # training + scoring chain — feeds the sketch AND the full-sort
+    # exactness device; est feeds the output AND the rank probe.
+    # Lazily localCheckpoint both narrow relations so each chain is
+    # planned and executed once (the inline form stamped the LM chain
+    # 140 scans deep into one physical plan). Identical rows.
+    scored = persist_block(
+        scores.join(docs.select("doc_id", "lang"), "doc_id").select(
+            F.col("lang"), F.col("sum_logp_micros").alias("v")
+        )
     )
     sk = qsk.quantile_sketch(scored, "lang", "v", k=_QK)
-    est = qsk.sketch_quantiles(sk, "lang", _SGN_QS, k=_QK)
+    est = persist_block(qsk.sketch_quantiles(sk, "lang", _SGN_QS, k=_QK))
     ranked = scored.withColumn(
         "rk", F.row_number().over(Window.partitionBy("lang").orderBy("v"))
     )
@@ -240,11 +249,14 @@ FROM west JOIN wxb ON wxb.g = west.g AND wxb.qp = west.qp
 def signed_weighted_quantiles(spark, sf_dir):
     docs, model = _bigram_model(spark, sf_dir)
     scores = text.bigram_logprob(docs, model)
-    scored = scores.join(docs.select("doc_id", "lang", "n_chars"), "doc_id").select(
-        F.col("lang"), F.col("sum_logp_micros").alias("v"), F.col("n_chars").alias("w")
+    # guide §3.3 lineage truncation — see signed_lm_score_quantiles
+    scored = persist_block(
+        scores.join(docs.select("doc_id", "lang", "n_chars"), "doc_id").select(
+            F.col("lang"), F.col("sum_logp_micros").alias("v"), F.col("n_chars").alias("w")
+        )
     )
     sk = qsk.quantile_sketch(scored, "lang", "v", k=_QK, weight_col="w")
-    est = qsk.sketch_quantiles(sk, "lang", _SGN_QS, k=_QK)
+    est = persist_block(qsk.sketch_quantiles(sk, "lang", _SGN_QS, k=_QK))
     # exact weighted order statistic: smallest v whose cumulative
     # weight (ascending v, per-distinct-v pre-aggregated) reaches r
     cw = (
@@ -325,8 +337,11 @@ GROUP BY 1, 2, 3, 4
 def signed_score_trim(spark, sf_dir):
     docs, model = _bigram_model(spark, sf_dir)
     scores = text.bigram_logprob(docs, model)
-    scored = scores.join(docs.select("doc_id", "lang"), "doc_id").select(
-        F.col("lang"), F.col("sum_logp_micros").alias("v")
+    # guide §3.3 lineage truncation — see signed_lm_score_quantiles
+    scored = persist_block(
+        scores.join(docs.select("doc_id", "lang"), "doc_id").select(
+            F.col("lang"), F.col("sum_logp_micros").alias("v")
+        )
     )
     sk = qsk.quantile_sketch(scored, "lang", "v", k=_QK)
     est = qsk.sketch_quantiles(sk, "lang", [(1, 20), (19, 20)], k=_QK)

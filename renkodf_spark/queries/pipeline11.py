@@ -50,6 +50,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from renkodf_spark.operators import corpus, dedup, text
+from renkodf_spark.plans.persist import persist_block
 from renkodf_spark.queries.pipeline import (
     BAND_SIZE,
     MAX_BUCKET,
@@ -196,8 +197,22 @@ def pretrain_dag(docs, eval_snippets):
     # explosion, chunking) inherits the one-partition layout and runs
     # on a single core.
     docs = dedup._maybe_repartition(docs, "doc_id", "auto")
+    # r14 (optimization guide §3.3): every stage's keep/drop verdict is
+    # a NARROW doc_id relation whose derivation re-reads the upstream
+    # text chain. Left inline, each stage's verdict re-stamps the whole
+    # upstream into its consumers' logical plan — depth-5 composition
+    # blew up to 78 copies of the docs scan and 216 Exchanges, and the
+    # wall-clock was dominated by Catalyst planning plus re-executed
+    # verdict branches (cloned pruned projections defeat runtime
+    # exchange reuse). Lazily localCheckpoint-ing each verdict set
+    # (ids/rates only — the text NEVER materializes, the one-pass
+    # payload contract is untouched) makes the plan linear in stages:
+    # the text lineage is a single scan chain of broadcast semi-joins,
+    # and each verdict computes once over a single-copy chain.
     # 1: exact dedup — keep the minimum id of every content group
-    keepers = dedup.exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
+    keepers = persist_block(
+        dedup.exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
+    )
     dd = docs.join(F.broadcast(keepers), "doc_id")
     # 2: near-dup drop — LSH candidates on the deduped corpus; a doc
     # with any lower-id candidate partner is dropped (deterministic
@@ -214,12 +229,14 @@ def pretrain_dag(docs, eval_snippets):
         repartition_input=False,
     )
     nd = dd.join(
-        F.broadcast(pairs.select(F.col("id_b").alias("doc_id")).distinct()),
+        F.broadcast(
+            persist_block(pairs.select(F.col("id_b").alias("doc_id")).distinct())
+        ),
         "doc_id",
         "left_anti",
     )
     # 3: Gopher rule filter
-    passing = (
+    passing = persist_block(
         text.gopher_rules(nd, min_words=_G_MIN_WORDS, min_stop_hits=_G_MIN_STOP)
         .filter(F.col("gopher_pass") == 1)
         .select("doc_id")
@@ -227,14 +244,16 @@ def pretrain_dag(docs, eval_snippets):
     gq = nd.join(F.broadcast(passing), "doc_id")
     # 4: decontamination against the eval carve of the FULL corpus
     # (broadcast_report: the flag set is bounded by the eval set's
-    # gram reach, and AQE cannot see that inside this DAG)
+    # gram reach, and AQE cannot see that inside this DAG;
+    # persist_report: the §3.3 lineage truncation above)
     dc = corpus.decontaminate(
-        gq, eval_snippets, n=_DECON_N, broadcast_report=True
+        gq, eval_snippets, n=_DECON_N, broadcast_report=True, persist_report=True
     )
     # 5: temperature mixing over the surviving language distribution
     # (broadcast_rates: one row per language)
     tm = corpus.temperature_sample(
-        dc, alpha=_TEMP_ALPHA, target_total=_TEMP_TARGET, broadcast_rates=True
+        dc, alpha=_TEMP_ALPHA, target_total=_TEMP_TARGET, broadcast_rates=True,
+        persist_rates=True,
     )
     # 6+7: chunk -> pack -> assemble bins; export the shard content
     chunks = corpus.chunk_documents(

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from renkodf_spark.functions import bloom
 from renkodf_spark.operators import corpus, dedup, text
+from renkodf_spark.plans.persist import persist_block
 from renkodf_spark.queries.pipeline import _PAIRS_CTES, _docs, _shared_pairs
 from renkodf_spark.queries.registry import query
 
@@ -630,9 +631,15 @@ def curation_end_to_end(spark, sf_dir):
     from renkodf_spark.queries.pipeline4 import _G_MIN_STOP, _G_MIN_WORDS
 
     docs = _docs(spark, sf_dir)
-    keepers = dedup.exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
+    # guide §3.3: both verdict sets are narrow doc_id relations whose
+    # inline derivations re-stamp the upstream text chain into every
+    # consumer (the pretrain_end_to_end lineage-truncation rationale,
+    # pipeline11). Lazy localCheckpoint; rows identical.
+    keepers = persist_block(
+        dedup.exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
+    )
     dd = docs.join(keepers, "doc_id")
-    passing = (
+    passing = persist_block(
         text.gopher_rules(dd, min_words=_G_MIN_WORDS, min_stop_hits=_G_MIN_STOP)
         .filter(F.col("gopher_pass") == 1)
         .select("doc_id")

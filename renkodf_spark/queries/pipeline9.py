@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from renkodf_spark.functions import quantiles as qsk
 from renkodf_spark.operators import setsim
+from renkodf_spark.plans.persist import persist_block
 from renkodf_spark.queries.pipeline import _docs
 from renkodf_spark.queries.registry import query
 from renkodf_spark.sources.tables import load_table
@@ -200,7 +201,10 @@ def quantile_sketch_estimates(spark, sf_dir):
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
     )
     sk = qsk.quantile_sketch(li, "l_returnflag", "cents", k=_QK)
-    est = qsk.sketch_quantiles(sk, "l_returnflag", _QS, k=_QK)
+    # guide §3.3: est (a few rows) feeds both the output and the
+    # full-sort exactness probe — truncate its lineage so the sketch
+    # chain is planned/executed once. Identical rows.
+    est = persist_block(qsk.sketch_quantiles(sk, "l_returnflag", _QS, k=_QK))
     ranked = li.withColumn(
         "rk",
         F.row_number().over(Window.partitionBy("l_returnflag").orderBy("cents")),
@@ -449,7 +453,9 @@ def quantile_outlier_trim(spark, sf_dir):
         F.col("source"), F.col("n_chars").alias("v"), "doc_id"
     )
     sk = qsk.quantile_sketch(docs, "source", "v", k=_QK)
-    est = qsk.sketch_quantiles(sk, "source", [(1, 20), (19, 20)], k=_QK)
+    # guide §3.3: one tiny bounds row per source drives the broadcast
+    # keep-filter — truncate so the sketch chain is planned once
+    est = persist_block(qsk.sketch_quantiles(sk, "source", [(1, 20), (19, 20)], k=_QK))
     bounds = est.groupBy("source").agg(
         F.max("n").alias("n"),
         F.max(F.when(F.col("q_permille") == 50, F.col("est"))).alias("lo"),

@@ -971,8 +971,15 @@ def dsir_weights(
     doc_grams = raw.select(
         F.col(id_col).alias("id"), _norm_gram_tokens(text_col).alias("__t")
     ).select("id", F.explode(_hashed_bucket_grams(F.col("__t"), n_buckets)).alias("bucket"))
-    raw_counts = doc_grams.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
-    tgt_counts = (
+    # r14 (guide §3.3): both bucket-count relations are bounded by
+    # n_buckets and each feeds two consumers (its scalar total and the
+    # model join) — truncate so each corpus gram pass is planned and
+    # executed once for the model fit. The documented two-scan contract
+    # (model fit + scoring) is unchanged; rows identical.
+    raw_counts = persist_block(
+        doc_grams.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    )
+    tgt_counts = persist_block(
         target.select(_norm_gram_tokens(target_text_col).alias("__t"))
         .select(F.explode(_hashed_bucket_grams(F.col("__t"), n_buckets)).alias("bucket"))
         .groupBy("bucket")
@@ -988,7 +995,7 @@ def dsir_weights(
         )
         * 1e6
     ).cast("long")
-    model = (
+    model = persist_block(
         raw_counts.join(tgt_counts, "bucket", "left")
         .crossJoin(F.broadcast(raw_tot))
         .crossJoin(F.broadcast(tgt_tot))

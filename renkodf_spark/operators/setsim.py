@@ -285,7 +285,13 @@ def setsim_join(
     # setsim_exact_join at sf0.1; the lazy form persists on first use
     # inside the query's own parallel job, like cache() did.
     e = persist_block(e, reliable=reliable)
-    pref = prefix_index(e, t_num=t_num, t_den=t_den)
+    # r14 (guide §3.3): the prefix table feeds BOTH candidate sides and
+    # the sorted-set table both verify sides — persist each narrow
+    # relation so the freq-join + rank window (resp. the per-doc
+    # collect_set) is planned and executed once instead of twice.
+    pref = persist_block(
+        prefix_index(e, t_num=t_num, t_den=t_den), reliable=reliable
+    )
     cand = _filtered_candidates(
         _prefix_side(pref, "a"),
         _prefix_side(pref, "b"),
@@ -294,7 +300,11 @@ def setsim_join(
         same_side=True,
     )
     return _verify(
-        cand, element_sets(e), t_num=t_num, t_den=t_den, round_digits=round_digits
+        cand,
+        persist_block(element_sets(e), reliable=reliable),
+        t_num=t_num,
+        t_den=t_den,
+        round_digits=round_digits,
     )
 
 

@@ -209,7 +209,14 @@ def train_ivf_centroids(
         embedding_centroids(seeded, group_col="bucket", vec_col=vec_col, dim=dim),
         round_digits=round_digits,
     )
-    for _ in range(iters):
+    for t in range(iters):
+        # r14 (guide §3.3): each Lloyd step's centroid table embeds the
+        # previous step's whole routing chain — inline, the plan (and
+        # the per-iteration recompute) grows with iteration depth.
+        # Lazily localCheckpoint the <= 2^n_planes-row centroid state
+        # between iterations; rows identical.
+        if t > 0:
+            cents = persist_block(cents)
         assigned = nearest_centroid(
             emb, cents, id_col=id_col, vec_col=vec_col, round_digits=round_digits
         )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from renkodf_spark.operators import dedup, multimodal, similarity, text
+from renkodf_spark.plans.persist import persist_block
 from renkodf_spark.queries.registry import query
 from renkodf_spark.sources.tables import load_table
 
@@ -798,7 +799,7 @@ def multimodal_curation_end_to_end(spark, sf_dir):
     # band table, both pair-verify sides, and the survivors join;
     # otherwise each branch re-runs the image decode over the whole
     # corpus (r12 plan audit, same fix as the video DAG)
-    keepers = (
+    keepers = persist_block(
         multimodal.image_dhash(media).localCheckpoint()
         .groupBy("dhash_hi", "dhash_lo")
         .agg(
@@ -1259,11 +1260,19 @@ def multimodal_video_curation_end_to_end(spark, sf_dir):
         F.sum((F.col("frame_index") + 1) * F.col("dhash_lo")).alias("vsig_lo"),
         F.count(F.lit(1)).alias("n_frames"),
     )
-    keep = sigs.groupBy("vsig_hi", "vsig_lo", "n_frames").agg(
-        F.min("media_id").alias("media_id"),
-        F.count(F.lit(1)).alias("n_exact_dupes"),
+    # guide §3.3: keep is referenced three times (keeper frames, the
+    # survivor anti-join, the output) and kframes three times (reps +
+    # both verify sides) — truncate both narrow relations so the
+    # signature election is planned/executed once instead of being
+    # re-stamped per consumer (the plan carried 8 copies). Lazy, rows
+    # identical.
+    keep = persist_block(
+        sigs.groupBy("vsig_hi", "vsig_lo", "n_frames").agg(
+            F.min("media_id").alias("media_id"),
+            F.count(F.lit(1)).alias("n_exact_dupes"),
+        )
     )
-    kframes = fh.join(keep.select("media_id"), "media_id")
+    kframes = persist_block(fh.join(keep.select("media_id"), "media_id"))
     reps = kframes.filter(F.col("frame_index") == 0)
     cand = multimodal.dhash_hamming_pairs(reps, max_distance=2).select(
         F.col("id_a").alias("vid_a"), F.col("id_b").alias("vid_b")

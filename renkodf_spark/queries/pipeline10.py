@@ -166,13 +166,15 @@ def signed_lm_score_quantiles(spark, sf_dir):
         "rk", F.row_number().over(Window.partitionBy("lang").orderBy("v"))
     )
     xe, xm = qsk.bucket_exprs("v", _QK)
+    # broadcast hints: the checkpointed est has no stats (pipeline9's
+    # quantile_sketch_estimates measured the silent SMJ fallback)
     xb = (
-        est.select("lang", "q_permille", "r")
+        F.broadcast(est.select("lang", "q_permille", "r"))
         .join(ranked, ["lang"])
         .filter(F.col("rk") == F.col("r"))
         .select("lang", "q_permille", xe.alias("xe"), xm.alias("xm"))
     )
-    return est.join(xb, ["lang", "q_permille"]).select(
+    return est.join(F.broadcast(xb), ["lang", "q_permille"]).select(
         "lang",
         "q_permille",
         "n",
@@ -265,7 +267,7 @@ def signed_weighted_quantiles(spark, sf_dir):
         .withColumn("cumw", F.sum("wv").over(Window.partitionBy("lang").orderBy("v")))
     )
     xb = (
-        est.select("lang", "q_permille", "r")
+        F.broadcast(est.select("lang", "q_permille", "r"))
         .join(cw, "lang")
         .filter(F.col("cumw") >= F.col("r"))
         .groupBy("lang", "q_permille")
@@ -273,7 +275,7 @@ def signed_weighted_quantiles(spark, sf_dir):
     )
     xe, xm = qsk.bucket_exprs("v_star", _QK)
     xb = xb.select("lang", "q_permille", xe.alias("xe"), xm.alias("xm"))
-    return est.join(xb, ["lang", "q_permille"]).select(
+    return est.join(F.broadcast(xb), ["lang", "q_permille"]).select(
         "lang",
         "q_permille",
         "n",

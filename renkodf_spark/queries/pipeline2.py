@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from renkodf_spark.operators import corpus, dedup, similarity, text
+from renkodf_spark.plans.persist import persist_block
 from renkodf_spark.queries.pipeline import (
     _LANG_CASE,
     _LANG_SCORES,
@@ -267,7 +268,11 @@ def winnow_candidate_pairs(spark, sf_dir):
     fps = text.winnow_fingerprints(
         _docs(spark, sf_dir), k=_WINNOW_K, window=_WINNOW_W
     )
-    fdocs = (
+    # guide §3.3: both pair-join sides otherwise re-stamp the whole
+    # fingerprint pipeline (k-gram explode + two windows over the full
+    # corpus — the plan carried it twice). Lazy localCheckpoint of the
+    # narrow (doc_id, fp) relation; rows identical.
+    fdocs = persist_block(
         fps.select("doc_id", "fp")
         .distinct()
         .withColumn(

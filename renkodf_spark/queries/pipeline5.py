@@ -638,13 +638,13 @@ def curation_end_to_end(spark, sf_dir):
     keepers = persist_block(
         dedup.exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
     )
-    dd = docs.join(keepers, "doc_id")
+    dd = docs.join(F.broadcast(keepers), "doc_id")
     passing = persist_block(
         text.gopher_rules(dd, min_words=_G_MIN_WORDS, min_stop_hits=_G_MIN_STOP)
         .filter(F.col("gopher_pass") == 1)
         .select("doc_id")
     )
-    filtered = dd.join(passing, "doc_id")
+    filtered = dd.join(F.broadcast(passing), "doc_id")
     sel = corpus.quota_sample(filtered, "lang", per_group=_E2E_QUOTA, salt=_E2E_SALT)
     return sel.select("doc_id", "lang", "n_chars", "sample_rank")
 

@@ -210,13 +210,16 @@ def quantile_sketch_estimates(spark, sf_dir):
         F.row_number().over(Window.partitionBy("l_returnflag").orderBy("cents")),
     )
     xe, xm = qsk.bucket_exprs("cents", _QK)
+    # broadcast hints: est is a few rows by construction, but the
+    # checkpoint leaf has no stats, so without the hint the planner
+    # falls back to a sort-merge join of the full-sort side
     xb = (
-        est.select("l_returnflag", "q_permille", "r")
+        F.broadcast(est.select("l_returnflag", "q_permille", "r"))
         .join(ranked, ["l_returnflag"])
         .filter(F.col("rk") == F.col("r"))
         .select("l_returnflag", "q_permille", xe.alias("xe"), xm.alias("xm"))
     )
-    return est.join(xb, ["l_returnflag", "q_permille"]).select(
+    return est.join(F.broadcast(xb), ["l_returnflag", "q_permille"]).select(
         "l_returnflag",
         "q_permille",
         "n",

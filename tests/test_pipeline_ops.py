@@ -885,7 +885,11 @@ def test_hard_negative_bucketed_index_parity_and_zero_corpus_exchange(spark, emb
     vec_shuffles = {
         tuple(cols) for cols in shuffle_inputs(mined) if {"cvec", "avec"} & set(cols)
     }
-    assert vec_shuffles == {("anchor_id", "avec", "__alabel", "cell")}, vec_shuffles
+    # r14: the anchor side also carries its precomputed norm (__an);
+    # the corpus side still crosses ZERO exchanges (no cvec tuple here)
+    assert vec_shuffles == {
+        ("anchor_id", "avec", "__alabel", "cell", "__an")
+    }, vec_shuffles
 
 
 # ------------------------------------------------------- unigram LM quality

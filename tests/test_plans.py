@@ -326,10 +326,13 @@ def test_hard_negative_ann_shuffle_path_single_linear_exchange(spark, sf_dir):
     # the candidate subtree is stamped once per consumer (pos + negk),
     # but the only vector-bearing shuffle SHAPES allowed are the two
     # narrow pre-join sides keyed by cell — never a joined row (which
-    # would carry both vectors) and never a post-rank row
+    # would carry both vectors) and never a post-rank row. r14: each
+    # side also carries its per-row precomputed norm (__cn/__an, one
+    # double — the pair-stage cosine reads it instead of re-folding
+    # the vector per pair).
     assert vec_shuffles == {
-        ("neighbor_id", "cvec", "__nlabel", "cell"),
-        ("anchor_id", "avec", "__alabel", "cell"),
+        ("neighbor_id", "cvec", "__nlabel", "cell", "__cn"),
+        ("anchor_id", "avec", "__alabel", "cell", "__an"),
     }, vec_shuffles
 
 

@@ -44,6 +44,40 @@ from renkodf_spark.queries import pipeline11  # noqa: F401
 # mechanical so the artifact no longer depends on habit).
 # Names not listed keep their module registration order after these.
 _PRIORITY = [
+    # -- round-14 OPTIMIZATION pass: queries whose PHYSICAL PLANS
+    #    changed this round (lineage truncation of narrow verdict/model
+    #    relations, per-row norm precompute in every pair stage, the
+    #    kNN top-k window riding the pair join's partitioning, LPA
+    #    per-round state persistence, quantile-probe broadcast hints).
+    #    Values are pinned bit-identical; the gate re-proves it.
+    "pretrain_end_to_end",
+    "knn_graph_edges",
+    "knn_communities_indexed",
+    "signed_lm_score_quantiles",
+    "signed_weighted_quantiles",
+    "semantic_dedup_keep",
+    "setsim_exact_join",
+    "winnow_candidate_pairs",
+    "similarity_ivfpq_topk",
+    "similarity_ivf_topk",
+    "similarity_cosine_topk",
+    "similarity_lsh_ann_topk",
+    "jl_projected_topk",
+    "ivf_train_unlabeled",
+    "hard_negative_pairs_ann",
+    "hard_negative_pairs_ann_shuffle",
+    "dsir_weights_en",
+    "dsir_top_sample",
+    "quantile_sketch_estimates",
+    "quantile_outlier_trim",
+    "curation_end_to_end",
+    "multimodal_curation_end_to_end",
+    "multimodal_video_curation_end_to_end",
+    "bigram_lm_doc_quality",
+    "bigram_perplexity_buckets",
+    "mutual_knn_cluster_labels",
+    "knn_pagerank",
+    "knn_communities",
     # -- new in round 14 (never had a gate row), plus the queries whose
     #    operator or oracle changed this round: the signed sketch floor
     #    reassociation (signed_lm_score_quantiles), the shared graph

@@ -45,6 +45,10 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # write-path posture (optimization guide §6): zstd beats snappy
+        # on ratio at similar read speed for the persisted index/graph
+        # layouts; local A/B neutral (tiny files), the win is at scale
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")

@@ -1336,16 +1336,28 @@ def main():
             }
         compact["scale"] = cs
     print(json.dumps(compact))
-    # VERDICT r8 item 1: the compact line above still carries all
-    # per-query timings and can overflow the driver's stdout capture
-    # window, truncating the LEADING keys (metric/value — the headline).
-    # The driver parses the LAST parseable JSON line, so end stdout with
-    # one ~150-byte micro-line that always fits: headline total, kernel
-    # rates, and a pointer to the committed full payload.
+    # VERDICT r8 item 1 / VERDICT r14 item 1: the compact line above
+    # still carries the bulky methodology/scale blobs and can overflow
+    # the driver's stdout capture window, truncating the LEADING keys
+    # (metric/value — the headline). The driver parses the LAST
+    # parseable JSON line, so end stdout with a bounded final line.
+    # r14's ~150-byte micro line omitted per-query timings, which left
+    # PERF_r14.json with an empty per_query/scaling comparison — the
+    # driver was judging blind. The final line now carries the
+    # {"queries": {name: sec}} map (~30 bytes/query, ~2.5 KB for 80
+    # queries — well inside the several-KB capture window that held the
+    # r14 tail), restoring the full driver contract
+    # (metric/value/unit/queries/sf) in the last line while keeping the
+    # methodology/scale bulk out of it.
     micro = {
         "metric": payload["metric"],
         "value": total,
         "unit": "sec",
+        "queries": {
+            k: round(v, 3)
+            for k, v in timings.items()
+            if not k.startswith("kernel_mticks")
+        },
         "sf": payload["sf"],
         "n_queries": len([k for k in timings if not k.startswith("kernel_mticks")]),
         "kernel_dense_mticks": timings["kernel_mticks_per_sec_dense"],

@@ -650,6 +650,7 @@ def decontaminate(
     eval_id_col: str = "eval_id",
     broadcast_report: bool = False,
     persist_report: bool = False,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Drop training documents contaminated by the evaluation set: any
     doc with at least ``min_hit_grams`` distinct overlapping normalized
@@ -682,7 +683,7 @@ def decontaminate(
     ).filter(F.col("n_hit_grams") >= min_hit_grams)
     ids = flagged.select(id_col)
     if persist_report:
-        ids = persist_block(ids)
+        ids = persist_block(ids, reliable=reliable)
     if broadcast_report:
         ids = F.broadcast(ids)
     return train.join(ids, id_col, "left_anti")
@@ -754,6 +755,7 @@ def temperature_sample(
     salt: str = "sample",
     broadcast_rates: bool = False,
     persist_rates: bool = False,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Apply :func:`temperature_rates` with the deterministic hash
     threshold of :func:`rate_sample`: a row is kept iff its 48-bit
@@ -784,7 +786,7 @@ def temperature_sample(
         # one row per group; lineage truncation for composed DAGs
         # (guide §3.3) — the rates' upstream corpus chain is not
         # re-stamped into the probe side's plan. Identical rows.
-        rel = persist_block(rel)
+        rel = persist_block(rel, reliable=reliable)
     if broadcast_rates:
         rel = F.broadcast(rel)
     return (
@@ -938,6 +940,7 @@ def dsir_weights(
     target_text_col: str = "text",
     n_buckets: int = 16384,
     alpha: int = 1,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """DSIR (Xie et al. 2023) importance weights: score every raw
     document by how target-like its hashed n-gram bag is —
@@ -977,13 +980,15 @@ def dsir_weights(
     # executed once for the model fit. The documented two-scan contract
     # (model fit + scoring) is unchanged; rows identical.
     raw_counts = persist_block(
-        doc_grams.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+        doc_grams.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr")),
+        reliable=reliable,
     )
     tgt_counts = persist_block(
         target.select(_norm_gram_tokens(target_text_col).alias("__t"))
         .select(F.explode(_hashed_bucket_grams(F.col("__t"), n_buckets)).alias("bucket"))
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("ct"))
+        .agg(F.count(F.lit(1)).alias("ct")),
+        reliable=reliable,
     )
     raw_tot = raw_counts.agg(F.sum("cr").alias("__Tr"))
     tgt_tot = tgt_counts.agg(F.sum("ct").alias("__Tt"))
@@ -999,7 +1004,8 @@ def dsir_weights(
         raw_counts.join(tgt_counts, "bucket", "left")
         .crossJoin(F.broadcast(raw_tot))
         .crossJoin(F.broadcast(tgt_tot))
-        .select("bucket", lr_micros.alias("__lr"))
+        .select("bucket", lr_micros.alias("__lr")),
+        reliable=reliable,
     )
     scored = (
         doc_grams.join(F.broadcast(model), "bucket")

@@ -65,7 +65,7 @@ def pagerank(
     weight_col: str | None = None,
     checkpoint_every: int | None = None,
     teleport_n: int | None = None,
-    reliable: bool = False,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list.
 
@@ -318,7 +318,7 @@ def label_propagation(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint_every: int | None = None,
-    reliable: bool = False,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Deterministic synchronous label propagation (Raghavan et al.
     2007) — community detection one level finer than connected
@@ -393,5 +393,12 @@ def label_propagation(
             # stamped the node relation 8x and planning dominated the
             # fixpoint. A LAZY per-round localCheckpoint keeps the plan
             # linear in rounds with no barrier job; rows identical.
-            lbl = persist_block(lbl, reliable=reliable)
+            # Deliberately reliable=False (ADVICE r14): routing EVERY
+            # round through the reliable store would write the node
+            # relation to the checkpoint dir once per iteration,
+            # making the checkpoint_every cadence meaningless;
+            # reliable writes stay on the configured cadence above,
+            # and a lost executor between them replays at most
+            # checkpoint_every rounds of narrow (id, label) work.
+            lbl = persist_block(lbl, reliable=False)
     return lbl.select(id_col, F.col("lbl").alias("community"))

@@ -262,7 +262,7 @@ def setsim_join(
     t_num: int = 1,
     t_den: int = 2,
     round_digits: int = 4,
-    reliable: bool = False,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard >= t_num/t_den — EXACT
     (100% recall, 100% precision; the filters only prune cost).
@@ -316,7 +316,7 @@ def setsim_index(
     shingle_n: int = 3,
     t_num: int = 1,
     t_den: int = 2,
-    reliable: bool = False,
+    reliable: bool | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The three persistable index tables of the production protocol:
     ``(freq, prefix, sets)`` — element frequencies (the frozen order
@@ -347,7 +347,7 @@ def incremental_setsim_pairs(
     round_digits: int = 4,
     include_within_new: bool = True,
     new_elements: DataFrame | None = None,
-    reliable: bool = False,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Exact set-similarity pairs TOUCHING an increment: new-vs-baseline
     plus (optionally) new-vs-new, against a persisted
@@ -414,7 +414,7 @@ def containment_join(
     t_den: int = 5,
     round_digits: int = 4,
     repartition_input: bool | str = "auto",
-    reliable: bool = False,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Exact CONTAINMENT join: all ORDERED pairs (a, b), a != b, with
     ``|a ∩ b| >= t * |a|`` — "most of a's shingles appear in b", the

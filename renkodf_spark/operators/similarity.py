@@ -178,6 +178,7 @@ def train_ivf_centroids(
     n_planes: int = 4,
     iters: int = 2,
     round_digits: int = 6,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """IVF training WITHOUT labels — the real-corpus shape (real
     embedding columns carry no cluster/label column to seed from).
@@ -214,9 +215,11 @@ def train_ivf_centroids(
         # previous step's whole routing chain — inline, the plan (and
         # the per-iteration recompute) grows with iteration depth.
         # Lazily localCheckpoint the <= 2^n_planes-row centroid state
-        # between iterations; rows identical.
+        # between iterations; rows identical. ``reliable=`` /
+        # spark.renkodf.persist.reliable routes the state through the
+        # fault-tolerant checkpoint store (plans/persist.py).
         if t > 0:
-            cents = persist_block(cents)
+            cents = persist_block(cents, reliable=reliable)
         assigned = nearest_centroid(
             emb, cents, id_col=id_col, vec_col=vec_col, round_digits=round_digits
         )
@@ -645,6 +648,7 @@ def semantic_dedup(
     threshold: float = 0.9,
     round_digits: int = 6,
     max_cell_size: int | None = None,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): route
     every embedding to its nearest centroid cell, compare pairs only
@@ -692,7 +696,8 @@ def semantic_dedup(
     routed = persist_block(
         nearest_centroid(
             emb, centroids, id_col=id_col, vec_col=vec_col, round_digits=round_digits
-        ).select("id", "vec", "cell")
+        ).select("id", "vec", "cell"),
+        reliable=reliable,
     )
     routed, pair_keys = _cap_cells(routed, max_cell_size)
     capped = routed.withColumn("__nrm", _norm(F.col("vec")))
@@ -769,6 +774,7 @@ def knn_edges_from_routed(
     round_digits: int = 6,
     max_cell_size: int | None = None,
     keep_cell: bool = False,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """The pair/rank stage of :func:`knn_graph` over an ALREADY-ROUTED
     ``(id, vec, cell)`` relation — shared with the streaming graph
@@ -789,10 +795,20 @@ def knn_edges_from_routed(
     top-k window partitions by ``(cell[, __sub], src)`` — equivalent
     grouping, since a source's pairs all share its cell — which the
     join's existing hash partitioning already satisfies, removing the
-    final per-src Exchange outright."""
+    final per-src Exchange outright.
+
+    PRECONDITION (ADVICE r14): each ``id`` must appear in exactly one
+    ``(cell[, __sub])`` — i.e. ``routed`` holds one row per id. That is
+    exactly the routing contract (``nearest_centroid`` emits one argmax
+    row per vector) and the streaming maintainer's append-only index
+    contract (routing is frozen at index-write time). If a caller ever
+    feeds duplicate ids re-routed to different cells across
+    generations, the ``(cell, src)`` window would emit up to ``k``
+    edges per (cell, src) instead of ``k`` per src — dedupe to one row
+    per id first."""
     from pyspark.sql import Window
 
-    routed = persist_block(routed)
+    routed = persist_block(routed, reliable=reliable)
     routed, pair_keys = _cap_cells(routed, max_cell_size)
     routed = routed.withColumn("__nrm", _norm(F.col("vec")))
     a, b = routed.alias("a"), routed.alias("b")

@@ -213,7 +213,17 @@ def pretrain_dag(docs, eval_snippets):
     keepers = persist_block(
         dedup.exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
     )
-    dd = docs.join(F.broadcast(keepers), "doc_id")
+    # No F.broadcast hint on the corpus-sized verdict sets (keepers /
+    # near-dup drops / gopher passing — the ADVICE r14 bound rule): a
+    # hint is honored regardless of actual size, and these sets are
+    # O(corpus) cardinality, so at 100 TB the hint risks driver OOM /
+    # the 8 GB broadcast cap. AQE re-plans each join from the runtime
+    # shuffle stats instead (locally they still become broadcast-hash
+    # joins with local shuffle reads; at scale they degrade gracefully
+    # to shuffle joins). The bounded hints below (decontaminate's
+    # eval-gram-reach report, temperature's per-language rates) keep
+    # their explicit broadcasts.
+    dd = docs.join(keepers, "doc_id")
     # 2: near-dup drop — LSH candidates on the deduped corpus; a doc
     # with any lower-id candidate partner is dropped (deterministic
     # greedy keep, the multimodal_curation_end_to_end policy)
@@ -229,9 +239,7 @@ def pretrain_dag(docs, eval_snippets):
         repartition_input=False,
     )
     nd = dd.join(
-        F.broadcast(
-            persist_block(pairs.select(F.col("id_b").alias("doc_id")).distinct())
-        ),
+        persist_block(pairs.select(F.col("id_b").alias("doc_id")).distinct()),
         "doc_id",
         "left_anti",
     )
@@ -241,7 +249,7 @@ def pretrain_dag(docs, eval_snippets):
         .filter(F.col("gopher_pass") == 1)
         .select("doc_id")
     )
-    gq = nd.join(F.broadcast(passing), "doc_id")
+    gq = nd.join(passing, "doc_id")
     # 4: decontamination against the eval carve of the FULL corpus
     # (broadcast_report: the flag set is bounded by the eval set's
     # gram reach, and AQE cannot see that inside this DAG;

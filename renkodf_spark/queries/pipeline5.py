@@ -638,13 +638,21 @@ def curation_end_to_end(spark, sf_dir):
     keepers = persist_block(
         dedup.exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
     )
-    dd = docs.join(F.broadcast(keepers), "doc_id")
+    # No F.broadcast hint on keepers/passing (ADVICE r14): both are
+    # O(corpus)-cardinality doc_id verdict sets (exact-dedup keepers and
+    # gopher-pass ids are roughly corpus-sized), unlike the bounded
+    # est/rates/centroid hints elsewhere. Spark honors a hint regardless
+    # of actual size, so at 100 TB the hint risks driver OOM / the 8 GB
+    # broadcast cap. AQE picks the strategy from runtime shuffle stats
+    # instead (the checkpointed relation has no planner stats, but AQE
+    # re-plans from the real exchanged bytes).
+    dd = docs.join(keepers, "doc_id")
     passing = persist_block(
         text.gopher_rules(dd, min_words=_G_MIN_WORDS, min_stop_hits=_G_MIN_STOP)
         .filter(F.col("gopher_pass") == 1)
         .select("doc_id")
     )
-    filtered = dd.join(F.broadcast(passing), "doc_id")
+    filtered = dd.join(passing, "doc_id")
     sel = corpus.quota_sample(filtered, "lang", per_group=_E2E_QUOTA, salt=_E2E_SALT)
     return sel.select("doc_id", "lang", "n_chars", "sample_rank")
 

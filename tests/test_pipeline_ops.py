@@ -1691,3 +1691,58 @@ def test_cluster_labels_shuffled_id_path_logarithmic(spark):
     assert stats["rounds"] <= 12, stats  # ~log2(256)=8 + slack + obs round
     got = {(r.id, r.cluster_id) for r in labels.collect()}
     assert got == {(i, 0) for i in range(256)}
+
+
+def test_reliable_session_conf_through_pretrain_end_to_end(spark, sf_dir, tmp_path):
+    """VERDICT r14 item 2: the persist_block reliability choice must
+    reach every call site. Rather than thread reliable= through every
+    query-level composition, persist_block(reliable=None) now resolves
+    the session conf spark.renkodf.persist.reliable — one switch routes
+    ALL lineage-truncation points of a DAG through the fault-tolerant
+    checkpoint store. Prove it end-to-end on the deepest composed DAG
+    (pretrain_end_to_end: 5+ persist sites across dedup/gopher/decon/
+    temperature stages) with identical rows, and prove the conf is
+    actually consulted (reliable checkpoints land in the checkpoint
+    dir)."""
+    import renkodf_spark.queries as q
+
+    builder = q.queries()["pretrain_end_to_end"]
+    base = sorted(map(tuple, builder(spark, sf_dir).collect()))
+
+    ckpt = tmp_path / "reliable-ckpt"
+    had_dir = spark.sparkContext.getCheckpointDir()
+    spark.sparkContext.setCheckpointDir(str(ckpt))
+    spark.conf.set("spark.renkodf.persist.reliable", "true")
+    try:
+        rel = sorted(map(tuple, builder(spark, sf_dir).collect()))
+    finally:
+        spark.conf.unset("spark.renkodf.persist.reliable")
+        if had_dir is not None:
+            spark.sparkContext.setCheckpointDir(had_dir)
+    assert rel == base
+    # the reliable path really ran: checkpoint RDD dirs were written
+    import os as _os
+
+    written = [
+        f for _r, _d, fs in _os.walk(str(ckpt)) for f in fs
+    ]
+    assert written, "reliable=true session conf produced no checkpoint files"
+
+
+def test_persist_block_conf_default_resolution(spark, tmp_path):
+    """persist_block(reliable=None) consults spark.renkodf.persist.
+    reliable; an explicit argument always wins over the conf."""
+    from renkodf_spark.plans.persist import persist_block
+
+    df = spark.range(10)
+    # conf unset -> local (no checkpoint dir needed)
+    assert persist_block(df).count() == 10
+    spark.conf.set("spark.renkodf.persist.reliable", "true")
+    try:
+        if spark.sparkContext.getCheckpointDir() is None:
+            with pytest.raises(ValueError, match="setCheckpointDir"):
+                persist_block(df)
+        # explicit False overrides the conf: no checkpoint dir required
+        assert persist_block(df, reliable=False).count() == 10
+    finally:
+        spark.conf.unset("spark.renkodf.persist.reliable")

@@ -117,43 +117,110 @@ def winnow_fingerprints(
     fewer than ``window + k - 1`` tokens yield no fingerprints (no
     full window exists — mirrored by the oracle's window predicate).
 
-    Scale shape: k-gram construction is doc-local (slice/concat on the
-    token array — the text column is pruned before any exchange); the
-    only shuffle is the ``(id, i, h)`` long-triple relation keyed by
-    doc id for the per-doc ordered window; selection is one window
-    min over a struct — rightmost tie-break encoded as
-    ``min(struct(h, -i))``, no second pass, no UDF.
+    Scale shape (r15, optimization guide §2.4/§8): the whole
+    selection is DOC-LOCAL — k-gram hashing, the sliding window-min,
+    and the per-doc de-dup all run as array higher-order expressions
+    over the row's own token array, so the operator is a pure narrow
+    map with ZERO exchanges (the r14 formulation exploded the grams
+    and shuffled the ``(id, i, h)`` triple relation — one full
+    corpus-derived exchange — just to reassemble each doc's grams for
+    a window). Rightmost tie-break is encoded as
+    ``array_min(struct(h, -i))`` per window — the same lexicographic
+    struct ordering the old ``min(...).over(w)`` used, so selections
+    are bit-identical; ``array_distinct`` replaces the global
+    ``.distinct()`` (equivalent: ``id_col`` is in every output row, so
+    distinct never crossed documents).
     """
     if k <= 0 or window <= 0:
         raise ValueError(f"k and window must be positive, got k={k} window={window}")
-    from pyspark.sql import Window
-
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    idx = F.when(
-        F.size(toks) >= k, F.sequence(F.lit(0), F.size(toks) - F.lit(k))
-    ).otherwise(F.array().cast("array<int>"))
-    gram_at = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))  # noqa: E731
-    grams = df.select(
-        F.col(id_col),
-        F.posexplode(F.transform(idx, gram_at)).alias("i", "gram"),
+    return _winnow_selected(df, text_col, id_col, k, window).select(
+        F.col(id_col), F.explode(F.array_distinct(F.col("__wins"))).alias("__s")
     ).select(
         id_col,
-        "i",
-        F.conv(F.substring(F.md5(F.col("gram")), 1, 12), 16, 10)
-        .cast("long")
-        .alias("h"),
+        (-F.col("__s.ni")).alias("pos"),
+        F.col("__s.h").alias("fp"),
     )
-    wnd = Window.partitionBy(id_col).orderBy("i").rowsBetween(-(window - 1), 0)
-    sel = F.min(F.struct(F.col("h").alias("h"), (-F.col("i")).alias("ni"))).over(wnd)
+
+
+def _winnow_selected(
+    df: DataFrame, text_col: str, id_col: str, k: int, window: int
+) -> DataFrame:
+    """``(id_col, __wins)`` where ``__wins`` is the array of the row's
+    robust-winnowing selections: one ``struct(h, ni=-pos)`` per full
+    window end (duplicates included — callers de-dup to their own
+    grain). Pure narrow projections; the shared core of
+    :func:`winnow_fingerprints` and :func:`winnow_doc_fps`.
+
+    Each intermediate (token array, gram-hash array) is materialized
+    as its OWN projection column before the next step references it:
+    expression trees are trees, not DAGs, so referencing the hash
+    array directly inside the per-window lambda would inline — and
+    re-evaluate — the whole md5 pass per window member (O(n²·w) per
+    doc instead of O(n·w); measured as a multi-minute hang at sf0.1).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    gram_at = lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i + 1, k))  # noqa: E731
+    idx = F.when(
+        F.size("__t") >= k, F.sequence(F.lit(0), F.size("__t") - F.lit(k))
+    ).otherwise(F.array().cast("array<int>"))
+    hs = F.transform(
+        idx,
+        lambda i: F.conv(F.substring(F.md5(gram_at(i)), 1, 12), 16, 10).cast(
+            "long"
+        ),
+    )
+    # per full window end j (0-based gram index, j >= window-1):
+    # min(struct(h, -i)) across the window's members — minimize h,
+    # ties to the largest i (rightmost), exactly the robust-winnowing
+    # selection the r14 windowed formulation computed
+    wins = F.when(
+        F.size("__h") >= window,
+        F.transform(
+            F.sequence(F.lit(window - 1), F.size("__h") - 1),
+            lambda j: F.array_min(
+                F.transform(
+                    F.sequence(j - (window - 1), j),
+                    lambda i: F.struct(
+                        F.element_at("__h", i + 1).alias("h"), (-i).alias("ni")
+                    ),
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<h:bigint,ni:int>>"))
     return (
-        grams.withColumn("__sel", sel)
-        .filter(F.col("i") >= window - 1)  # full windows only
-        .select(
-            id_col,
-            (-F.col("__sel.ni")).alias("pos"),
-            F.col("__sel.h").alias("fp"),
-        )
-        .distinct()
+        df.select(F.col(id_col), toks.alias("__t"))
+        .select(id_col, hs.alias("__h"))
+        .select(id_col, wins.alias("__wins"))
+    )
+
+
+def winnow_doc_fps(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """The DISTINCT ``(id_col, fp)`` relation of
+    :func:`winnow_fingerprints` — i.e. which fingerprints each document
+    carries, positions dropped — computed entirely DOC-LOCALLY
+    (``array_distinct`` over the selections' hashes before the explode,
+    equivalent to the global distinct because ``id_col`` is in the
+    key). Zero exchanges: the match stage
+    (``winnow_candidate_pairs``) starts from this relation, so the
+    whole MOSS pipeline's only shuffles are the hot-fp cap and the
+    pair aggregation — the corpus-derived gram relation never crosses
+    the network (optimization guide §2.3/§2.4)."""
+    if k <= 0 or window <= 0:
+        raise ValueError(f"k and window must be positive, got k={k} window={window}")
+    return _winnow_selected(df, text_col, id_col, k, window).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(F.col("__wins"), lambda s: s["h"])
+            )
+        ).alias("fp"),
     )
 
 

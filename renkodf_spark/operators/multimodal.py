@@ -937,6 +937,7 @@ def dhash_band_table(
     id_col: str = "media_id",
     hi_col: str = "dhash_hi",
     lo_col: str = "dhash_lo",
+    keep_hash: bool = False,
 ) -> DataFrame:
     """Multi-index Hamming band table over 64-bit perceptual hashes:
     ``(id, band, key)`` rows, ``max_distance + 1`` bands of
@@ -958,9 +959,15 @@ def dhash_band_table(
             for band, expr in _hash64_band_exprs(hi_col, lo_col, num_bands)
         ]
     )
+    extra = (
+        [F.col(hi_col).alias("hi"), F.col(lo_col).alias("lo")] if keep_hash else []
+    )
     return hashes.select(
-        F.col(id_col).alias("id"), F.explode(bands).alias("bk")
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        F.col(id_col).alias("id"), *extra, F.explode(bands).alias("bk")
+    ).select(
+        "id", *(["hi", "lo"] if keep_hash else []),
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+    )
 
 
 def dhash_hamming_pairs(
@@ -986,6 +993,54 @@ def dhash_hamming_pairs(
     10^9+ images the per-band buckets are small and only 16-byte hash
     rows ever shuffle. ``banded=False`` keeps the all-pairs
     BroadcastNestedLoop twin for parity testing and tiny relations."""
+    hamming = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    )
+    if banded:
+        # r15 (guide §2.3/§2.4): the hashes RIDE the band table (24
+        # bytes/row instead of 16), so the band equi-join emits
+        # verify-ready pairs directly — the r14 shape joined the bare
+        # candidate ids back to the hash relation twice (2 extra
+        # joins, 4 more exchanges, 3 plan stamps of ``hashes``). The
+        # exact hamming filter also moved BEFORE the pair de-dup, so
+        # the distinct exchange carries only true near-dup pairs (a
+        # pair agreeing on several bands re-computes the two-xor
+        # distance per agreement — cheap — and de-dups after; hamming
+        # is a function of the pair, so distinct over the triple is
+        # distinct over the pair). Same pairs, same distances — only
+        # the join geometry changed, as before.
+        bands = dhash_band_table(
+            hashes,
+            max_distance=max_distance,
+            id_col=id_col,
+            hi_col=hi_col,
+            lo_col=lo_col,
+            keep_hash=True,
+        )
+        return (
+            bands.select(
+                "band",
+                "key",
+                F.col("id").alias("id_a"),
+                F.col("hi").alias("hi_a"),
+                F.col("lo").alias("lo_a"),
+            )
+            .join(
+                bands.select(
+                    "band",
+                    "key",
+                    F.col("id").alias("id_b"),
+                    F.col("hi").alias("hi_b"),
+                    F.col("lo").alias("lo_b"),
+                ),
+                ["band", "key"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_distance)
+            .select("id_a", "id_b", "hamming")
+            .distinct()
+        )
     a = hashes.select(
         F.col(id_col).alias("id_a"),
         F.col(hi_col).alias("hi_a"),
@@ -996,33 +1051,9 @@ def dhash_hamming_pairs(
         F.col(hi_col).alias("hi_b"),
         F.col(lo_col).alias("lo_b"),
     )
-    if banded:
-        bands = dhash_band_table(
-            hashes,
-            max_distance=max_distance,
-            id_col=id_col,
-            hi_col=hi_col,
-            lo_col=lo_col,
-        )
-        cand = (
-            bands.select("band", "key", F.col("id").alias("id_a"))
-            .join(
-                bands.select("band", "key", F.col("id").alias("id_b")),
-                ["band", "key"],
-            )
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
-        )
-        joined = cand.join(a, "id_a").join(b, "id_b")
-    else:
-        joined = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
-        joined.withColumn(
-            "hamming",
-            F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-            + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))),
-        )
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_distance)
         .select("id_a", "id_b", "hamming")
     )

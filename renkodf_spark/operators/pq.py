@@ -107,6 +107,51 @@ def pq_codebooks(
     )
 
 
+def codebooks_from_centroids(
+    centroids: DataFrame,
+    *,
+    dim: int = 64,
+    m: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Reshape per-cell mean vectors (``similarity.embedding_centroids``
+    output: ``(cell, centroid, n_vectors)`` with RAW means) into the PQ
+    codebook relation — BIT-IDENTICAL to :func:`pq_codebooks` on the
+    same grouped sample, without re-aggregating the corpus: subspace
+    ``s`` of cell ``c`` is ``round(centroid[s*dsub .. (s+1)*dsub-1],
+    round_digits) + 0.0`` — the same per-component round applied to the
+    same double means, so every downstream encode distance and ADC LUT
+    entry folds identically.
+
+    r15 (optimization guide §2.4): IVF-PQ compositions train cells and
+    codebooks from the SAME per-label aggregate; computing
+    ``pq_codebooks`` separately re-ran the whole ``cells x dim``
+    corpus aggregation (one extra full scan + exchange at 100 TB).
+    Derive the books from the already-computed (and persisted)
+    centroid relation instead — a narrow ``cells``-row reshape."""
+    dsub = _check_geometry(dim, m)
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.transform(
+                    F.slice(F.col("centroid"), s * dsub + 1, dsub),
+                    lambda x: F.round(x, round_digits) + F.lit(0.0),
+                ).alias("subcentroid"),
+            )
+            for s in range(m)
+        ]
+    )
+    return centroids.select(
+        F.explode(subs).alias("__s"), F.col("cell").alias("code"), "n_vectors"
+    ).select(
+        F.col("__s.sub").alias("sub"),
+        "code",
+        F.col("__s.subcentroid").alias("subcentroid"),
+        "n_vectors",
+    )
+
+
 def _books_by_sub_row(codebooks: DataFrame, m: int):
     """Collapse the codebook relation to ONE broadcastable row, grouped
     by subspace: ``__books_by_sub[s]`` is the array of ``(code,

@@ -1255,48 +1255,80 @@ def multimodal_video_curation_end_to_end(spark, sf_dir):
     # InMemoryRelation re-scan overhead) and the builder creates a
     # fresh one per invocation, so bench visits still pay decode once
     fh = multimodal.frame_dhash(media, every_n=1).localCheckpoint()
-    sigs = fh.groupBy("media_id").agg(
-        F.sum((F.col("frame_index") + 1) * F.col("dhash_hi")).alias("vsig_hi"),
-        F.sum((F.col("frame_index") + 1) * F.col("dhash_lo")).alias("vsig_lo"),
-        F.count(F.lit(1)).alias("n_frames"),
+    # r15 (guide §2.3/§8, VERDICT r14 item 4): ONE media_id aggregate
+    # builds both the exact-dedup signature AND the per-video
+    # frame-hash array, so every downstream stage works on one narrow
+    # row per VIDEO. The r14 shape re-exchanged the per-FRAME table
+    # three times (keeper join, verify side a, verify side b) and paid
+    # a (vid_a, vid_b) pair aggregate; now the verify n_close count is
+    # an in-row array expression over the two videos' hash arrays —
+    # the frame relation crosses the network exactly once (the shared
+    # aggregate), and the pair-count exchange is gone. Per-pair work
+    # is the identical |frames_a| x |frames_b| xor/bit_count compare,
+    # just evaluated in place; counts (and therefore drops) match the
+    # r14 join formulation row-for-row. Frame arrays are bounded by
+    # the per-video frame count (16 bytes/frame), the §8 lightweight
+    # proxy. collect_list order is partition-dependent, but every
+    # consumer is order-insensitive (count / keyed filter).
+    vrows = persist_block(
+        fh.groupBy("media_id").agg(
+            F.sum((F.col("frame_index") + 1) * F.col("dhash_hi")).alias("vsig_hi"),
+            F.sum((F.col("frame_index") + 1) * F.col("dhash_lo")).alias("vsig_lo"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.collect_list(
+                F.struct("frame_index", "dhash_hi", "dhash_lo")
+            ).alias("__frames"),
+        )
     )
-    # guide §3.3: keep is referenced three times (keeper frames, the
-    # survivor anti-join, the output) and kframes three times (reps +
-    # both verify sides) — truncate both narrow relations so the
-    # signature election is planned/executed once instead of being
-    # re-stamped per consumer (the plan carried 8 copies). Lazy, rows
-    # identical.
+    # guide §3.3: keep is referenced three times (keeper rows, the
+    # survivor anti-join, the output) and kvids three times (reps +
+    # both verify sides) — truncate both so the signature election is
+    # planned/executed once per consumer. Lazy, rows identical.
     keep = persist_block(
-        sigs.groupBy("vsig_hi", "vsig_lo", "n_frames").agg(
+        vrows.groupBy("vsig_hi", "vsig_lo", "n_frames").agg(
             F.min("media_id").alias("media_id"),
             F.count(F.lit(1)).alias("n_exact_dupes"),
         )
     )
-    kframes = persist_block(fh.join(keep.select("media_id"), "media_id"))
-    reps = kframes.filter(F.col("frame_index") == 0)
+    kvids = persist_block(
+        vrows.select("media_id", "__frames").join(
+            keep.select("media_id"), "media_id"
+        )
+    )
+    f0 = F.element_at(
+        F.filter(F.col("__frames"), lambda f: f["frame_index"] == 0), 1
+    )
+    reps = (
+        kvids.select("media_id", f0.alias("__f0"))
+        .filter(F.col("__f0").isNotNull())
+        .select(
+            "media_id",
+            F.col("__f0.dhash_hi").alias("dhash_hi"),
+            F.col("__f0.dhash_lo").alias("dhash_lo"),
+        )
+    )
     cand = multimodal.dhash_hamming_pairs(reps, max_distance=2).select(
         F.col("id_a").alias("vid_a"), F.col("id_b").alias("vid_b")
     )
-    fa = kframes.select(
-        F.col("media_id").alias("vid_a"),
-        F.col("dhash_hi").alias("hi_a"),
-        F.col("dhash_lo").alias("lo_a"),
-    )
-    fb = kframes.select(
-        F.col("media_id").alias("vid_b"),
-        F.col("dhash_hi").alias("hi_b"),
-        F.col("dhash_lo").alias("lo_b"),
+    fa = kvids.select(F.col("media_id").alias("vid_a"), F.col("__frames").alias("__fr_a"))
+    fb = kvids.select(F.col("media_id").alias("vid_b"), F.col("__frames").alias("__fr_b"))
+    n_close = F.aggregate(
+        F.col("__fr_a"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.size(
+            F.filter(
+                F.col("__fr_b"),
+                lambda y: F.bit_count(x["dhash_hi"].bitwiseXOR(y["dhash_hi"]))
+                + F.bit_count(x["dhash_lo"].bitwiseXOR(y["dhash_lo"]))
+                <= 2,
+            )
+        ).cast("long"),
     )
     verified = (
         cand.join(fa, "vid_a")
         .join(fb, "vid_b")
-        .filter(
-            F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-            + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-            <= 2
-        )
-        .groupBy("vid_a", "vid_b")
-        .agg(F.count(F.lit(1)).alias("n_close"))
+        .select("vid_a", "vid_b", n_close.alias("n_close"))
     )
     drops = (
         verified.filter(F.col("n_close") >= _VIDEO_E2E_MIN_CLOSE)

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from renkodf_spark.operators import corpus, pq, similarity, text
+from renkodf_spark.plans.persist import persist_block
 from renkodf_spark.queries.pipeline import _docs, _emb
 from renkodf_spark.queries.pipeline2 import _IVF_DIM
 from renkodf_spark.queries.pipeline3 import _PQ_ASSIGN_CTES, _PQ_DSUB, _PQ_M
@@ -294,8 +295,17 @@ FROM ranked WHERE rank <= {_IVFPQ_K}
 )
 def similarity_ivfpq_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
-    cents = similarity.embedding_centroids(emb, dim=_IVF_DIM)
-    books = pq.pq_codebooks(emb, dim=_IVF_DIM, m=_PQ_M).cache()
+    # r15 (guide §2.4/§3.3, VERDICT r14 item 7): cells and codebooks
+    # train from the SAME per-label aggregate — pq_codebooks re-ran the
+    # whole cells x dim corpus aggregation that embedding_centroids
+    # already computed (one extra full corpus scan at 100 TB), and the
+    # centroid relation's 3 consumers (corpus routing, query probes,
+    # books) each re-stamped it into the plan. Persist the one
+    # aggregate and derive the books as a narrow reshape — values
+    # bit-identical (same means, same rounding; see
+    # pq.codebooks_from_centroids).
+    cents = persist_block(similarity.embedding_centroids(emb, dim=_IVF_DIM))
+    books = pq.codebooks_from_centroids(cents, dim=_IVF_DIM, m=_PQ_M)
     return pq.ivfpq_topk(
         emb,
         emb.filter(F.col("vec_id") < 5),

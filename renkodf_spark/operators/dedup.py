@@ -749,10 +749,18 @@ def shared_ngram_pairs(
         raise ValueError(f"n must be positive, got {n}")
     if max_gram_docs is not None and max_gram_docs < 2:
         raise ValueError(f"max_gram_docs must be >= 2, got {max_gram_docs}")
-    grams = (
-        df.select(F.col(id_col).alias("id"), _norm_gram_tokens(text_col).alias("__t"))
-        .select("id", F.explode(_gram_digests_from(F.col("__t"), n)).alias("gram"))
-        .distinct()
+    # r15 (guide §2.4): per-doc digest de-dup is DOC-LOCAL —
+    # array_distinct before the explode replaces the global
+    # .distinct() (equivalent: the doc id is in the distinct key), so
+    # the gram relation is a pure narrow map and the distinct's
+    # aggregate exchange disappears from both self-join sides
+    grams = df.select(
+        F.col(id_col).alias("id"), _norm_gram_tokens(text_col).alias("__t")
+    ).select(
+        "id",
+        F.explode(F.array_distinct(_gram_digests_from(F.col("__t"), n))).alias(
+            "gram"
+        ),
     )
     if max_gram_docs is not None:
         ok = (
@@ -819,19 +827,27 @@ def remove_duplicated_spans(
 
     if n <= 0:
         raise ValueError(f"n must be positive, got {n}")
-    toked = df.select(
-        F.col(id_col).alias("id"), _norm_gram_tokens(text_col).alias("__t")
-    ).localCheckpoint(eager=False)
-
     def _at(i):
         return F.md5(F.array_join(F.slice(F.col("__t"), i + 1, n), " "))
 
     starts = F.when(
         F.size("__t") >= n, F.sequence(F.lit(0), F.size("__t") - F.lit(n))
     ).otherwise(F.array().cast("array<int>"))
+    # r15 (guide §1.2): the gram-digest array is computed ONCE, inside
+    # the checkpointed relation — the old shape re-ran the per-gram md5
+    # transform in both consumers of `grams` (the first-owner aggregate
+    # and the dup-starts probe), doubling the dominant per-row compute.
+    # Separate projection for __t before __g: expression trees inline
+    # on reference (the winnowing lesson), so the digest lambda must
+    # see __t as a materialized column, not the split() expression.
+    toked = (
+        df.select(F.col(id_col).alias("id"), _norm_gram_tokens(text_col).alias("__t"))
+        .select("id", "__t", F.transform(starts, _at).alias("__g"))
+        .localCheckpoint(eager=False)
+    )
     grams = toked.select(
-        "id", F.posexplode(F.transform(starts, _at)).alias("__junk", "gram"), 
-    ).select("id", F.col("__junk").alias("s"), "gram")
+        "id", F.posexplode("__g").alias("s", "gram")
+    )
     first_owner = grams.groupBy("gram").agg(F.min("id").alias("__first"))
     # aggregate dup gram STARTS, not covered positions: the old
     # explode(sequence(s, s+n-1)) + distinct multiplied every dup gram

@@ -620,17 +620,33 @@ def contamination(
     """
     if n <= 0:
         raise ValueError(f"n must be positive, got {n}")
+    # r15 (guide §2.4): per-doc gram de-dup is DOC-LOCAL on both sides
+    # — array_distinct before the explode replaces the eval side's
+    # global .distinct() (equivalent: the doc id is in the key), so
+    # neither gram relation pays an aggregate exchange, and the train
+    # side ships each (doc, gram) into the join once instead of once
+    # per occurrence (fewer rows into the per-doc hit aggregation; the
+    # countDistinct outputs are unchanged by de-duplication)
     eval_grams = (
         eval_df.select(
             F.col(eval_id_col).alias("__eval_id"),
             _norm_gram_tokens(eval_text_col).alias("__t"),
         )
-        .select("__eval_id", F.explode(_gram_digests_from(F.col("__t"), n)).alias("__gram"))
-        .distinct()
+        .select(
+            "__eval_id",
+            F.explode(F.array_distinct(_gram_digests_from(F.col("__t"), n))).alias(
+                "__gram"
+            ),
+        )
     )
     train_grams = train.select(
         F.col(id_col), _norm_gram_tokens(text_col).alias("__t")
-    ).select(id_col, F.explode(_gram_digests_from(F.col("__t"), n)).alias("__gram"))
+    ).select(
+        id_col,
+        F.explode(F.array_distinct(_gram_digests_from(F.col("__t"), n))).alias(
+            "__gram"
+        ),
+    )
     hits = train_grams.join(F.broadcast(eval_grams), "__gram")
     return hits.groupBy(id_col).agg(
         F.countDistinct("__gram").alias("n_hit_grams"),
@@ -814,11 +830,18 @@ def line_doc_frequencies(
     full text never shuffles (only 32-char digests do).
     """
     lines = F.split(F.col(text_col), r"\n")
-    keyed = df.select(
-        F.col(id_col).alias("id"), F.explode(lines).alias("line")
-    ).select("id", F.md5(F.lower(F.trim(F.col("line")))).alias("line_key"))
+    # r15 (guide §2.4): the per-(doc, line) de-dup is DOC-LOCAL —
+    # array_distinct over the row's own normalized line keys replaces
+    # the global .distinct() (the doc id was in the distinct key), so
+    # the only exchange left is the line_key count itself
     return (
-        keyed.distinct()
+        df.select(
+            F.explode(
+                F.array_distinct(
+                    F.transform(lines, lambda l: F.md5(F.lower(F.trim(l))))
+                )
+            ).alias("line_key")
+        )
         .groupBy("line_key")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )

@@ -44,6 +44,42 @@ from renkodf_spark.queries import pipeline11  # noqa: F401
 # mechanical so the artifact no longer depends on habit).
 # Names not listed keep their module registration order after these.
 _PRIORITY = [
+    # -- round-15 OPTIMIZATION pass, first: queries whose PHYSICAL
+    #    PLANS changed this round (doc-local winnowing/gram/line
+    #    dedup, hash-carrying Hamming bands, per-video in-row verify,
+    #    IVF-PQ shared training aggregate, corpus-sized broadcast-hint
+    #    removal in the curation DAGs). Values are pinned
+    #    bit-identical; the gate re-proves it.
+    "winnow_fingerprints",
+    "winnow_candidate_pairs",
+    "substring_dup_pairs",
+    "substring_span_removal",
+    "decontamination_report",
+    "decontaminated_corpus",
+    "boilerplate_line_removal",
+    "multimodal_dhash_neardup_pairs",
+    "multimodal_video_neardup_pairs",
+    "multimodal_dedup_keep",
+    "multimodal_curation_end_to_end",
+    "multimodal_video_curation_end_to_end",
+    "similarity_ivfpq_topk",
+    "curation_end_to_end",
+    "pretrain_end_to_end",
+    # -- VERDICT r14 item 6: the plan-changed-in-r14 queries whose
+    #    correctness evidence was builder-sweep-only (outside the
+    #    50-slot gate window last round) — sweep the remainder through
+    #    the driver gate. (substring/boilerplate/decontamination
+    #    already above.)
+    "dedup_minhash_lsh",
+    "hamming_topk",
+    "pq_adc_topk",
+    "vocab_encoded_docs",
+    "hybrid_search_rerank",
+    "packed_bins",
+    "phrase_search_table_table",
+    "gopher_quality_filter",
+    "dedup_ngram_jaccard",
+    "quantile_outlier_trim",
     # -- round-14 OPTIMIZATION pass: queries whose PHYSICAL PLANS
     #    changed this round (lineage truncation of narrow verdict/model
     #    relations, per-row norm precompute in every pair stage, the

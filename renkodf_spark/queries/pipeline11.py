@@ -50,6 +50,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from renkodf_spark.operators import corpus, dedup, text
+from renkodf_spark.plans.hints import maybe_broadcast_verdict
 from renkodf_spark.plans.persist import persist_block
 from renkodf_spark.queries.pipeline import (
     BAND_SIZE,
@@ -213,17 +214,16 @@ def pretrain_dag(docs, eval_snippets):
     keepers = persist_block(
         dedup.exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
     )
-    # No F.broadcast hint on the corpus-sized verdict sets (keepers /
-    # near-dup drops / gopher passing — the ADVICE r14 bound rule): a
-    # hint is honored regardless of actual size, and these sets are
-    # O(corpus) cardinality, so at 100 TB the hint risks driver OOM /
-    # the 8 GB broadcast cap. AQE re-plans each join from the runtime
-    # shuffle stats instead (locally they still become broadcast-hash
-    # joins with local shuffle reads; at scale they degrade gracefully
-    # to shuffle joins). The bounded hints below (decontaminate's
-    # eval-gram-reach report, temperature's per-language rates) keep
-    # their explicit broadcasts.
-    dd = docs.join(keepers, "doc_id")
+    # The corpus-sized verdict sets (keepers / near-dup drops / gopher
+    # passing) are broadcast only under the session conf
+    # spark.renkodf.join.broadcastVerdictSets (default true — correct
+    # at every bounded/bench scale; 100 TB deployments set false and
+    # let AQE pick from runtime stats): the ADVICE r14 bound rule,
+    # enforced at one conf point instead of unconditional hints. The
+    # bounded hints below (decontaminate's eval-gram-reach report,
+    # temperature's per-language rates) keep their explicit
+    # broadcasts. See plans/hints.py for the measured trade.
+    dd = docs.join(maybe_broadcast_verdict(keepers), "doc_id")
     # 2: near-dup drop — LSH candidates on the deduped corpus; a doc
     # with any lower-id candidate partner is dropped (deterministic
     # greedy keep, the multimodal_curation_end_to_end policy)
@@ -239,7 +239,9 @@ def pretrain_dag(docs, eval_snippets):
         repartition_input=False,
     )
     nd = dd.join(
-        persist_block(pairs.select(F.col("id_b").alias("doc_id")).distinct()),
+        maybe_broadcast_verdict(
+            persist_block(pairs.select(F.col("id_b").alias("doc_id")).distinct())
+        ),
         "doc_id",
         "left_anti",
     )
@@ -249,7 +251,7 @@ def pretrain_dag(docs, eval_snippets):
         .filter(F.col("gopher_pass") == 1)
         .select("doc_id")
     )
-    gq = nd.join(passing, "doc_id")
+    gq = nd.join(maybe_broadcast_verdict(passing), "doc_id")
     # 4: decontamination against the eval carve of the FULL corpus
     # (broadcast_report: the flag set is bounded by the eval set's
     # gram reach, and AQE cannot see that inside this DAG;

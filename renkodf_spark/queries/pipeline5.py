@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from renkodf_spark.functions import bloom
 from renkodf_spark.operators import corpus, dedup, text
+from renkodf_spark.plans.hints import maybe_broadcast_verdict
 from renkodf_spark.plans.persist import persist_block
 from renkodf_spark.queries.pipeline import _PAIRS_CTES, _docs, _shared_pairs
 from renkodf_spark.queries.registry import query
@@ -638,21 +639,18 @@ def curation_end_to_end(spark, sf_dir):
     keepers = persist_block(
         dedup.exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
     )
-    # No F.broadcast hint on keepers/passing (ADVICE r14): both are
-    # O(corpus)-cardinality doc_id verdict sets (exact-dedup keepers and
-    # gopher-pass ids are roughly corpus-sized), unlike the bounded
-    # est/rates/centroid hints elsewhere. Spark honors a hint regardless
-    # of actual size, so at 100 TB the hint risks driver OOM / the 8 GB
-    # broadcast cap. AQE picks the strategy from runtime shuffle stats
-    # instead (the checkpointed relation has no planner stats, but AQE
-    # re-plans from the real exchanged bytes).
-    dd = docs.join(keepers, "doc_id")
+    # keepers/passing are O(corpus)-cardinality doc_id verdict sets
+    # (ADVICE r14 bound rule) — broadcast only under
+    # spark.renkodf.join.broadcastVerdictSets (default true; 100 TB
+    # deployments set false and AQE picks from runtime stats). See
+    # plans/hints.py for the rationale and the measured trade.
+    dd = docs.join(maybe_broadcast_verdict(keepers), "doc_id")
     passing = persist_block(
         text.gopher_rules(dd, min_words=_G_MIN_WORDS, min_stop_hits=_G_MIN_STOP)
         .filter(F.col("gopher_pass") == 1)
         .select("doc_id")
     )
-    filtered = dd.join(passing, "doc_id")
+    filtered = dd.join(maybe_broadcast_verdict(passing), "doc_id")
     sel = corpus.quota_sample(filtered, "lang", per_group=_E2E_QUOTA, salt=_E2E_SALT)
     return sel.select("doc_id", "lang", "n_chars", "sample_rank")
 
